@@ -1,0 +1,205 @@
+package graft.filter
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, FileInputStream, FileOutputStream}
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.model.FileRecord
+
+/** Interpolated Kneser-Ney character-trigram language model (north star:
+  * "Kneser-Ney-smoothed n-gram perplexity scorer with batched n-gram
+  * hashing per partition").
+  *
+  * Training: one distributed flatMap → groupBy count of trigrams over the
+  * clean training corpus (all counts are exact integers, so training is
+  * deterministic for any partitioning); the smoothed LOG-probabilities are
+  * then computed once on the driver and stored. Scoring is a sequential
+  * walk over the first [[KnLm.MaxChars]] chars adding stored doubles —
+  * bit-exactly reproducible by the Python oracle loading the same file
+  * (no `log`/`exp` is recomputed in the decision path on either side).
+  *
+  * Standard interpolated KN with absolute discount D=0.75:
+  *   P3(c₃|c₁c₂) = max(n₃−D,0)/n₁₂ + λ₃(c₁c₂)·P2(c₃|c₂)
+  *   P2(c₃|c₂)  = max(N₁₊(•c₂c₃)−D,0)/N₁₊(•c₂•) + λ₂(c₂)·P1(c₃)
+  *   P1(c₃)     = N₁₊(•c₃)/N₁₊(••)   (continuation counts)
+  * Unseen contexts back off with λ = 1 (log-λ 0); unseen chars floor at
+  * 1/(4·V). Char alphabet: printable ASCII [32,126] + '\n' + OTHER(0),
+  * BOS=1.
+  */
+object KnLm {
+  val MaxChars = 2000
+  val Discount = 0.75
+  val Bos = 1
+  val Other = 0
+  val AlphabetSize = 97 // OTHER + BOS-ish? (0..127 encoded; V for floor below)
+  /** keep-rule threshold on average negative log-prob per char; calibrated
+    * in KnLmSpec over the synthetic corpus. */
+  val MaxAvgNll = 4.5
+
+  final case class Model(
+      tri: java.util.HashMap[Integer, java.lang.Double],    // enc3 → logP3
+      lam3: java.util.HashMap[Integer, java.lang.Double],   // enc2 → log λ3
+      big: java.util.HashMap[Integer, java.lang.Double],    // enc2 → logP2
+      lam2: java.util.HashMap[Integer, java.lang.Double],   // c    → log λ2
+      uni: java.util.HashMap[Integer, java.lang.Double],    // c    → logP1
+      logFloor: Double)
+
+  @inline def mapChar(c: Char): Int =
+    if (c == '\n') 10 else if (c >= 32 && c <= 126) c.toInt else Other
+
+  @inline def enc2(a: Int, b: Int): Int = a * 128 + b
+  @inline def enc3(a: Int, b: Int, c: Int): Int = (a * 128 + b) * 128 + c
+
+  /** Mapped char sequence with two BOS sentinels, truncated. */
+  def encode(content: String): Array[Int] = {
+    val n = math.min(content.length, MaxChars)
+    val out = new Array[Int](n + 2)
+    out(0) = Bos; out(1) = Bos
+    var i = 0
+    while (i < n) { out(i + 2) = mapChar(content.charAt(i)); i += 1 }
+    out
+  }
+
+  /** All trigram codes of a file (training feature extraction). */
+  def trigrams(content: String): Array[Int] = {
+    val e = encode(content)
+    val out = new Array[Int](math.max(0, e.length - 2))
+    var i = 0
+    while (i + 3 <= e.length) { out(i) = enc3(e(i), e(i + 1), e(i + 2)); i += 1 }
+    out
+  }
+
+  def train(spark: SparkSession, data: Dataset[FileRecord]): Model = {
+    import spark.implicits._
+    val triCounts: Array[(Int, Long)] = data
+      .flatMap(r => trigrams(r.content))
+      .groupByKey(identity).count().collect()
+
+    // driver-side smoothing (trigram TYPE table is small: ≤|charset|³ observed)
+    import scala.collection.mutable.{HashMap => MMap, HashSet => MSet}
+    val n12 = MMap.empty[Int, Long]       // cnt(c1c2) token counts
+    val after12 = MMap.empty[Int, Long]   // N1+(c1c2•): trigram types per c1c2
+    val contBi = MMap.empty[Int, Long]    // N1+(•c2c3): trigram types per c2c3
+    val contMid = MMap.empty[Int, Long]   // N1+(•c2•): trigram types with mid c2
+    val after2 = MMap.empty[Int, MSet[Int]] // {c3 seen after c2}
+    triCounts.foreach { case (t, c) =>
+      val c3 = t % 128; val c2 = (t / 128) % 128; val c1 = t / (128 * 128)
+      val b12 = enc2(c1, c2); val b23 = enc2(c2, c3)
+      n12(b12) = n12.getOrElse(b12, 0L) + c
+      after12(b12) = after12.getOrElse(b12, 0L) + 1
+      contBi(b23) = contBi.getOrElse(b23, 0L) + 1
+      contMid(c2) = contMid.getOrElse(c2, 0L) + 1
+      after2.getOrElseUpdate(c2, MSet.empty) += c3
+    }
+    val contUni = MMap.empty[Int, Long]   // N1+(•c3): distinct (c2,c3) types
+    contBi.keysIterator.foreach { b23 =>
+      val c3 = b23 % 128
+      contUni(c3) = contUni.getOrElse(c3, 0L) + 1
+    }
+    val contTotal = contBi.size.toDouble  // N1+(••): distinct (c2,c3) types
+
+    val d = Discount
+    val logFloor = math.log(1.0 / (4.0 * AlphabetSize * AlphabetSize))
+    val uni = new java.util.HashMap[Integer, java.lang.Double]()
+    contUni.foreach { case (c, n) => uni.put(c, math.log(n / contTotal)) }
+
+    val lam2 = new java.util.HashMap[Integer, java.lang.Double]()
+    val big = new java.util.HashMap[Integer, java.lang.Double]()
+    contMid.foreach { case (c2, denom) =>
+      lam2.put(c2, math.log(d * after2(c2).size / denom.toDouble))
+    }
+    contBi.foreach { case (b23, n) =>
+      val c2 = b23 / 128; val c3 = b23 % 128
+      val denom = contMid(c2).toDouble
+      val p1 = math.exp(uni.getOrDefault(c3, logFloor))
+      val l2 = d * after2(c2).size / denom
+      big.put(b23, math.log(math.max(n - d, 0.0) / denom + l2 * p1))
+    }
+
+    val lam3 = new java.util.HashMap[Integer, java.lang.Double]()
+    n12.foreach { case (b12, cnt) =>
+      lam3.put(b12, math.log(d * after12(b12) / cnt.toDouble))
+    }
+    val tri = new java.util.HashMap[Integer, java.lang.Double]()
+    triCounts.foreach { case (t, c) =>
+      val c3 = t % 128; val c2 = (t / 128) % 128; val c1 = t / (128 * 128)
+      val b12 = enc2(c1, c2)
+      val denom = n12(b12).toDouble
+      val l3 = d * after12(b12) / denom
+      val p2 = math.exp(big.get(enc2(c2, c3)).doubleValue())
+      tri.put(t, math.log(math.max(c - d, 0.0) / denom + l3 * p2))
+    }
+    Model(tri, lam3, big, lam2, uni, logFloor)
+  }
+
+  /** Average negative log-prob per predicted char (0.0 for empty). */
+  def avgNll(m: Model, content: String): Double = {
+    val e = encode(content)
+    val n = e.length - 2
+    if (n <= 0) return 0.0
+    var sum = 0.0
+    var i = 0
+    while (i + 3 <= e.length) {
+      val c1 = e(i); val c2 = e(i + 1); val c3 = e(i + 2)
+      val t3 = m.tri.get(enc3(c1, c2, c3))
+      val lp: Double =
+        if (t3 != null) t3.doubleValue()
+        else {
+          val b2 = m.big.get(enc2(c2, c3))
+          val lower: Double =
+            if (b2 != null) b2.doubleValue()
+            else {
+              val u = m.uni.get(c3)
+              val base = if (u != null) u.doubleValue() else m.logFloor
+              val l2 = m.lam2.get(c2)
+              if (l2 != null) l2.doubleValue() + base else base
+            }
+          val l3 = m.lam3.get(enc2(c1, c2))
+          if (l3 != null) l3.doubleValue() + lower else lower
+        }
+      sum -= lp
+      i += 1
+    }
+    sum / n
+  }
+
+  def perplexity(m: Model, content: String): Double =
+    math.exp(avgNll(m, content))
+
+  // ---- (de)serialization ----
+  private def writeMap(out: DataOutputStream,
+      m: java.util.HashMap[Integer, java.lang.Double]): Unit = {
+    out.writeInt(m.size())
+    // sorted keys for a canonical file (and stable diffs)
+    val keys = new java.util.ArrayList[Integer](m.keySet())
+    java.util.Collections.sort(keys)
+    keys.forEach { k => out.writeInt(k); out.writeDouble(m.get(k)) }
+  }
+
+  private def readMap(in: DataInputStream): java.util.HashMap[Integer, java.lang.Double] = {
+    val n = in.readInt()
+    val m = new java.util.HashMap[Integer, java.lang.Double](n * 2)
+    var i = 0
+    while (i < n) { val k = in.readInt(); m.put(k, in.readDouble()); i += 1 }
+    m
+  }
+
+  def save(m: Model, path: String): Unit = {
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
+    try {
+      out.writeInt(0x4b4e4c4d) // "KNLM"
+      writeMap(out, m.tri); writeMap(out, m.lam3); writeMap(out, m.big)
+      writeMap(out, m.lam2); writeMap(out, m.uni)
+      out.writeDouble(m.logFloor)
+    } finally out.close()
+  }
+
+  def load(path: String): Model = {
+    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path)))
+    try {
+      require(in.readInt() == 0x4b4e4c4d, s"bad knlm model file $path")
+      Model(readMap(in), readMap(in), readMap(in), readMap(in), readMap(in),
+        in.readDouble())
+    } finally in.close()
+  }
+}

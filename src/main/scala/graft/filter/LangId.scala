@@ -1,0 +1,161 @@
+package graft.filter
+
+import java.io.{DataInputStream, DataOutputStream, FileInputStream, FileOutputStream, BufferedInputStream, BufferedOutputStream}
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.FileRecord
+
+/** fastText-style language identifier (north star): hashed character
+  * n-gram features, per-language weights broadcast to executors, scoring
+  * inside `mapPartitions`.
+  *
+  * Mechanism: multinomial naive-Bayes over hashed char 2/3-grams — the
+  * weights are log-likelihood scores `log((cnt+α)/(total+αB))` per
+  * (bucket, language), learned with ONE distributed `groupBy(bucket,lang)`
+  * count over a deterministic training set, then densified on the driver and
+  * broadcast (a few MB). Scoring a file is a single sequential walk over its
+  * first [[LangId.MaxChars]] chars accumulating `logit[l] += W[b*L+l]` —
+  * O(len) per file, no shuffle, embarrassingly parallel at 10^12-file scale.
+  *
+  * Determinism contract: prediction and the normalized margin are pure sums
+  * of stored doubles in text order, so the Python golden oracle
+  * (tools/make_golden.py), loading the same weight file, reproduces them
+  * bit-exactly. The softmax probability is reporting-only (never compared).
+  */
+object LangId {
+  val NumBuckets = 1 << 16
+  val MaxChars = 2000
+  val Alpha = 0.5
+  /** keep-rule threshold on (best−secondBest)/nTokens; calibrated in
+    * LangIdSpec over the synthetic corpus. */
+  val MinMargin = 0.05
+
+  final case class Model(langs: Array[String], priors: Array[Double],
+      weights: Array[Double]) {
+    val numLangs: Int = langs.length
+  }
+
+  final case class Score(lang: String, margin: Double, prob: Double)
+
+  /** Hash one n-gram of `s` ending at `end` (exclusive), length `n`.
+    * Polynomial hash over code units, finalized and bucketed — identical
+    * arithmetic in tools/make_golden.py (mod 2^64 two's-complement).
+    */
+  @inline def bucket(s: String, start: Int, n: Int): Int = {
+    var h = 1125899906842597L
+    var i = start
+    val end = start + n
+    while (i < end) { h = h * 31 + s.charAt(i).toInt; i += 1 }
+    h ^= (h >>> 32)
+    (((h % NumBuckets) + NumBuckets) % NumBuckets).toInt
+  }
+
+  /** Emit all 2-gram and 3-gram buckets of the first MaxChars chars. */
+  def buckets(content: String): Array[Int] = {
+    val s = if (content.length > MaxChars) content.substring(0, MaxChars) else content
+    val out = new Array[Int](math.max(0, s.length - 1) + math.max(0, s.length - 2))
+    var k = 0
+    var i = 0
+    while (i + 2 <= s.length) { out(k) = bucket(s, i, 2); k += 1; i += 1 }
+    i = 0
+    while (i + 3 <= s.length) { out(k) = bucket(s, i, 3); k += 1; i += 1 }
+    out
+  }
+
+  /** Train NB weights over a labeled corpus — one distributed count. */
+  def train(spark: SparkSession, data: Dataset[FileRecord]): Model = {
+    import spark.implicits._
+    val counts = data
+      .flatMap(r => buckets(r.content).map(b => (b, r.lang)))
+      .toDF("bucket", "lang")
+      .groupBy("bucket", "lang").count()
+      .collect()
+    val langs = Corpus0.Langs
+    val langIdx = langs.zipWithIndex.toMap
+    val l = langs.length
+    val totals = new Array[Long](l)
+    counts.foreach(r => totals(langIdx(r.getString(1))) += r.getLong(2))
+    val docCounts = data.groupBy("lang").count().collect()
+      .map(r => langIdx(r.getString(0)) -> r.getLong(1)).toMap
+    val totalDocs = docCounts.values.sum.toDouble
+    val priors = Array.tabulate(l)(i =>
+      math.log(docCounts.getOrElse(i, 0L).toDouble / totalDocs))
+    val weights = new Array[Double](NumBuckets * l)
+    // default (unseen bucket) weight per language
+    var li = 0
+    while (li < l) {
+      val default = math.log(Alpha / (totals(li) + Alpha * NumBuckets))
+      var b = 0
+      while (b < NumBuckets) { weights(b * l + li) = default; b += 1 }
+      li += 1
+    }
+    counts.foreach { r =>
+      val b = r.getInt(0); val i = langIdx(r.getString(1)); val c = r.getLong(2)
+      weights(b * l + i) =
+        math.log((c + Alpha) / (totals(i) + Alpha * NumBuckets))
+    }
+    Model(langs, priors, weights)
+  }
+
+  /** Score one file: argmax language, normalized margin, softmax prob. */
+  def score(m: Model, content: String): Score = {
+    val l = m.numLangs
+    val logits = new Array[Double](l)
+    System.arraycopy(m.priors, 0, logits, 0, l)
+    val bs = buckets(content)
+    var k = 0
+    while (k < bs.length) {
+      val off = bs(k) * l
+      var i = 0
+      while (i < l) { logits(i) += m.weights(off + i); i += 1 }
+      k += 1
+    }
+    var best = 0; var second = -1
+    var i = 1
+    while (i < l) {
+      if (logits(i) > logits(best)) { second = best; best = i }
+      else if (second < 0 || logits(i) > logits(second)) second = i
+      i += 1
+    }
+    val n = math.max(1, bs.length)
+    val margin = (logits(best) - logits(second)) / n
+    // softmax prob (reporting only)
+    var z = 0.0
+    i = 0
+    while (i < l) { z += math.exp((logits(i) - logits(best)) / n); i += 1 }
+    Score(m.langs(best), margin, 1.0 / z)
+  }
+
+  // ---- model (de)serialization: big-endian binary, Python-readable ----
+  def save(m: Model, path: String): Unit = {
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
+    try {
+      out.writeInt(0x4c414e47) // "LANG"
+      out.writeInt(m.numLangs)
+      out.writeInt(NumBuckets)
+      m.langs.foreach { s => out.writeInt(s.length); s.foreach(c => out.writeChar(c)) }
+      m.priors.foreach(out.writeDouble)
+      m.weights.foreach(out.writeDouble)
+    } finally out.close()
+  }
+
+  def load(path: String): Model = {
+    val in = new DataInputStream(new BufferedInputStream(new FileInputStream(path)))
+    try {
+      require(in.readInt() == 0x4c414e47, s"bad langid model file $path")
+      val l = in.readInt(); val b = in.readInt()
+      require(b == NumBuckets, "bucket count mismatch")
+      val langs = Array.fill(l) {
+        val n = in.readInt(); new String(Array.fill(n)(in.readChar()))
+      }
+      val priors = Array.fill(l)(in.readDouble())
+      val weights = Array.fill(b * l)(in.readDouble())
+      Model(langs, priors, weights)
+    } finally in.close()
+  }
+
+  private object Corpus0 { val Langs = graft.fixtures.Corpus.Langs }
+}

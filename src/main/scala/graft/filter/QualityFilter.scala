@@ -1,0 +1,96 @@
+package graft.filter
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PiiScrub
+import graft.model.FileRecord
+
+/** The north-rule pipeline: language-ID + perplexity + heuristic keep/drop
+  * + PII/toxicity scrub over a `Dataset[FileRecord]` of source files.
+  *
+  * Plan shape (one narrow pass end-to-end, no shuffle except the optional
+  * salted repartition):
+  *
+  *   scan parquet
+  *     → repartition(p, repo, pmod(hash(path), SALT))   // skew-breaking
+  *     → mapPartitions: langid + KN nll (models broadcast, scored per row)
+  *     → Catalyst: heuristics + scrub_pii + keep        // whole-stage codegen
+  *     → write kept/verdicts + per-bucket metrics
+  *
+  * The two model scorers run inside ONE mapPartitions so each row is
+  * deserialized once; everything downstream is pure `Column` algebra.
+  */
+object QualityFilter {
+  /** Salt width for repo-skew breaking: a mega-repo spreads over up to
+    * this many shuffle partitions (SURVEY.md §4).
+    */
+  val SaltBuckets = 16
+  /** Buckets for metrics/lineage + resume granularity. */
+  val MetricsBuckets = 64
+
+  final case class Scored(
+      repo: String, path: String, commit: String, lang: String,
+      content: String, pred_lang: String, lang_margin: Double,
+      lang_prob: Double, avg_nll: Double)
+
+  /** Score langid + perplexity for every row (single mapPartitions). */
+  def score(spark: SparkSession, input: Dataset[FileRecord],
+      langB: Broadcast[LangId.Model], knB: Broadcast[KnLm.Model],
+      repartition: Boolean = true): Dataset[Scored] = {
+    import spark.implicits._
+    val part =
+      if (repartition)
+        input.repartition(col("repo"), pmod(hash(col("path")), lit(SaltBuckets)))
+      else input
+    part.mapPartitions { it =>
+      val lm = langB.value
+      val km = knB.value
+      it.map { r =>
+        val s = LangId.score(lm, r.content)
+        val nll = KnLm.avgNll(km, r.content)
+        Scored(r.repo, r.path, r.commit, r.lang, r.content,
+          s.lang, s.margin, s.prob, nll)
+      }
+    }
+  }
+
+  /** Full verdict frame: per-row keep/drop + scrubbed content + lineage
+    * bucket. Column set is the engine's output contract (matched by the
+    * golden oracle in tools/make_golden.py).
+    */
+  def verdicts(spark: SparkSession, input: Dataset[FileRecord],
+      langB: Broadcast[LangId.Model], knB: Broadcast[KnLm.Model],
+      repartition: Boolean = true): DataFrame = {
+    val scored = score(spark, input, langB, knB, repartition)
+    val c = col("content")
+    val modelReasons = concat(
+      when(col("lang_margin") < LangId.MinMargin, array(lit("lang_uncertain")))
+        .otherwise(array().cast("array<string>")),
+      when(col("avg_nll") > KnLm.MaxAvgNll, array(lit("high_perplexity")))
+        .otherwise(array().cast("array<string>")))
+    scored.toDF()
+      .withColumn("drop_reasons", concat(Heuristics.dropReasons(c), modelReasons))
+      .withColumn("keep", size(col("drop_reasons")) === 0)
+      .withColumn("scrub", PiiScrub.scrub_pii(c))
+      .withColumn("scrubbed", col("scrub.scrubbed"))
+      .withColumn("pii_types", col("scrub.pii_types"))
+      .withColumn("scrubbed_sha256", sha2(col("scrubbed"), 256))
+      .withColumn("perplexity", exp(col("avg_nll")))
+      .withColumn("bucket",
+        pmod(hash(col("repo"), col("path")), lit(MetricsBuckets)))
+      .drop("scrub")
+  }
+
+  /** Per-bucket lineage + quality metrics (north rule checkpoint unit). */
+  def metrics(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy(col("bucket")).agg(
+      count(lit(1)).as("rows_in"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("rows_kept"),
+      sum(when(!col("keep"), 1L).otherwise(0L)).as("rows_dropped"),
+      sum(length(col("content")).cast("long")).as("bytes_in"),
+      sum(when(col("keep"), length(col("scrubbed"))).otherwise(0L)
+        .cast("long")).as("bytes_kept"),
+      sum(when(size(col("pii_types")) > 0, 1L).otherwise(0L)).as("pii_rows"))
+}

@@ -1,0 +1,120 @@
+package graft.functions
+
+/** Detector regex bank — the reference's compiled class-level patterns,
+  * re-expressed for Java `java.util.regex`.
+  *
+  * Sources (all patterns are ASCII character classes, so the Python→Java
+  * port is semantics-preserving; Java `\d`/`\w` are ASCII-only by default
+  * which matches the ASCII classes used here):
+  *  - semantic patterns: `/root/reference/backend/src/processors/semantic_detector.py:20-51`
+  *  - PII patterns:      `/root/reference/backend/src/processors/pii_detector.py:16-19`
+  *  - Mongo ObjectId:    `/root/reference/backend/src/processors/mongodb_parser.py:28`
+  *
+  * Anchored forms (`^...$`) are used for whole-value semantic/PII
+  * classification (the reference uses `.match()` = anchored-at-start; all
+  * its patterns also end in `$` or match full strings). De-anchored forms
+  * with explicit ASCII lookarounds (NOT `\b`, whose word-char set differs
+  * between Java (ASCII) and Python 3 (Unicode)) are used by the in-text
+  * scrubber so both the Scala engine and the Python golden oracle match the
+  * exact same byte spans.
+  */
+object Patterns {
+  // ---- anchored, whole-value (semantic_detector.py) ----
+  val Email = "^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}$"
+  val SsnSemantic = "^(?:\\d{3}-\\d{2}-\\d{4}|\\d{9})$"
+  val CreditCardSemantic =
+    "^(?:\\*{12}\\d{4}|\\d{4}[\\s-]?\\d{4}[\\s-]?\\d{4}[\\s-]?\\d{4}|\\d{4})$"
+  val Phone =
+    "^[\\+]?[1]?[\\s.-]?[(]?[0-9]{3}[)]?[\\s.-]?[0-9]{3}[\\s.-]?[0-9]{4}$"
+  val Url = "^https?://[^\\s]+$"
+  // reference compiles with re.I → embed (?i)
+  val Uuid =
+    "(?i)^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+  val ZipCode = "^\\d{5}(-\\d{4})?$"
+  val Identifier = "^[a-zA-Z0-9_-]+$"
+
+  // ---- anchored, whole-value (pii_detector.py:16-19) ----
+  val SsnPii = "^\\d{3}-\\d{2}-\\d{4}$"
+  val CreditCardPii = "^\\d{4}[\\s-]?\\d{4}[\\s-]?\\d{4}[\\s-]?\\d{4}$"
+
+  // ---- mongodb_parser.py:28 ----
+  val MongoObjectId = "^[a-f0-9]{24}$"
+
+  /** The 6 strptime formats of `semantic_detector.py:44-51`, as Spark
+    * datetime patterns (for `to_timestamp`). `%f`=fraction → `SSSSSS`;
+    * trailing literal `Z` quoted.
+    */
+  val DateFormats: Seq[String] = Seq(
+    "yyyy-MM-dd",
+    "yyyy-MM-dd'T'HH:mm:ss",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'",
+    "MM/dd/yyyy",
+    "dd/MM/yyyy"
+  )
+
+  // ---- scrubber bank (in-text, de-anchored; north rule) ----
+  // Order matters and is part of the contract: each pattern is applied as a
+  // full sequential pass over the output of the previous one, identically in
+  // the Scala engine and the Python oracle (tools/make_golden.py).
+  // Lookarounds use explicit ASCII classes so Java and Python agree byte-for-
+  // byte on every match span (see note on \b above).
+
+  /** In-text email; same char classes as `semantic_detector.py:20`. */
+  val ScrubEmail = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+
+  /** AWS access-key id (north rule's added pattern; public AWS format). */
+  val ScrubAwsKey = "(?<![A-Z0-9])AKIA[0-9A-Z]{16}(?![A-Z0-9])"
+
+  /** In-text SSN; digits+dashes form of `pii_detector.py:16`. */
+  val ScrubSsn = "(?<![0-9-])[0-9]{3}-[0-9]{2}-[0-9]{4}(?![0-9-])"
+
+  /** In-text US phone: optional +1/1 prefix then NNN-NNN-NNNN with
+    * consistent `.`/`-`/space separators or (NNN) form — a bounded,
+    * engine-portable subset of `semantic_detector.py:29`.
+    */
+  val ScrubPhone =
+    "(?<![0-9)])(?:\\+?1[-. ])?(?:\\([0-9]{3}\\)[-. ]?|[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}(?![0-9-])"
+
+  /** In-text 16-digit card candidate (`pii_detector.py:19` de-anchored);
+    * replacement additionally requires Luhn validity (`pii_detector.py:75-96`).
+    */
+  val ScrubCreditCard =
+    "(?<![0-9-])[0-9]{4}([ -]?)[0-9]{4}\\1[0-9]{4}\\1[0-9]{4}(?![0-9-])"
+
+  /** Toxicity word list (small fixed demo set; case-insensitive, ASCII
+    * letter boundaries).
+    */
+  val ToxicWords: Seq[String] = Seq("frak", "gorram", "smeg", "belgium")
+  val ScrubToxic: String =
+    "(?i)(?<![a-zA-Z])(?:" + ToxicWords.mkString("|") + ")(?![a-zA-Z])"
+
+  /** (pattern, replacement, requiresLuhn) in application order. */
+  val ScrubBank: Seq[(String, String, Boolean)] = Seq(
+    (ScrubEmail, "<EMAIL>", false),
+    (ScrubAwsKey, "<AWS_KEY>", false),
+    (ScrubSsn, "<SSN>", false),
+    (ScrubCreditCard, "<CREDIT_CARD>", true),
+    (ScrubPhone, "<PHONE>", false),
+    (ScrubToxic, "<TOXIC>", false)
+  )
+
+  /** Luhn checksum over a digit string — `pii_detector.py:83-96`. */
+  def luhnValid(digits: String): Boolean = {
+    if (digits.isEmpty || !digits.forall(_.isDigit)) return false
+    var checksum = 0
+    var i = digits.length - 1
+    var odd = true // rightmost digit is "odd" position (1-indexed from right)
+    while (i >= 0) {
+      val d = digits.charAt(i) - '0'
+      if (odd) checksum += d
+      else {
+        val dd = d * 2
+        checksum += (if (dd > 9) dd - 9 else dd)
+      }
+      odd = !odd
+      i -= 1
+    }
+    checksum % 10 == 0
+  }
+}

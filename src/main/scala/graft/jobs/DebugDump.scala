@@ -1,0 +1,28 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+
+import graft.filter.{KnLm, LangId, QualityFilter}
+import graft.model.FileRecord
+
+/** Dev aid: dump per-row verdicts (incl. scrubbed content) for diffing
+  * against tools/make_golden.py output.
+  */
+object DebugDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .appName("graft-debug")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val corpus = spark.read.parquet(BuildFixtures.CorpusTinyPath).as[FileRecord]
+    val lm = spark.sparkContext.broadcast(LangId.load(BuildFixtures.LangIdModelPath))
+    val km = spark.sparkContext.broadcast(KnLm.load(BuildFixtures.KnLmModelPath))
+    QualityFilter.verdicts(spark, corpus, lm, km)
+      .select("commit", "content", "scrubbed", "pii_types", "drop_reasons",
+        "keep", "scrubbed_sha256")
+      .coalesce(1).write.mode("overwrite").parquet("/tmp/graft_debug_verdicts")
+    spark.stop()
+  }
+}

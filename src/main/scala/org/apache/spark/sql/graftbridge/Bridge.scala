@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Expression↔Column bridge for Spark 4.x, where `Column` wraps a
+  * `ColumnNode` and the converters (`classic.ExpressionUtils`) are
+  * `private[sql]`. Living under `org.apache.spark.sql` grants access —
+  * the same technique used by open-source Catalyst-extension libraries.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,279 @@
+#!/usr/bin/env python3
+"""Golden-label oracle for the quality-filter pipeline (FIXTURES.md §1).
+
+Build-time tool (driver-side Python; NOT part of the Scala engine). Reads the
+deterministic synthetic corpus written by `graft.jobs.BuildFixtures`, loads
+the SAME langid/KN-LM model files the engine broadcasts, imports the
+reference's PII detector from /root/reference for the credit-card/Luhn
+semantics, and emits per-row golden labels:
+
+    (repo, path, commit, keep, drop_reasons, pred_lang, scrubbed_sha256,
+     pii_types)
+
+The ScalaTest gate (GoldenParitySpec) asserts keep/drop F1 >= 0.99 and
+per-row scrubbed sha256 equality against these labels — BASELINE.json's
+metric.
+
+Bit-exactness contract with the Scala engine (see Heuristics/LangId/KnLm
+scaladoc): all decisions are sums/divisions/compares of IEEE-754 doubles
+loaded from the shared model files, accumulated in the same order; no
+log/exp is recomputed here. Corpus must stay BMP-only so Java UTF-16 code
+units == Python code points.
+
+Run once after BuildFixtures:  python3 tools/make_golden.py
+"""
+import json
+import hashlib
+import re
+import struct
+import sys
+from pathlib import Path
+
+# Load the reference PII detector directly (the processors package __init__
+# pulls in openai, absent in this sandbox).
+import importlib.util as _ilu
+
+_spec = _ilu.spec_from_file_location(
+    "ref_pii_detector",
+    "/root/reference/backend/src/processors/pii_detector.py")
+_mod = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_mod)
+PIIDetector = _mod.PIIDetector  # reference Luhn + CC pattern
+
+import pyarrow.parquet as pq
+
+REPO = Path(__file__).resolve().parent.parent
+CORPUS = REPO / "fixtures/data/corpus_tiny"
+LANGID = REPO / "fixtures/models/langid.bin"
+KNLM = REPO / "fixtures/models/knlm.bin"
+OUT = REPO / "fixtures/golden/labels.jsonl"
+
+M64 = (1 << 64) - 1
+
+# ---------------- heuristics (graft.filter.Heuristics mirror) ----------------
+MIN_CHARS = 20
+MAX_LINE_LEN = 2000
+MAX_AVG_LINE_LEN = 200.0
+MIN_ALNUM_RATIO = 0.25
+DUP_LINE_MIN = 20
+MAX_DUP_RATIO = 0.7
+
+NON_ALNUM = re.compile(r"[^A-Za-z0-9]")
+
+
+def heuristic_reasons(content: str):
+    reasons = []
+    lines = content.split("\n")  # keeps trailing empties, same as Spark split -1
+    # Spark `trim` strips the ASCII space char only — mirror exactly
+    if content.strip(" ") == "":
+        reasons.append("empty")
+    if len(content) < MIN_CHARS:
+        reasons.append("too_small")
+    if max(len(l) for l in lines) > MAX_LINE_LEN:
+        reasons.append("long_line")
+    if len(content) / len(lines) > MAX_AVG_LINE_LEN:
+        reasons.append("avg_line_long")
+    alnum = len(NON_ALNUM.sub("", content))
+    if alnum / max(len(content), 1) < MIN_ALNUM_RATIO:
+        reasons.append("low_alnum")
+    nonblank = [l for l in lines if l.strip(" ") != ""]
+    if len(nonblank) >= DUP_LINE_MIN:
+        dup = 1.0 - len(set(nonblank)) / len(nonblank)
+        if dup > MAX_DUP_RATIO:
+            reasons.append("dup_lines")
+    return reasons
+
+
+# ---------------- langid (graft.filter.LangId mirror) ----------------
+LANG_MAX_CHARS = 2000
+NUM_BUCKETS = 1 << 16
+MIN_MARGIN = 0.05
+
+
+def load_langid(path):
+    with open(path, "rb") as f:
+        data = f.read()
+    off = 0
+    magic, nl, nb = struct.unpack_from(">iii", data, off)
+    off += 12
+    assert magic == 0x4C414E47 and nb == NUM_BUCKETS
+    langs = []
+    for _ in range(nl):
+        (slen,) = struct.unpack_from(">i", data, off)
+        off += 4
+        chars = struct.unpack_from(f">{slen}H", data, off)
+        off += 2 * slen
+        langs.append("".join(chr(c) for c in chars))
+    priors = list(struct.unpack_from(f">{nl}d", data, off))
+    off += 8 * nl
+    weights = struct.unpack_from(f">{nb * nl}d", data, off)
+    return langs, priors, weights
+
+
+def lang_buckets(content: str):
+    s = content[:LANG_MAX_CHARS]
+    out = []
+    for n in (2, 3):
+        for i in range(len(s) - n + 1):
+            h = 1125899906842597
+            for j in range(i, i + n):
+                h = (h * 31 + ord(s[j])) & M64
+            h ^= h >> 32
+            out.append(h & (NUM_BUCKETS - 1))
+    return out
+
+
+def lang_score(model, content: str):
+    langs, priors, weights = model
+    nl = len(langs)
+    logits = list(priors)
+    bs = lang_buckets(content)
+    for b in bs:
+        off = b * nl
+        for i in range(nl):
+            logits[i] += weights[off + i]
+    best = 0
+    second = -1
+    for i in range(1, nl):
+        if logits[i] > logits[best]:
+            second = best
+            best = i
+        elif second < 0 or logits[i] > logits[second]:
+            second = i
+    n = max(1, len(bs))
+    margin = (logits[best] - logits[second]) / n
+    return langs[best], margin
+
+
+# ---------------- KN LM (graft.filter.KnLm mirror) ----------------
+KN_MAX_CHARS = 2000
+MAX_AVG_NLL = 4.5
+BOS = 1
+OTHER = 0
+
+
+def read_map(data, off):
+    (n,) = struct.unpack_from(">i", data, off)
+    off += 4
+    m = {}
+    for _ in range(n):
+        k, v = struct.unpack_from(">id", data, off)
+        off += 12
+        m[k] = v
+    return m, off
+
+
+def load_knlm(path):
+    with open(path, "rb") as f:
+        data = f.read()
+    off = 4
+    assert struct.unpack_from(">i", data, 0)[0] == 0x4B4E4C4D
+    tri, off = read_map(data, off)
+    lam3, off = read_map(data, off)
+    big, off = read_map(data, off)
+    lam2, off = read_map(data, off)
+    uni, off = read_map(data, off)
+    (log_floor,) = struct.unpack_from(">d", data, off)
+    return tri, lam3, big, lam2, uni, log_floor
+
+
+def map_char(c: str) -> int:
+    o = ord(c)
+    if o == 10:
+        return 10
+    return o if 32 <= o <= 126 else OTHER
+
+
+def kn_avg_nll(model, content: str) -> float:
+    tri, lam3, big, lam2, uni, log_floor = model
+    s = content[:KN_MAX_CHARS]
+    e = [BOS, BOS] + [map_char(c) for c in s]
+    n = len(e) - 2
+    if n <= 0:
+        return 0.0
+    total = 0.0
+    for i in range(n):
+        c1, c2, c3 = e[i], e[i + 1], e[i + 2]
+        t = (c1 * 128 + c2) * 128 + c3
+        lp = tri.get(t)
+        if lp is None:
+            b2 = big.get(c2 * 128 + c3)
+            if b2 is not None:
+                lower = b2
+            else:
+                base = uni.get(c3, log_floor)
+                l2 = lam2.get(c2)
+                lower = (l2 + base) if l2 is not None else base
+            l3 = lam3.get(c1 * 128 + c2)
+            lp = (l3 + lower) if l3 is not None else lower
+        total -= lp
+    return total / n
+
+
+# ---------------- scrubber (graft.functions.Patterns mirror) ----------------
+_pii = PIIDetector()
+
+SCRUB_BANK = [
+    # (compiled pattern, replacement, requires_luhn, name) — order is contract
+    (re.compile(r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"), "<EMAIL>", False, "email"),
+    (re.compile(r"(?<![A-Z0-9])AKIA[0-9A-Z]{16}(?![A-Z0-9])"), "<AWS_KEY>", False, "aws_key"),
+    (re.compile(r"(?<![0-9-])[0-9]{3}-[0-9]{2}-[0-9]{4}(?![0-9-])"), "<SSN>", False, "ssn"),
+    (re.compile(r"(?<![0-9-])[0-9]{4}([ -]?)[0-9]{4}\1[0-9]{4}\1[0-9]{4}(?![0-9-])"), "<CREDIT_CARD>", True, "credit_card"),
+    (re.compile(r"(?<![0-9)])(?:\+?1[-. ])?(?:\([0-9]{3}\)[-. ]?|[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}(?![0-9-])"), "<PHONE>", False, "phone"),
+    (re.compile(r"(?i)(?<![a-zA-Z])(?:frak|gorram|smeg|belgium)(?![a-zA-Z])"), "<TOXIC>", False, "toxic"),
+]
+
+
+def scrub(content: str):
+    cur = content
+    found = []
+    for pat, repl, needs_luhn, name in SCRUB_BANK:
+        hit = [False]
+        if needs_luhn:
+            def sub(m, hit=hit):
+                # reference semantics: only Luhn-valid candidates are cards
+                # (pii_detector.py:75-96 via the imported PIIDetector)
+                if _pii._is_credit_card(m.group(0)):
+                    hit[0] = True
+                    return repl
+                return m.group(0)
+            cur = pat.sub(sub, cur)
+        else:
+            cur, cnt = pat.subn(repl, cur)
+            hit[0] = cnt > 0
+        if hit[0]:
+            found.append(name)
+    return cur, found
+
+
+def main():
+    langid = load_langid(LANGID)
+    knlm = load_knlm(KNLM)
+    table = pq.read_table(CORPUS)
+    rows = table.to_pylist()
+    OUT.parent.mkdir(parents=True, exist_ok=True)
+    kept = 0
+    with open(OUT, "w") as f:
+        for r in rows:
+            content = r["content"]
+            reasons = heuristic_reasons(content)
+            pred, margin = lang_score(langid, content)
+            if margin < MIN_MARGIN:
+                reasons.append("lang_uncertain")
+            nll = kn_avg_nll(knlm, content)
+            if nll > MAX_AVG_NLL:
+                reasons.append("high_perplexity")
+            scrubbed, pii_types = scrub(content)
+            keep = len(reasons) == 0
+            kept += keep
+            f.write(json.dumps({
+                "repo": r["repo"], "path": r["path"], "commit": r["commit"],
+                "keep": keep, "drop_reasons": reasons, "pred_lang": pred,
+                "scrubbed_sha256": hashlib.sha256(scrubbed.encode("utf-8")).hexdigest(),
+                "pii_types": pii_types,
+            }, sort_keys=True) + "\n")
+    print(f"golden: {len(rows)} rows, {kept} kept -> {OUT}")
+
+
+if __name__ == "__main__":
+    main()
