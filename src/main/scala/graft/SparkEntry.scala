@@ -1,13 +1,118 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.Queries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has a DuckDB-equivalent SQL in [[oracleSql]]
+  * with IDENTICAL output column names and deterministic ordering; the
+  * driver compares value hashes at sf=0.01. Exact-parity rules are in
+  * [[graft.queries.Queries]]' scaladoc.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.q01PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (Queries.q01PricingSummary(_, _)),
+    "q02_revenue_by_nation" -> (Queries.q02RevenueByNation(_, _)),
+    "q03_top_customers" -> (Queries.q03TopCustomers(_, _)),
+    "q04_priority_count" -> (Queries.q04PriorityCount(_, _)),
+    "q05_latest_event_per_user" -> (Queries.q05LatestEventPerUser(_, _)),
+    "q06_event_null_metrics" -> (Queries.q06EventNullMetrics(_, _)),
+    "q07_doc_heuristics" -> (Queries.q07DocHeuristics(_, _)),
+    "q08_doc_dedup_exact" -> (Queries.q08DocDedupExact(_, _)),
+    "q09_token_stats" -> (Queries.q09TokenStats(_, _)),
+    "q10_doc_fingerprint" -> (Queries.q10DocFingerprint(_, _)),
+    "q11_user_set_diff" -> (Queries.q11UserSetDiff(_, _)),
+    "q12_orders_page" -> (Queries.q12OrdersPage(_, _)),
+    "q13_orders_cardinality" -> (Queries.q13OrdersCardinality(_, _)),
+    "q14_part_type_classes" -> (Queries.q14PartTypeClasses(_, _))
+  )
+
+  /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         COUNT(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_revenue_by_nation" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_lines
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q03_top_customers" ->
+      """SELECT o_custkey,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_custkey ORDER BY revenue DESC, o_custkey LIMIT 10""",
+    "q04_priority_count" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS sum_price
+         FROM orders WHERE o_totalprice > 100000.0 AND o_orderstatus <> 'F'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q05_latest_event_per_user" ->
+      """SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+         FROM (SELECT user_id, event_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events) WHERE rn = 1 ORDER BY user_id""",
+    "q06_event_null_metrics" ->
+      """SELECT event_type, COUNT(*) AS total_count,
+         SUM(CASE WHEN CAST(props->>'$.k' AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS null_count,
+         CAST(SUM(CASE WHEN CAST(props->>'$.k' AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 / COUNT(*) AS null_percentage,
+         COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS distinct_count
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q07_doc_heuristics" ->
+      """SELECT doc_id, LENGTH(text) AS n_chars_m,
+         LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9]', '', 'g')) AS alnum_chars,
+         CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) / GREATEST(LENGTH(text), 1) AS alnum_ratio,
+         (LENGTH(text) >= 20 AND CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) / GREATEST(LENGTH(text), 1) >= 0.25) AS keep
+         FROM documents ORDER BY doc_id""",
+    "q08_doc_dedup_exact" ->
+      """SELECT MD5(text) AS content_hash, COUNT(*) AS n_dups,
+         MIN(doc_id) AS rep_doc_id
+         FROM documents GROUP BY MD5(text) ORDER BY content_hash""",
+    "q09_token_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+         SUM(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) AS total_tokens,
+         CAST(SUM(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) AS DOUBLE) / COUNT(*) AS avg_tokens
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "q10_doc_fingerprint" ->
+      """SELECT doc_id, SHA256(text) AS fingerprint FROM documents ORDER BY doc_id""",
+    "q11_user_set_diff" ->
+      """WITH v1 AS (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-02 00:00:00'),
+            v2 AS (SELECT DISTINCT user_id AS user_id2 FROM events WHERE ts >= TIMESTAMP '2024-01-02 00:00:00')
+         SELECT CASE WHEN v1.user_id IS NULL THEN 'added'
+                     WHEN v2.user_id2 IS NULL THEN 'removed'
+                     ELSE 'retained' END AS change_type,
+                COUNT(*) AS n_users
+         FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id2
+         GROUP BY 1 ORDER BY change_type""",
+    "q12_orders_page" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 100""",
+    "q13_orders_cardinality" ->
+      """SELECT COUNT(*) AS total_count,
+         COUNT(DISTINCT o_custkey) AS distinct_custkey,
+         CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) / COUNT(*) AS custkey_cardinality_ratio,
+         COUNT(DISTINCT o_orderpriority) AS distinct_priority
+         FROM orders""",
+    "q14_part_type_classes" ->
+      """SELECT p_brand, COUNT(*) AS n_parts,
+         SUM(CASE WHEN REGEXP_MATCHES(p_type, '^[A-Z]+$') THEN 1 ELSE 0 END) AS n_alpha_type,
+         COUNT(DISTINCT p_type) AS distinct_types
+         FROM part GROUP BY p_brand ORDER BY p_brand"""
+  )
 }

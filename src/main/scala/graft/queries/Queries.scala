@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query surface over the driver testdata (TPC-H-ish star schema
+  * + `documents`/`embeddings`), one entry per operator family of SURVEY.md
+  * §2. Each query has an equivalent DuckDB SQL in [[Oracle.sql]]; the pair
+  * is the driver's correctness gate.
+  *
+  * Exact-parity discipline (so value hashes match DuckDB bit-for-bit):
+  *  - money/qty sums go through `decimal` casts per row (associative exact
+  *    addition in both engines), converted to double only at the end;
+  *  - averages are (exact decimal sum → double) / count, never engine-avg;
+  *  - every result has a total deterministic ordering key set;
+  *  - ratios are double divisions of exact integer counts.
+  *
+  * Scale notes are per-query in comments: what shuffles, what broadcasts,
+  * what the plan looks like at 100 TB.
+  */
+object Queries {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(28,6)")).cast("double")
+
+  /** q01 — TPC-H Q1 shape (A1/A4/O1): partial agg map-side, one shuffle on
+    * the 2×3-value group key; at 100 TB this is scan-bound with AQE
+    * coalescing the tiny shuffle.
+    */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** q02 — 4-way join chain (J2/J4): lineitem⋈orders⋈customer⋈nation.
+    * customer/nation broadcast (dims ≪ fact); the only real shuffle is
+    * lineitem⋈orders on the order key, then a tiny groupBy.
+    */
+  def q02RevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("n_name"))
+  }
+
+  /** q03 — top-k (O4): TakeOrderedAndProject, no full sort at scale. */
+  def q03TopCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_custkey"))
+      .limit(10)
+  }
+
+  /** q04 — filter + agg (P8/P10): predicate pushed to parquet scan. */
+  def q04PriorityCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 100000.0 && col("o_orderstatus") =!= "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+
+  /** q05 — latest-per-key window (W1/W2): single shuffle on user_id;
+    * `row_number` with a total order (ts desc, event_id desc) for
+    * determinism.
+    */
+  def q05LatestEventPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("event_type").as("last_event_type"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q06 — JSON extraction + null metrics (F15/A1/P7): `get_json_object`
+    * stays in codegen; null fraction is exact-integer division.
+    */
+  def q06EventNullMetrics(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("total_count"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("null_count"),
+        (sum(when(col("k").isNull, 1L).otherwise(0L)).cast("double") * 100.0 /
+          count(lit(1))).as("null_percentage"),
+        countDistinct(col("k")).as("distinct_count"))
+      .orderBy(col("event_type"))
+
+  /** q07 — north-rule heuristics, SQL-expressible slice (Heuristics):
+    * alnum ratio + size gates over `documents.text`; all in whole-stage
+    * codegen over the scan.
+    */
+  def q07DocHeuristics(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")).as("alnum_chars"),
+        (length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")).cast("double") /
+          greatest(length(col("text")), lit(1))).as("alnum_ratio"),
+        (length(col("text")) >= 20 &&
+          (length(regexp_replace(col("text"), "[^A-Za-z0-9]", "")).cast("double") /
+            greatest(length(col("text")), lit(1))) >= 0.25).as("keep"))
+      .orderBy(col("doc_id"))
+
+  /** q08 — exact dedup by content hash (O7 / dedup family): one shuffle on
+    * the 128-bit hash; at 100 TB, hash first then shuffle only (hash,id).
+    */
+  def q08DocDedupExact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("rep_doc_id"))
+      .orderBy(col("content_hash"))
+
+  /** q09 — token counting per lang (text analysis): whitespace tokenizer. */
+  def q09TokenStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"))
+      .orderBy(col("lang"))
+
+  /** q10 — content fingerprint (text analysis): sha256 per doc. */
+  def q10DocFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), sha2(col("text"), 256).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  /** q11 — version-diff semantics (J1/A5): full-outer join of the user sets
+    * of two time halves of `events`, classified added/removed/retained.
+    */
+  def q11UserSetDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val cut = "2024-01-02 00:00:00"
+    val v1 = ev.filter(col("ts") < lit(cut)).select(col("user_id")).distinct()
+    val v2 = ev.filter(col("ts") >= lit(cut)).select(col("user_id").as("user_id2")).distinct()
+    v1.join(v2, col("user_id") === col("user_id2"), "full_outer")
+      .withColumn("change_type",
+        when(col("user_id").isNull, "added")
+          .when(col("user_id2").isNull, "removed")
+          .otherwise("retained"))
+      .groupBy(col("change_type")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("change_type"))
+  }
+
+  /** q12 — pagination (O1/O2): total order + offset/limit (Spark ≥3.4). */
+  def q12OrdersPage(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .offset(100).limit(20)
+
+  /** q13 — cardinality profile (P9/A1): exact countDistinct (matches the
+    * reference's pandas `nunique`); switch to approx_count_distinct only as
+    * an explicit relaxation at scale.
+    */
+  def q13OrdersCardinality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .agg(
+        count(lit(1)).as("total_count"),
+        countDistinct(col("o_custkey")).as("distinct_custkey"),
+        (countDistinct(col("o_custkey")).cast("double") / count(lit(1)))
+          .as("custkey_cardinality_ratio"),
+        countDistinct(col("o_orderpriority")).as("distinct_priority"))
+
+  /** q14 — semantic-pattern scan (P3/F1..F5): regex classification counts
+    * over part names/types; rlike compiles once per literal pattern.
+    */
+  def q14PartTypeClasses(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when(col("p_type").rlike("^[A-Z]+$"), 1L).otherwise(0L)).as("n_alpha_type"),
+        countDistinct(col("p_type")).as("distinct_types"))
+      .orderBy(col("p_brand"))
+
+}

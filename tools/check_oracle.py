@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB correctness gate.
+
+Usage:  sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/vout"
+        python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/vout
+
+For each query: loads the Spark parquet result, runs the oracle SQL in
+DuckDB (tables registered as views over the sf dir), sorts columns by name
+and rows by all columns, and compares cell values exactly.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        spark_dir = Path(out_dir) / name
+        if not spark_dir.exists():
+            print(f"{name}: MISSING spark result")
+            failures += 1
+            continue
+        spark_tbl = pq.read_table(spark_dir).to_pylist()
+        duck_tbl = con.execute(sql).fetch_arrow_table().to_pylist()
+        if len(spark_tbl) != len(duck_tbl):
+            print(f"{name}: ROW COUNT spark={len(spark_tbl)} duck={len(duck_tbl)}")
+            failures += 1
+            continue
+        cols_s = sorted(spark_tbl[0].keys()) if spark_tbl else []
+        cols_d = sorted(duck_tbl[0].keys()) if duck_tbl else []
+        if cols_s != cols_d:
+            print(f"{name}: SCHEMA spark={cols_s} duck={cols_d}")
+            failures += 1
+            continue
+        key = lambda r: tuple(str(norm(r[c])) for c in cols_s)
+        s_rows = sorted([tuple(norm(r[c]) for c in cols_s) for r in spark_tbl],
+                        key=lambda t: tuple(str(x) for x in t))
+        d_rows = sorted([tuple(norm(r[c]) for c in cols_s) for r in duck_tbl],
+                        key=lambda t: tuple(str(x) for x in t))
+        bad = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
+        if bad:
+            print(f"{name}: {len(bad)} VALUE mismatches; first: spark={bad[0][0]} duck={bad[0][1]}")
+            failures += 1
+        else:
+            print(f"{name}: OK ({len(spark_tbl)} rows)")
+    print(f"\n{'ALL OK' if failures == 0 else str(failures) + ' FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
