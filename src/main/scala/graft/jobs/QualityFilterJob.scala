@@ -1,0 +1,90 @@
+package graft.jobs
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.filter.{KnLm, LangId, QualityFilter}
+import graft.model.FileRecord
+
+/** Resumable quality-filter job (north rule: "resumable from checkpoint
+  * with per-partition lineage + metrics").
+  *
+  * Checkpoint unit = the deterministic content bucket
+  * `pmod(hash(repo,path), 64)`. Protocol (Iceberg-shaped commit semantics
+  * over plain Parquet — SURVEY.md §7.4 risk 4):
+  *
+  *   1. read committed metrics table (if any) → done-bucket set
+  *   2. filter input to NOT-done buckets (hash filter pushed into the scan
+  *      stage — no shuffle needed to skip completed work)
+  *   3. run the pipeline, write verdicts `partitionBy(bucket)` with
+  *      dynamic partition overwrite (idempotent per bucket on re-run)
+  *   4. ONLY THEN append the buckets' metrics rows — the metrics append is
+  *      the commit marker, so a crash between 3 and 4 re-does those
+  *      buckets instead of losing them
+  *
+  * Usage: runMain graft.jobs.QualityFilterJob <inputParquet> <outDir>
+  *        [--kill-after-bucket N]   (test hook: die before commit)
+  */
+object QualityFilterJob {
+  def main(args: Array[String]): Unit = {
+    val input = args(0)
+    val outDir = args(1)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-quality-filter")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val result = run(spark, input, outDir)
+    println(s"""{"kept":${result._1},"dropped":${result._2},"resumedBuckets":${result._3}}""")
+    spark.stop()
+  }
+
+  /** Returns (kept, dropped, alreadyDoneBuckets). */
+  def run(spark: SparkSession, input: String, outDir: String): (Long, Long, Int) = {
+    import spark.implicits._
+    val verdictsPath = s"$outDir/verdicts"
+    val metricsPath = s"$outDir/metrics"
+
+    val lm = spark.sparkContext.broadcast(LangId.load(BuildFixtures.LangIdModelPath))
+    val km = spark.sparkContext.broadcast(KnLm.load(BuildFixtures.KnLmModelPath))
+
+    // 1-2. resume: skip buckets whose metrics are committed
+    val done: Set[Int] =
+      if (new java.io.File(metricsPath).exists())
+        spark.read.parquet(metricsPath).select("bucket")
+          .distinct().as[Int].collect().toSet
+      else Set.empty
+    val all = spark.read.parquet(input).as[FileRecord]
+    val todo =
+      if (done.isEmpty) all
+      else all.filter(
+        !pmod(hash(col("repo"), col("path")), lit(QualityFilter.MetricsBuckets))
+          .isin(done.toSeq: _*))
+
+    if (todo.isEmpty) {
+      val m = spark.read.parquet(metricsPath)
+        .agg(sum("rows_kept"), sum("rows_dropped")).head()
+      return (m.getLong(0), m.getLong(1), done.size)
+    }
+
+    // 3. pipeline + verdict write (idempotent per bucket)
+    val v = QualityFilter.verdicts(spark, todo, lm, km).cache()
+    v.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(verdictsPath)
+
+    // 4. commit marker: append metrics for the buckets just completed
+    QualityFilter.metrics(v)
+      .write.mode(SaveMode.Append).parquet(metricsPath)
+
+    val agg = v.agg(
+      sum(when(col("keep"), 1L).otherwise(0L)),
+      sum(when(!col("keep"), 1L).otherwise(0L))).head()
+    v.unpersist()
+    (agg.getLong(0), agg.getLong(1), done.size)
+  }
+}
