@@ -1,0 +1,336 @@
+package graft.profile
+
+import java.time.{LocalDate, LocalTime}
+
+import scala.util.Try
+import scala.util.matching.Regex
+
+import graft.functions.Patterns
+
+/** Pure per-field inference functions — the reference's analysis stage
+  * re-expressed as deterministic Scala, applied to the (small) aggregated
+  * profile rows after the one groupBy(fieldPath) shuffle. Unit-testable in
+  * isolation, which is exactly how the north rule wants the reference's
+  * type-inference and PII-detection suites re-expressed.
+  *
+  * Samples flow through as `(typeTag, value)` pairs so the reference's
+  * `isinstance(value, str)` gates translate exactly (`typeTag == "string"`).
+  */
+
+/** `TypeInferrer` (`/root/reference/backend/src/processors/type_inferrer.py:14-77`). */
+object TypeInference {
+
+  /** Majority-vote primary type + confidence (`type_inferrer.py:14-58`)
+    * over the deterministic type→count map (richer than the reference's
+    * unordered list). Tie-break note: Python's `Counter.most_common` breaks
+    * count ties by insertion (arrival) order, which is nondeterministic
+    * across reference runs; we fix highest-count-then-lexicographic
+    * (documented divergence, SURVEY.md §7.4).
+    */
+  def inferType(typesSeen: Map[String, Long]): (String, Double) = {
+    val nonEmpty = typesSeen.filter(_._2 > 0)
+    if (nonEmpty.isEmpty) return ("unknown", 0.0)
+    // drop null from consideration when other types exist (type_inferrer.py:32-37)
+    val counts =
+      if (nonEmpty.size > 1 && nonEmpty.contains("null")) nonEmpty - "null"
+      else nonEmpty
+    val total = counts.values.sum.toDouble
+    val (mostCommon, count) =
+      counts.toSeq.maxBy { case (t, c) => (c, t) }(
+        Ordering.Tuple2(Ordering.Long, Ordering.String))
+    val confidence = count / total * 100.0
+
+    // MongoDB type mapping, fixed 95.0 confidence (type_inferrer.py:43-52)
+    mostCommon match {
+      case "mongodb_objectid" => ("objectid", 95.0)
+      case "mongodb_date"     => ("datetime", 95.0)
+      case "mongodb_long"     => ("integer", 95.0)
+      case "mongodb_decimal"  => ("decimal", 95.0)
+      case "mongodb_binary"   => ("binary", 95.0)
+      case _ =>
+        // integer+float both present ⇒ float, combined confidence (:55-56)
+        if (counts.contains("integer") && counts.contains("float"))
+          ("float", (counts("integer") + counts("float")) / total * 100.0)
+        else (mostCommon, confidence)
+    }
+  }
+
+  /** `infer_array_item_type` (`type_inferrer.py:60-77`). */
+  def inferArrayItemType(itemTypes: Seq[String]): String =
+    if (itemTypes.isEmpty) "unknown"
+    else {
+      val unique = itemTypes.distinct
+      if (unique.size == 1) unique.head else "mixed"
+    }
+}
+
+/** `SemanticTypeDetector`
+  * (`/root/reference/backend/src/processors/semantic_detector.py:54-233`),
+  * minus the optional AI path (network-free; its deterministic fallbacks
+  * are preserved).
+  */
+object SemanticDetector {
+
+  private val email = Patterns.Email.r
+  private val ssn = Patterns.SsnSemantic.r
+  private val creditCard = Patterns.CreditCardSemantic.r
+  private val phone = Patterns.Phone.r
+  private val url = Patterns.Url.r
+  private val uuid = Patterns.Uuid.r
+  private val zip = Patterns.ZipCode.r
+  private val idPattern = Patterns.Identifier.r
+
+  /** `detect` (`semantic_detector.py:76-110`): dispatch on data type, then
+    * fall back to field-name hints.
+    */
+  def detect(fieldName: String, samples: Seq[(String, String)],
+      dataType: String): Option[String] = dataType match {
+    case "objectid" => Some("identifier")
+    case "datetime" => Some("timestamp")
+    case _ if samples.isEmpty => detectFromFieldName(fieldName, dataType)
+    case "string" =>
+      detectStringSemanticType(fieldName, samples)
+        .orElse(detectFromFieldName(fieldName, dataType))
+    case "integer" | "number" | "float" =>
+      detectNumberSemanticType(fieldName)
+        .orElse(detectFromFieldName(fieldName, dataType))
+    case _ => detectFromFieldName(fieldName, dataType)
+  }
+
+  /** Per-value first-match-wins regex cascade over the first 10 *string*
+    * samples, then first semantic type reaching ≥70% of string samples, in
+    * the `matches` dict insertion order (`semantic_detector.py:112-154`).
+    * Note the cascade order (EMAIL→SSN→CC→UUID→ZIP→PHONE→URL→date→currency
+    * →identifier) differs from the ≥70%-scan order (email, ssn, credit_card,
+    * phone, url, uuid, date, zip_code, currency, identifier) — both are
+    * mirrored exactly.
+    */
+  def detectStringSemanticType(fieldName: String,
+      samples: Seq[(String, String)]): Option[String] = {
+    val strings = samples.take(10).collect { case ("string", v) if v != null => v }
+    if (strings.isEmpty) return None
+    val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    strings.foreach { v =>
+      val hit =
+        if (email.matches(v)) Some("email")
+        else if (ssn.matches(v)) Some("ssn")
+        else if (creditCard.matches(v)) Some("credit_card")
+        else if (uuid.matches(v)) Some("uuid")
+        else if (zip.matches(v)) Some("zip_code")
+        else if (phone.matches(v)) Some("phone")
+        else if (url.matches(v)) Some("url")
+        else if (isDate(v)) Some("date")
+        else if (isCurrency(v)) Some("currency")
+        else if (isIdentifier(fieldName, v)) Some("identifier")
+        else None
+      hit.foreach(h => counts(h) += 1)
+    }
+    val scanOrder = Seq("email", "ssn", "credit_card", "phone", "url", "uuid",
+      "date", "zip_code", "currency", "identifier")
+    scanOrder.find(t => counts(t).toDouble / strings.size >= 0.7)
+  }
+
+  /** `_detect_number_semantic_type` (`semantic_detector.py:156-172`). */
+  def detectNumberSemanticType(fieldName: String): Option[String] = {
+    val f = fieldName.toLowerCase
+    if (Seq("price", "cost", "amount", "balance", "revenue", "total", "payment")
+        .exists(f.contains)) Some("currency")
+    else if (fieldName.endsWith("_id") || fieldName.endsWith("Id") ||
+        fieldName == "id") Some("identifier")
+    else if (Seq("count", "quantity", "qty", "number_of").exists(f.contains))
+      Some("count")
+    else None
+  }
+
+  /** `_detect_from_field_name` (`semantic_detector.py:174-207`). The
+    * credit-card clause preserves Python's operator precedence:
+    * `'credit_card' in f or ('card' in f and 'last' in f)`.
+    */
+  def detectFromFieldName(fieldName: String, dataType: String): Option[String] = {
+    val f = fieldName.toLowerCase
+    if (f.contains("email")) Some("email")
+    else if (f.contains("ssn") || f.contains("social_security")) Some("ssn")
+    else if (f.contains("credit_card") || (f.contains("card") && f.contains("last")))
+      Some("credit_card")
+    else if (f.contains("phone") || f.contains("mobile") || f.contains("tel"))
+      Some("phone")
+    else if (f.contains("url") || f.contains("link") || f.contains("website"))
+      Some("url")
+    else if (f.contains("date") || f.contains("time") || f.endsWith("_at"))
+      Some("date")
+    else if (f.contains("zip") || f.contains("postal")) Some("zip_code")
+    else if (fieldName.endsWith("_id") || fieldName.endsWith("Id") ||
+        fieldName == "id") Some("identifier")
+    else if (Seq("name", "title", "label").exists(f.contains)) Some("name")
+    else if (Seq("status", "type", "category", "tier", "level").exists(f.contains))
+      Some("category")
+    else if (Seq("integer", "number", "float").contains(dataType)) {
+      if (Seq("price", "cost", "amount", "balance", "revenue", "total")
+          .exists(f.contains)) Some("currency")
+      else if (Seq("count", "quantity", "qty").exists(f.contains)) Some("count")
+      else None
+    } else None
+  }
+
+  /** `_is_identifier` (`semantic_detector.py:209-218`). */
+  def isIdentifier(fieldName: String, value: String): Boolean =
+    idPattern.matches(value) && {
+      val f = fieldName.toLowerCase
+      fieldName.endsWith("_id") || fieldName.endsWith("Id") ||
+      fieldName == "id" || f.contains("identifier")
+    }
+
+  /** `_is_currency` (`semantic_detector.py:230-233`). */
+  def isCurrency(value: String): Boolean =
+    value.nonEmpty && "$€£¥".contains(value.head) && value.exists(_.isDigit)
+
+  // --- strptime-parity date parsing (semantic_detector.py:44-51, 220-228) ---
+  // Python strptime accepts non-zero-padded components and validates real
+  // calendar dates/times; each regex below captures components which are
+  // then range-checked via java.time.
+  private val DateOnly = "^(\\d{4})-(\\d{1,2})-(\\d{1,2})$".r
+  private val DateTimeRe = "^(\\d{4})-(\\d{1,2})-(\\d{1,2})T(\\d{1,2}):(\\d{1,2}):(\\d{1,2})$".r
+  private val DateTimeFrac = "^(\\d{4})-(\\d{1,2})-(\\d{1,2})T(\\d{1,2}):(\\d{1,2}):(\\d{1,2})\\.(\\d{1,6})$".r
+  private val DateTimeFracZ = "^(\\d{4})-(\\d{1,2})-(\\d{1,2})T(\\d{1,2}):(\\d{1,2}):(\\d{1,2})\\.(\\d{1,6})Z$".r
+  private val Mdy = "^(\\d{1,2})/(\\d{1,2})/(\\d{4})$".r
+
+  private def validDate(y: String, m: String, d: String): Boolean =
+    Try(LocalDate.of(y.toInt, m.toInt, d.toInt)).isSuccess
+
+  private def validTime(h: String, mi: String, s: String): Boolean =
+    Try(LocalTime.of(h.toInt, mi.toInt, s.toInt)).isSuccess
+
+  /** `_is_date` (`semantic_detector.py:220-228`): true if any of the six
+    * strptime formats parses. `%m/%d/%Y` and `%d/%m/%Y` are both tried, so
+    * a slash date is accepted when either reading is a valid calendar date.
+    */
+  def isDate(value: String): Boolean = value match {
+    case DateOnly(y, m, d) => validDate(y, m, d)
+    case DateTimeRe(y, m, d, h, mi, s) => validDate(y, m, d) && validTime(h, mi, s)
+    case DateTimeFrac(y, m, d, h, mi, s, _) =>
+      validDate(y, m, d) && validTime(h, mi, s)
+    case DateTimeFracZ(y, m, d, h, mi, s, _) =>
+      validDate(y, m, d) && validTime(h, mi, s)
+    case Mdy(a, b, y) => validDate(y, a, b) || validDate(y, b, a)
+    case _ => false
+  }
+}
+
+/** `PIIDetector` (`/root/reference/backend/src/processors/pii_detector.py:21-96`). */
+object PiiDetector {
+
+  private val ssnPii = Patterns.SsnPii.r
+  private val ccPii = Patterns.CreditCardPii.r
+
+  /** Ordered name indicators (`pii_detector.py:46-57`) — insertion order is
+    * part of the contract (e.g. "email_address" hits `email` before
+    * `address`).
+    */
+  val NameIndicators: Seq[(String, String)] = Seq(
+    "email" -> "email",
+    "phone" -> "phone",
+    "mobile" -> "phone",
+    "ssn" -> "ssn",
+    "social_security" -> "ssn",
+    "credit_card" -> "credit_card",
+    "passport" -> "passport",
+    "driver_license" -> "drivers_license",
+    "address" -> "address",
+    "ip_address" -> "ip_address"
+  )
+
+  /** `detect_pii` (`pii_detector.py:21-73`): semantic short-circuit, then
+    * name indicators, then value-fraction rules (strictly > 0.5 over ALL
+    * samples, string-typed values only matching).
+    */
+  def detectPii(fieldName: String, semanticType: Option[String],
+      samples: Seq[(String, String)]): (Boolean, Option[String]) = {
+    if (semanticType.exists(s => s == "email" || s == "phone"))
+      return (true, semanticType)
+
+    val f = fieldName.toLowerCase
+    NameIndicators.find { case (ind, _) => f.contains(ind) } match {
+      case Some((_, piiType)) => return (true, Some(piiType))
+      case None =>
+    }
+
+    if (samples.nonEmpty) {
+      val n = samples.size.toDouble
+      val ssnCount = samples.count { case (t, v) =>
+        t == "string" && v != null && ssnPii.matches(v)
+      }
+      if (ssnCount / n > 0.5) return (true, Some("ssn"))
+      val ccCount = samples.count { case (t, v) =>
+        t == "string" && v != null && isCreditCard(v)
+      }
+      if (ccCount / n > 0.5) return (true, Some("credit_card"))
+    }
+    (false, None)
+  }
+
+  /** `_is_credit_card` (`pii_detector.py:75-96`): 16-digit-grouped pattern
+    * + Luhn checksum.
+    */
+  def isCreditCard(value: String): Boolean =
+    ccPii.matches(value) && Patterns.luhnValid(value.replaceAll("[\\s-]", ""))
+}
+
+/** pandas-parity statistics over sample values — `QualityAnalyzer`
+  * (`/root/reference/backend/src/processors/quality_analyzer.py:17-55`).
+  * The reference computes numeric stats over the ≤10 unique samples with
+  * `pd.to_numeric(errors='coerce').dropna()`; these functions replicate
+  * pandas defaults exactly: std is ddof=1, median/quantile use linear
+  * interpolation.
+  */
+object PandasStats {
+
+  final case class NumericStats(
+      min: Double, max: Double, mean: Double, median: Double,
+      stdDev: Option[Double], p25: Double, p50: Double, p75: Double)
+
+  /** `pd.to_numeric(errors='coerce')` for one rendered sample value. */
+  def coerce(value: String): Option[Double] =
+    if (value == null) None
+    else Try(value.trim.toDouble).toOption.filterNot(_.isNaN)
+
+  /** Linear-interpolating quantile over a SORTED array (pandas default). */
+  def quantile(sorted: IndexedSeq[Double], q: Double): Double = {
+    val n = sorted.length
+    if (n == 1) return sorted.head
+    val pos = (n - 1) * q
+    val i = math.floor(pos).toInt
+    val frac = pos - i
+    if (i + 1 < n) sorted(i) + (sorted(i + 1) - sorted(i)) * frac
+    else sorted(i)
+  }
+
+  /** Sample standard deviation, ddof=1 (pandas `.std()` default); None for
+    * n<2 where pandas returns NaN.
+    */
+  def stdDdof1(xs: IndexedSeq[Double]): Option[Double] =
+    if (xs.length < 2) None
+    else {
+      val m = xs.sum / xs.length
+      Some(math.sqrt(xs.map(x => (x - m) * (x - m)).sum / (xs.length - 1)))
+    }
+
+  /** Numeric stats over coerced samples (`quality_analyzer.py:42-55`);
+    * None when no sample coerces to a number.
+    */
+  def numericStats(samples: Seq[String]): Option[NumericStats] = {
+    val xs = samples.flatMap(coerce).toIndexedSeq
+    if (xs.isEmpty) None
+    else {
+      val sorted = xs.sorted
+      Some(NumericStats(
+        min = sorted.head,
+        max = sorted.last,
+        mean = xs.sum / xs.length,
+        median = quantile(sorted, 0.5),
+        stdDev = stdDdof1(xs),
+        p25 = quantile(sorted, 0.25),
+        p50 = quantile(sorted, 0.5),
+        p75 = quantile(sorted, 0.75)))
+    }
+  }
+}

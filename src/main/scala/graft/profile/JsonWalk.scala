@@ -1,0 +1,168 @@
+package graft.profile
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Recursive JSON field walk — the Spark-side analogue of the reference's
+  * `_extract_fields` + `FieldMetadata.observe_value`
+  * (`/root/reference/backend/src/processors/json_parser.py:114-207`) and the
+  * MongoDB Extended JSON variant
+  * (`/root/reference/backend/src/processors/mongodb_parser.py:31-173`).
+  *
+  * One record (one JSON document string) → a flat sequence of per-field
+  * observations in document order. Running this inside a typed `flatMap`
+  * over `Dataset[(json, recordId)]` makes it the engine's single Generator
+  * (SURVEY.md §2.9 U7); everything downstream is Catalyst aggregation.
+  *
+  * Semantics mirrored exactly:
+  *  - dot-notation paths, depth cap `maxDepth=10` (`json_parser.py:22,119`)
+  *  - arrays: observed as one `array` tag with item-type sampling of the
+  *    first 10 items (`json_parser.py:195-200`), then the first 10 items
+  *    are recursed for nested discovery (`json_parser.py:145-148`)
+  *  - physical tags: null|boolean|integer|float|string|array|object
+  *  - Mongo wrappers `$oid/$date/$numberLong/$numberDecimal/$binary`
+  *    observed as `mongodb_*` tags and never recursed as nested objects
+  *    (`mongodb_parser.py:120-173`)
+  *  - array item tags use the Python `type(x).__name__` vocabulary
+  *    (`NoneType|bool|int|float|str|list|dict`) because the reference stores
+  *    exactly those (`json_parser.py:199`); ijson's `Decimal` is normalized
+  *    to `float` (documented divergence, SURVEY.md §7.4).
+  */
+object JsonWalk {
+
+  /** One `observe_value` emission. `value` is the sample rendering (null
+    * for null/array/object observations, which the reference never
+    * samples); `seq` is the intra-record arrival index that makes
+    * "first 10 unique samples in arrival order" reproducible distributed.
+    */
+  final case class Obs(
+      seq: Int,
+      fieldPath: String,
+      fieldName: String,
+      parentPath: String,
+      nestingLevel: Int,
+      typeTag: String,
+      value: String,
+      arrayItemTags: Seq[String]
+  )
+
+  val MaxDepth = 10
+  val ArrayItemSample = 10
+
+  private val mongoMarkers =
+    Set("$oid", "$date", "$numberLong", "$numberDecimal", "$binary")
+
+  // ObjectMapper is thread-safe after configuration; one per JVM.
+  private val mapper = new ObjectMapper()
+
+  private val ObjectIdRe = "(?i)^[a-f0-9]{24}$".r
+  private val IsoDateRe =
+    "^\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}:\\d{2}(\\.\\d{3})?Z?$".r
+
+  /** Walk one JSON document. Root arrays mirror `_parse_array_root`: every
+    * element is a record extracted at depth 0 (record caps are applied at
+    * the Dataset level, not here). Unparseable JSON yields no observations.
+    */
+  def walk(json: String, mongo: Boolean = false): Seq[Obs] = {
+    val root =
+      try mapper.readTree(json)
+      catch { case _: Exception => return Seq.empty }
+    if (root == null) return Seq.empty
+    val out = new ArrayBuffer[Obs]()
+    var seq = 0
+
+    def isWrapper(n: JsonNode): Boolean =
+      mongo && n.isObject &&
+        n.fieldNames().asScala.exists(mongoMarkers.contains)
+
+    def pyTypeName(n: JsonNode): String =
+      if (n.isNull) "NoneType"
+      else if (n.isBoolean) "bool"
+      else if (n.isIntegralNumber) "int"
+      else if (n.isNumber) "float"
+      else if (n.isTextual) "str"
+      else if (n.isArray) "list"
+      else "dict"
+
+    /** `MongoDBFieldMetadata.observe_value` wrapper cascade
+      * (`mongodb_parser.py:31-85`): each marker check falls through to the
+      * next on an inner-shape mismatch, ending at the standard path.
+      * Returns true when a wrapper tag was emitted.
+      */
+    def observeMongo(n: JsonNode, path: String, name: String, parent: String,
+        depth: Int): Boolean = {
+      def emit(tag: String, sample: String): Boolean = {
+        out += Obs(seq, path, name, parent, depth, tag, sample, Nil)
+        seq += 1
+        true
+      }
+      val oid = n.get("$oid")
+      if (oid != null && oid.isTextual &&
+        ObjectIdRe.matches(oid.textValue()))
+        return emit("mongodb_objectid", oid.textValue())
+      val date = n.get("$date")
+      if (date != null) {
+        if (date.isTextual && IsoDateRe.matches(date.textValue()))
+          return emit("mongodb_date", date.textValue())
+        val inner = if (date.isObject) date.get("$numberLong") else null
+        if (inner != null)
+          return emit("mongodb_date", inner.asText())
+      }
+      val nl = n.get("$numberLong")
+      if (nl != null && nl.isTextual) return emit("mongodb_long", nl.textValue())
+      val nd = n.get("$numberDecimal")
+      if (nd != null && nd.isTextual)
+        return emit("mongodb_decimal", nd.textValue())
+      val bin = n.get("$binary")
+      if (bin != null && bin.isObject) return emit("mongodb_binary", "<binary>")
+      false
+    }
+
+    /** `FieldMetadata.observe_value` (`json_parser.py:175-202`). */
+    def observe(n: JsonNode, path: String, name: String, parent: String,
+        depth: Int): Unit = {
+      if (mongo && n.isObject && observeMongo(n, path, name, parent, depth))
+        return
+      val (tag, value, itemTags) =
+        if (n.isNull) ("null", null, Nil)
+        else if (n.isBoolean) ("boolean", if (n.booleanValue()) "true" else "false", Nil)
+        else if (n.isIntegralNumber) ("integer", n.bigIntegerValue().toString, Nil)
+        else if (n.isNumber) ("float", n.doubleValue().toString, Nil)
+        else if (n.isTextual) ("string", n.textValue(), Nil)
+        else if (n.isArray)
+          ("array", null,
+            n.elements().asScala.take(ArrayItemSample).map(pyTypeName).toSeq)
+        else ("object", null, Nil)
+      out += Obs(seq, path, name, parent, depth, tag, value, itemTags)
+      seq += 1
+    }
+
+    /** `_extract_fields` (`json_parser.py:114-148`; mongo variant
+      * `mongodb_parser.py:106-157`).
+      */
+    def extract(node: JsonNode, parentPath: String, depth: Int): Unit = {
+      if (depth > MaxDepth) return
+      if (node.isObject) {
+        if (isWrapper(node)) return // wrapper is a value, not a nested object
+        node.fields().asScala.foreach { e =>
+          val key = e.getKey
+          val v = e.getValue
+          val path = if (parentPath.isEmpty) key else s"$parentPath.$key"
+          observe(v, path, key, parentPath, depth)
+          if ((v.isObject || v.isArray) && !isWrapper(v))
+            extract(v, path, depth + 1)
+        }
+      } else if (node.isArray) {
+        node.elements().asScala.take(ArrayItemSample)
+          .foreach(extract(_, parentPath, depth))
+      }
+    }
+
+    if (root.isArray) // root collection: every element is a record at depth 0
+      root.elements().asScala.foreach(extract(_, "", 0))
+    else extract(root, "", 0)
+    out.toSeq
+  }
+}

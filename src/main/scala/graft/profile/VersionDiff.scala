@@ -1,0 +1,85 @@
+package graft.profile
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{DiffRow, FieldProfile}
+
+/** Schema version diff — `VersionService.compare_versions`
+  * (`/root/reference/backend/src/services/version_service.py:369-531`)
+  * re-expressed as one full-outer join (SURVEY.md §2.3 J1).
+  *
+  * The reference builds two driver-side hash maps; here both sides are
+  * `Dataset[FieldProfile]`. Field sets are small (≤10k), so Catalyst
+  * broadcasts one side — but the same plan is correct at any scale.
+  */
+object VersionDiff {
+
+  /** Columns compared by `_fields_differ` (`version_service.py:480-498`). */
+  private val diffCols = Seq("dataType", "semanticType", "isNullable",
+    "isArray", "isPii")
+
+  /** Full diff: added / removed / modified rows with breaking flags
+    * (`version_service.py:450-478`) and per-field change strings
+    * (`version_service.py:500-531`). Unchanged fields are not emitted,
+    * matching the reference.
+    */
+  def diff(v1: Dataset[FieldProfile], v2: Dataset[FieldProfile]): Dataset[DiffRow] = {
+    val spark = v1.sparkSession
+    import spark.implicits._
+    val a = v1.toDF().select(
+      col("fieldPath").as("path1") +: diffCols.map(c => col(c).as(c + "1")): _*)
+    val b = v2.toDF().select(
+      col("fieldPath").as("path2") +: diffCols.map(c => col(c).as(c + "2")): _*)
+    val joined = a.join(b, col("path1") === col("path2"), "full_outer")
+
+    def ne(c: String) = !(col(c + "1") <=> col(c + "2"))
+    val differ = diffCols.map(ne).reduce(_ || _)
+
+    // Python renders None as "None" and bools as True/False in f-strings.
+    def pyStr(c: String) = {
+      val v = col(c)
+      when(v.isNull, "None").otherwise(
+        if (c.startsWith("is")) when(v === true, "True").otherwise("False")
+        else v.cast("string"))
+    }
+    def changeStr(label: String, c: String) =
+      when(ne(c), concat(lit(s"$label changed: "), pyStr(c + "1"),
+        lit(" -> "), pyStr(c + "2")))
+    val changes = array(
+      changeStr("Type", "dataType"),
+      changeStr("Semantic type", "semanticType"),
+      changeStr("Nullability", "isNullable"),
+      changeStr("Array status", "isArray"),
+      changeStr("PII status", "isPii"))
+
+    // breaking: removal | type change | nullable→non-nullable | is_array flip
+    val breakingModified =
+      (col("dataType1") =!= col("dataType2")) ||
+        (col("isNullable1") && !col("isNullable2")) ||
+        (col("isArray1") =!= col("isArray2"))
+
+    joined
+      .withColumn("changeType",
+        when(col("path1").isNull, "added")
+          .when(col("path2").isNull, "removed")
+          .when(differ, "modified"))
+      .filter(col("changeType").isNotNull)
+      .select(
+        coalesce(col("path1"), col("path2")).as("fieldPath"),
+        col("changeType"),
+        when(col("changeType") === "added", false)
+          .when(col("changeType") === "removed", true)
+          .otherwise(breakingModified).as("isBreaking"),
+        when(col("changeType") === "modified", filter(changes, _.isNotNull))
+          .otherwise(array().cast("array<string>")).as("changes"))
+      .as[DiffRow]
+  }
+
+  /** Summary rollup (A5; `version_service.py:421-431`). */
+  def summary(d: Dataset[DiffRow]): DataFrame =
+    d.groupBy(col("changeType"))
+      .agg(count(lit(1)).as("n_fields"),
+        sum(when(col("isBreaking"), 1L).otherwise(0L)).as("n_breaking"))
+      .orderBy(col("changeType"))
+}

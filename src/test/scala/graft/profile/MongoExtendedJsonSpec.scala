@@ -1,0 +1,174 @@
+package graft.profile
+
+import graft.SparkSpec
+
+/** Re-expression of the reference's 17 MongoDB Extended JSON unit tests
+  * (`/root/reference/backend/tests/unit/test_mongodb_parser.py:17-396`):
+  * metadata-level cases exercise [[JsonWalk]] directly; parser-level cases
+  * run the full Spark [[Profiler]].
+  */
+class MongoExtendedJsonSpec extends SparkSpec {
+
+  private def obsOf(json: String): Map[String, Seq[JsonWalk.Obs]] =
+    JsonWalk.walk(json, mongo = true).groupBy(_.fieldPath)
+
+  // --- TestMongoDBFieldMetadata (:17-182) ---
+
+  test("objectid detection") {
+    val o = obsOf("""{"_id": {"$oid": "507f1f77bcf86cd799439011"}}""")("_id")
+    assert(o.head.typeTag === "mongodb_objectid")
+    assert(o.head.value === "507f1f77bcf86cd799439011")
+  }
+
+  test("objectid case-insensitive hex") {
+    val o = obsOf("""{"_id": {"$oid": "507F1F77BCF86CD799439011"}}""")("_id")
+    assert(o.head.typeTag === "mongodb_objectid")
+    assert(o.head.value === "507F1F77BCF86CD799439011")
+  }
+
+  test("date ISO string format with milliseconds") {
+    val o = obsOf("""{"createdAt": {"$date": "2023-01-15T10:30:00.000Z"}}""")("createdAt")
+    assert(o.head.typeTag === "mongodb_date")
+    assert(o.head.value === "2023-01-15T10:30:00.000Z")
+  }
+
+  test("date ISO string without milliseconds") {
+    val o = obsOf("""{"createdAt": {"$date": "2023-01-15T10:30:00Z"}}""")("createdAt")
+    assert(o.head.typeTag === "mongodb_date")
+    assert(o.head.value === "2023-01-15T10:30:00Z")
+  }
+
+  test("date with $numberLong form") {
+    val o = obsOf("""{"timestamp": {"$date": {"$numberLong": "1673777400000"}}}""")("timestamp")
+    assert(o.head.typeTag === "mongodb_date")
+    assert(o.head.value === "1673777400000")
+  }
+
+  test("numberLong detection") {
+    val o = obsOf("""{"bigNumber": {"$numberLong": "9223372036854775807"}}""")("bigNumber")
+    assert(o.head.typeTag === "mongodb_long")
+    assert(o.head.value === "9223372036854775807")
+  }
+
+  test("numberDecimal detection") {
+    val o = obsOf("""{"price": {"$numberDecimal": "123.45"}}""")("price")
+    assert(o.head.typeTag === "mongodb_decimal")
+    assert(o.head.value === "123.45")
+  }
+
+  test("binary detection samples the <binary> placeholder") {
+    val o = obsOf(
+      """{"data": {"$binary": {"base64": "SGVsbG8gV29ybGQ=", "subType": "0"}}}""")("data")
+    assert(o.head.typeTag === "mongodb_binary")
+    assert(o.head.value === "<binary>")
+  }
+
+  test("fallback to standard JSON types") {
+    val tags = Seq(
+      """{"name": "John Doe"}""", """{"name": 42}""", """{"name": 3.14}""",
+      """{"name": true}""", """{"name": null}""")
+      .flatMap(j => obsOf(j)("name")).map(_.typeTag).toSet
+    assert(tags === Set("string", "integer", "float", "boolean", "null"))
+  }
+
+  test("mixed mongodb and standard types on one field") {
+    val tags = Seq(
+      """{"mixed": {"$oid": "507f1f77bcf86cd799439011"}}""",
+      """{"mixed": "regular string"}""", """{"mixed": null}""")
+      .flatMap(j => obsOf(j)("mixed")).map(_.typeTag).toSet
+    assert(tags === Set("mongodb_objectid", "string", "null"))
+  }
+
+  test("invalid wrapper contents fall through to object") {
+    assert(obsOf("""{"x": {"$oid": "nothex"}}""")("x").head.typeTag === "object")
+    assert(obsOf("""{"x": {"$oid": 42}}""")("x").head.typeTag === "object")
+    assert(obsOf("""{"x": {"$date": "not-a-date"}}""")("x").head.typeTag === "object")
+  }
+
+  // --- TestMongoDBParser (:184-396), through the Spark profiler ---
+
+  private def profileOf(jsons: String*): Map[String, graft.model.FieldProfile] = {
+    import spark.implicits._
+    val df = jsons.toDF("json")
+    Profiler.profile(spark, df, "json", mongo = true)
+      .collect().map(p => p.fieldPath -> p).toMap
+  }
+
+  test("parse complete mongodb document") {
+    val fields = profileOf(
+      """{"_id": {"$oid": "507f1f77bcf86cd799439011"},
+         "name": "John Doe", "age": 30,
+         "createdAt": {"$date": "2023-01-15T10:30:00.000Z"},
+         "balance": {"$numberDecimal": "1234.56"},
+         "visitCount": {"$numberLong": "9999999999"}}""")
+    assert(fields.size === 6)
+    assert(fields("_id").typesSeen.contains("mongodb_objectid"))
+    assert(fields("name").typesSeen.contains("string"))
+    assert(fields("age").typesSeen.contains("integer"))
+    assert(fields("createdAt").typesSeen.contains("mongodb_date"))
+    assert(fields("balance").typesSeen.contains("mongodb_decimal"))
+    assert(fields("visitCount").typesSeen.contains("mongodb_long"))
+    assert(fields("_id").dataType === "objectid")
+    assert(fields("balance").dataType === "decimal")
+  }
+
+  test("parse array of mongodb documents accumulates counts") {
+    val fields = profileOf(
+      """{"_id": {"$oid": "507f1f77bcf86cd799439011"}, "name": "User 1",
+         "createdAt": {"$date": "2023-01-15T10:30:00.000Z"}}""",
+      """{"_id": {"$oid": "507f1f77bcf86cd799439012"}, "name": "User 2",
+         "createdAt": {"$date": "2023-01-16T11:45:00.000Z"}}""",
+      """{"_id": {"$oid": "507f1f77bcf86cd799439013"}, "name": "User 3",
+         "createdAt": {"$date": "2023-01-17T09:20:00.000Z"}}""")
+    assert(fields.size === 3)
+    assert(fields("_id").totalCount === 3)
+    assert(fields("_id").typesSeen.contains("mongodb_objectid"))
+    assert(fields("createdAt").totalCount === 3)
+    assert(fields("createdAt").typesSeen.contains("mongodb_date"))
+  }
+
+  test("nested mongodb structures keep dot paths") {
+    val fields = profileOf(
+      """{"_id": {"$oid": "507f1f77bcf86cd799439011"},
+         "user": {"userId": {"$oid": "507f1f77bcf86cd799439012"},
+                  "joinedAt": {"$date": "2023-01-15T10:30:00.000Z"},
+                  "profile": {"name": "John Doe", "age": 30}}}""")
+    assert(fields("_id").typesSeen.contains("mongodb_objectid"))
+    assert(fields("user.userId").typesSeen.contains("mongodb_objectid"))
+    assert(fields("user.joinedAt").typesSeen.contains("mongodb_date"))
+    assert(fields("user.profile.name").typesSeen.contains("string"))
+    assert(fields("user.profile.name").nestingLevel === 2)
+  }
+
+  test("type wrappers are not treated as nested objects") {
+    val fields = profileOf(
+      """{"_id": {"$oid": "507f1f77bcf86cd799439011"},
+         "timestamp": {"$date": {"$numberLong": "1673777400000"}}}""")
+    assert(fields.size === 2)
+    assert(fields.contains("_id"))
+    assert(fields.contains("timestamp"))
+    assert(!fields.contains("_id.$oid"))
+    assert(!fields.contains("timestamp.$date"))
+    assert(!fields.contains("timestamp.$date.$numberLong"))
+  }
+
+  test("all mongodb types together") {
+    val fields = profileOf(
+      """{"_id": {"$oid": "507f1f77bcf86cd799439011"},
+         "created": {"$date": "2023-01-15T10:30:00.000Z"},
+         "modified": {"$date": {"$numberLong": "1673777400000"}},
+         "counter": {"$numberLong": "9223372036854775807"},
+         "price": {"$numberDecimal": "99.99"},
+         "data": {"$binary": {"base64": "SGVsbG8gV29ybGQ=", "subType": "0"}},
+         "name": "Test Product", "active": true, "quantity": 10}""")
+    assert(fields("_id").typesSeen.contains("mongodb_objectid"))
+    assert(fields("created").typesSeen.contains("mongodb_date"))
+    assert(fields("modified").typesSeen.contains("mongodb_date"))
+    assert(fields("counter").typesSeen.contains("mongodb_long"))
+    assert(fields("price").typesSeen.contains("mongodb_decimal"))
+    assert(fields("data").typesSeen.contains("mongodb_binary"))
+    assert(fields("name").typesSeen.contains("string"))
+    assert(fields("active").typesSeen.contains("boolean"))
+    assert(fields("quantity").typesSeen.contains("integer"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.profile
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Patterns
+
+/** Re-expression of the reference's PII-detection unit semantics
+  * (`/root/reference/backend/src/processors/pii_detector.py:21-96`) as
+  * required by the north rule.
+  */
+class PiiDetectorSpec extends AnyFunSuite {
+
+  private def strs(vs: String*): Seq[(String, String)] = vs.map(("string", _))
+
+  test("semantic email/phone short-circuit to PII") {
+    assert(PiiDetector.detectPii("anything", Some("email"), Nil) === ((true, Some("email"))))
+    assert(PiiDetector.detectPii("anything", Some("phone"), Nil) === ((true, Some("phone"))))
+  }
+
+  test("other semantic types do not short-circuit") {
+    assert(PiiDetector.detectPii("zipish", Some("zip_code"), Nil) === ((false, None)))
+  }
+
+  test("all ten field-name indicators map to their PII types") {
+    val expected = Seq(
+      "user_email" -> "email", "phone_number" -> "phone", "mobile_no" -> "phone",
+      "ssn" -> "ssn", "social_security_number" -> "ssn",
+      "credit_card_no" -> "credit_card", "passport_id" -> "passport",
+      "driver_license" -> "drivers_license", "home_address" -> "address",
+      // any name containing "ip_address" also contains "address", which is
+      // checked first — the reference's ip_address indicator is unreachable
+      // (pii_detector.py:55-57), mirrored here
+      "ip_address_v4" -> "address")
+    expected.foreach { case (name, piiType) =>
+      assert(PiiDetector.detectPii(name, None, Nil) === ((true, Some(piiType))), name)
+    }
+  }
+
+  test("indicator insertion order: email_address hits email before address") {
+    assert(PiiDetector.detectPii("email_address", None, Nil) === ((true, Some("email"))))
+  }
+
+  test("value-based SSN: fraction must be strictly > 0.5") {
+    val half = strs("123-45-6789", "nope")
+    assert(PiiDetector.detectPii("f", None, half) === ((false, None)))
+    val most = strs("123-45-6789", "987-65-4321", "nope")
+    assert(PiiDetector.detectPii("f", None, most) === ((true, Some("ssn"))))
+  }
+
+  test("value-based SSN uses the dashed-only PII pattern, not the 9-digit semantic form") {
+    val nine = strs("123456789", "987654321")
+    assert(PiiDetector.detectPii("f", None, nine) === ((false, None)))
+  }
+
+  test("Luhn: classic test numbers validate, off-by-one fails") {
+    assert(Patterns.luhnValid("4242424242424242"))
+    assert(Patterns.luhnValid("4111111111111111"))
+    assert(!Patterns.luhnValid("4242424242424241"))
+  }
+
+  test("value-based credit card requires pattern AND Luhn") {
+    val valid = strs("4242 4242 4242 4242", "4111-1111-1111-1111")
+    assert(PiiDetector.detectPii("f", None, valid) === ((true, Some("credit_card"))))
+    val luhnFail = strs("1234 5678 9012 3456", "1111 2222 3333 4444")
+    assert(PiiDetector.detectPii("f", None, luhnFail) === ((false, None)))
+  }
+
+  test("non-string samples count in the denominator but never match") {
+    val mixed = Seq(("string", "123-45-6789"), ("integer", "5"), ("integer", "7"))
+    // 1/3 <= 0.5 -> not PII
+    assert(PiiDetector.detectPii("f", None, mixed) === ((false, None)))
+  }
+
+  test("name indicators win before value scan") {
+    val vals = strs("4242 4242 4242 4242", "4111-1111-1111-1111")
+    assert(PiiDetector.detectPii("ssn_backup", None, vals) === ((true, Some("ssn"))))
+  }
+}

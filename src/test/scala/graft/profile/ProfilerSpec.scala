@@ -1,0 +1,142 @@
+package graft.profile
+
+import graft.SparkSpec
+
+/** End-to-end profile job over records modeled on the reference's sample
+  * corpus (`/root/reference/samples/sample-data.json`): dot-path flatten,
+  * nesting, arrays, arrival-order samples, null %, semantic + PII fusion,
+  * position, schema hash.
+  */
+class ProfilerSpec extends SparkSpec {
+
+  private def record(i: Int, email: String, age: Any, phone: String): String =
+    s"""{"user_id": "u-$i",
+        "email": "$email",
+        "age": $age,
+        "phone": "$phone",
+        "ssn": "12$i-45-6789",
+        "is_active": true,
+        "account_balance": ${10.5 + i},
+        "profile": {"preferences": {"theme": "dark", "notifications_enabled": true}},
+        "addresses": [{"zip_code": "9410$i", "city": "SF"}],
+        "tags": ["a", "b", "c"]}"""
+
+  private lazy val profiles = {
+    import spark.implicits._
+    val rows = Seq(
+      record(1, "alice@example.com", 30, "555-123-4567"),
+      record(2, "bob@example.com", "null", "555-987-6543"),
+      record(3, "carol@example.com", 41, "555-222-3333"))
+    Profiler.profile(spark, rows.toDF("json"), "json")
+      .collect().map(p => p.fieldPath -> p).toMap
+  }
+
+  test("dot-path flattening with nesting levels and parents") {
+    val theme = profiles("profile.preferences.theme")
+    assert(theme.nestingLevel === 2)
+    assert(theme.parentPath === "profile.preferences")
+    assert(theme.fieldName === "theme")
+    assert(theme.dataType === "string")
+    val prefs = profiles("profile.preferences")
+    assert(prefs.dataType === "object")
+  }
+
+  test("arrays: flagged, item types inferred, elements recursed") {
+    val tags = profiles("tags")
+    assert(tags.isArray)
+    assert(tags.arrayItemType === "str")
+    val addresses = profiles("addresses")
+    assert(addresses.isArray)
+    assert(addresses.arrayItemType === "dict")
+    // array elements contribute nested fields at the array's path
+    assert(profiles("addresses.zip_code").dataType === "string")
+    assert(profiles("addresses.zip_code").semanticType === Some("zip_code"))
+  }
+
+  test("null handling: type majority ignores null, null% exact") {
+    val age = profiles("age")
+    assert(age.dataType === "integer")
+    assert(age.nullCount === 1)
+    assert(age.totalCount === 3)
+    assert(math.abs(age.nullPercentage - 100.0 / 3.0) < 1e-9)
+    assert(age.isNullable)
+    assert(!profiles("email").isNullable)
+  }
+
+  test("semantic + PII fusion") {
+    assert(profiles("email").semanticType === Some("email"))
+    assert(profiles("email").isPii)
+    assert(profiles("email").piiType === Some("email"))
+    assert(profiles("phone").semanticType === Some("phone"))
+    assert(profiles("ssn").semanticType === Some("ssn"))
+    assert(profiles("ssn").isPii)
+    assert(profiles("ssn").piiType === Some("ssn"))
+    assert(profiles("user_id").semanticType === Some("identifier"))
+    assert(profiles("is_active").dataType === "boolean")
+  }
+
+  test("samples are first-N-unique in arrival order") {
+    val email = profiles("email")
+    assert(email.sampleValues ===
+      Seq("alice@example.com", "bob@example.com", "carol@example.com"))
+    // repeated values dedup to first occurrence
+    assert(profiles("profile.preferences.theme").sampleValues === Seq("dark"))
+    assert(profiles("profile.preferences.theme").totalCount === 3)
+  }
+
+  test("numeric stats use pandas semantics over samples") {
+    val bal = profiles("account_balance")
+    assert(bal.dataType === "float")
+    assert(bal.minValue === Some(11.5))
+    assert(bal.maxValue === Some(13.5))
+    assert(bal.meanValue === Some(12.5))
+    assert(bal.medianValue === Some(12.5))
+    assert(bal.percentile25 === Some(12.0))
+    assert(bal.percentile75 === Some(13.0))
+    assert(bal.stdDev.exists(s => math.abs(s - 1.0) < 1e-12))
+  }
+
+  test("position follows first-seen document order") {
+    assert(profiles("user_id").position === 0)
+    assert(profiles("email").position === 1)
+    assert(profiles("age").position === 2)
+    // nested fields appear after their parent, before later top-level keys
+    assert(profiles("profile").position < profiles("profile.preferences").position)
+    assert(profiles("profile.preferences").position <
+      profiles("profile.preferences.theme").position)
+  }
+
+  test("confidence score reflects the type-majority fraction") {
+    assert(profiles("email").confidenceScore === 100.0)
+    assert(profiles("age").confidenceScore === 100.0) // null removed first
+  }
+
+  test("schema hash is deterministic and type-sensitive") {
+    import spark.implicits._
+    val rows = Seq(record(1, "a@b.co", 1, "555-123-4567")).toDF("json")
+    val p1 = Profiler.profile(spark, rows, "json")
+    val p2 = Profiler.profile(spark, rows, "json")
+    assert(Profiler.schemaHash(p1) === Profiler.schemaHash(p2))
+    val changed = Seq(record(1, "a@b.co", 1, "555-123-4567")
+      .replace("\"age\": 1", "\"age\": \"one\"")).toDF("json")
+    val p3 = Profiler.profile(spark, changed, "json")
+    assert(Profiler.schemaHash(p1) !== Profiler.schemaHash(p3))
+  }
+
+  test("maxRecords caps sampled records like the reference's max_samples") {
+    import spark.implicits._
+    val rows = (1 to 50).map(i => s"""{"k": $i}""").toDF("json")
+    val p = Profiler.profile(spark, rows, "json", maxRecords = 10)
+      .collect().head
+    assert(p.totalCount === 10)
+    assert(p.sampleValues.size === 10)
+  }
+
+  test("more than 10 unique values keep the first 10 by arrival") {
+    import spark.implicits._
+    val rows = (1 to 30).map(i => s"""{"k": "v$i"}""").toDF("json")
+    val p = Profiler.profile(spark, rows, "json").collect().head
+    assert(p.totalCount === 30)
+    assert(p.sampleValues === (1 to 10).map(i => s"v$i"))
+  }
+}

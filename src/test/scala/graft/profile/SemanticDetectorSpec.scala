@@ -1,0 +1,112 @@
+package graft.profile
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Re-expression of the reference's semantic-type detection semantics
+  * (`/root/reference/backend/src/processors/semantic_detector.py:54-233`).
+  */
+class SemanticDetectorSpec extends AnyFunSuite {
+
+  private def strs(vs: String*): Seq[(String, String)] = vs.map(("string", _))
+
+  test("mongodb data types short-circuit") {
+    assert(SemanticDetector.detect("_id", Nil, "objectid") === Some("identifier"))
+    assert(SemanticDetector.detect("createdAt", Nil, "datetime") === Some("timestamp"))
+  }
+
+  test("email detection at 100%") {
+    val s = strs("a@example.com", "b.c@mail.org", "x+y@sub.domain.io")
+    assert(SemanticDetector.detect("contact", s, "string") === Some("email"))
+  }
+
+  test("70% threshold: 2 of 3 matches is below, 3 of 4 is above") {
+    val below = strs("a@example.com", "b@example.com", "not-an-email")
+    assert(SemanticDetector.detectStringSemanticType("x", below) === None)
+    val above = strs("a@e.com", "b@e.com", "c@e.com", "nope")
+    assert(SemanticDetector.detectStringSemanticType("x", above) === Some("email"))
+  }
+
+  test("ssn both forms: dashed and 9-digit") {
+    assert(SemanticDetector.detect("f", strs("123-45-6789"), "string") === Some("ssn"))
+    assert(SemanticDetector.detect("f", strs("123456789"), "string") === Some("ssn"))
+  }
+
+  test("credit card: masked, grouped, and bare-4 forms") {
+    assert(SemanticDetector.detect("f", strs("************1234"), "string") === Some("credit_card"))
+    assert(SemanticDetector.detect("f", strs("4242 4242 4242 4242"), "string") === Some("credit_card"))
+    assert(SemanticDetector.detect("f", strs("1234"), "string") === Some("credit_card"))
+  }
+
+  test("uuid case-insensitive") {
+    assert(SemanticDetector.detect("f",
+      strs("550E8400-E29B-41D4-A716-446655440000"), "string") === Some("uuid"))
+  }
+
+  test("zip code 5 and 5+4; 5-digit checked before phone") {
+    assert(SemanticDetector.detect("f", strs("94105"), "string") === Some("zip_code"))
+    assert(SemanticDetector.detect("f", strs("94105-1234"), "string") === Some("zip_code"))
+  }
+
+  test("phone forms") {
+    assert(SemanticDetector.detect("f", strs("+1 (555) 123-4567"), "string") === Some("phone"))
+    assert(SemanticDetector.detect("f", strs("555-123-4567"), "string") === Some("phone"))
+  }
+
+  test("url requires scheme") {
+    assert(SemanticDetector.detect("f", strs("https://example.com/x"), "string") === Some("url"))
+    assert(SemanticDetector.detect("f", strs("example.com"), "string") === None)
+  }
+
+  test("all six date formats parse; invalid calendar dates do not") {
+    val ok = Seq("2023-01-15", "2023-01-15T10:30:00", "2023-01-15T10:30:00.123456",
+      "2023-01-15T10:30:00.123456Z", "01/15/2023", "15/01/2023")
+    ok.foreach(v => assert(SemanticDetector.isDate(v), v))
+    assert(!SemanticDetector.isDate("2023-02-30"))
+    assert(!SemanticDetector.isDate("13/13/2023"))
+    assert(!SemanticDetector.isDate("2023-01-15 10:30:00"))
+  }
+
+  test("currency: symbol prefix + digit") {
+    assert(SemanticDetector.isCurrency("$19.99"))
+    assert(SemanticDetector.isCurrency("€100"))
+    assert(!SemanticDetector.isCurrency("$"))
+    assert(!SemanticDetector.isCurrency("19.99"))
+    assert(SemanticDetector.detect("f", strs("$19.99", "$5.00"), "string") === Some("currency"))
+  }
+
+  test("identifier is field-name gated") {
+    assert(SemanticDetector.detect("user_id", strs("abc-123", "def_456"), "string") === Some("identifier"))
+    assert(SemanticDetector.detectStringSemanticType("notes", strs("abc-123")) === None)
+  }
+
+  test("priority: email wins over identifier-shaped values") {
+    // an email never matches ID_PATTERN, but a value matching several
+    // patterns resolves by cascade order — SSN-shaped beats phone
+    assert(SemanticDetector.detect("f", strs("123-45-6789"), "string") === Some("ssn"))
+  }
+
+  test("numeric fields: currency/identifier/count keyword hints") {
+    val nums = Seq(("integer", "5"))
+    assert(SemanticDetector.detect("total_price", nums, "integer") === Some("currency"))
+    assert(SemanticDetector.detect("account_id", nums, "integer") === Some("identifier"))
+    assert(SemanticDetector.detect("items_count", nums, "integer") === Some("count"))
+    assert(SemanticDetector.detect("age", nums, "integer") === None)
+  }
+
+  test("field-name fallback when samples empty") {
+    assert(SemanticDetector.detect("user_email", Nil, "string") === Some("email"))
+    assert(SemanticDetector.detect("created_at", Nil, "string") === Some("date"))
+    assert(SemanticDetector.detect("card_last4", Nil, "string") === Some("credit_card"))
+    assert(SemanticDetector.detect("subscription_tier", Nil, "string") === Some("category"))
+    assert(SemanticDetector.detect("first_name", Nil, "string") === Some("name"))
+    assert(SemanticDetector.detect("website", Nil, "string") === Some("url"))
+    assert(SemanticDetector.detect("postal", Nil, "string") === Some("zip_code"))
+    assert(SemanticDetector.detect("misc", Nil, "string") === None)
+  }
+
+  test("non-string samples are excluded from the string scan") {
+    val mixed = Seq(("integer", "12345"), ("string", "94105"))
+    // only 1 string sample, and it matches zip at 100%
+    assert(SemanticDetector.detectStringSemanticType("f", mixed) === Some("zip_code"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.profile
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Re-expression of the reference's type-inference semantics
+  * (`/root/reference/backend/src/processors/type_inferrer.py:14-77`) as
+  * required by the north rule.
+  */
+class TypeInferrerSpec extends AnyFunSuite {
+
+  private def counts(ts: (String, Long)*): Map[String, Long] = ts.toMap
+
+  test("empty types -> unknown with 0 confidence") {
+    assert(TypeInference.inferType(Map.empty) === (("unknown", 0.0)))
+  }
+
+  test("single type -> 100% confidence") {
+    assert(TypeInference.inferType(counts("string" -> 5L)) === (("string", 100.0)))
+  }
+
+  test("mode wins with proportional confidence") {
+    val (t, c) = TypeInference.inferType(counts("string" -> 3L, "integer" -> 1L))
+    assert(t === "string")
+    assert(c === 75.0)
+  }
+
+  test("null dropped from consideration when other types exist") {
+    val (t, c) = TypeInference.inferType(counts("null" -> 9L, "string" -> 1L))
+    assert(t === "string")
+    assert(c === 100.0)
+  }
+
+  test("all-null stays null") {
+    assert(TypeInference.inferType(counts("null" -> 4L)) === (("null", 100.0)))
+  }
+
+  test("integer+float present -> float with combined confidence") {
+    val (t, c) = TypeInference.inferType(
+      counts("integer" -> 2L, "float" -> 1L, "string" -> 1L))
+    assert(t === "float")
+    assert(c === 75.0)
+  }
+
+  test("integer+float promotion applies even when string is the mode") {
+    // type_inferrer.py:55-56 runs after most_common; int+float presence
+    // forces float regardless of the mode
+    val (t, c) = TypeInference.inferType(
+      counts("string" -> 5L, "integer" -> 1L, "float" -> 1L))
+    assert(t === "float")
+    assert(c === (2.0 / 7.0) * 100.0)
+  }
+
+  test("mongodb types map with fixed 95.0 confidence") {
+    assert(TypeInference.inferType(counts("mongodb_objectid" -> 1L)) === (("objectid", 95.0)))
+    assert(TypeInference.inferType(counts("mongodb_date" -> 2L)) === (("datetime", 95.0)))
+    assert(TypeInference.inferType(counts("mongodb_long" -> 1L)) === (("integer", 95.0)))
+    assert(TypeInference.inferType(counts("mongodb_decimal" -> 1L)) === (("decimal", 95.0)))
+    assert(TypeInference.inferType(counts("mongodb_binary" -> 1L)) === (("binary", 95.0)))
+  }
+
+  test("mongodb mapping applies to the majority type after null removal") {
+    val (t, c) = TypeInference.inferType(
+      counts("mongodb_objectid" -> 3L, "string" -> 1L, "null" -> 2L))
+    assert(t === "objectid")
+    assert(c === 95.0)
+  }
+
+  test("array item type: single type -> that type") {
+    assert(TypeInference.inferArrayItemType(Seq("str", "str")) === "str")
+  }
+
+  test("array item type: mixed -> 'mixed'") {
+    assert(TypeInference.inferArrayItemType(Seq("str", "int")) === "mixed")
+  }
+
+  test("array item type: empty -> 'unknown'") {
+    assert(TypeInference.inferArrayItemType(Nil) === "unknown")
+  }
+}

@@ -1,0 +1,70 @@
+package graft.profile
+
+import graft.SparkSpec
+
+/** Version-diff semantics vs the reference
+  * (`/root/reference/backend/src/services/version_service.py:369-531`):
+  * added/removed/modified classification, breaking-change rules, change
+  * strings, summary rollup.
+  */
+class VersionDiffSpec extends SparkSpec {
+
+  private def profilesOf(jsons: Seq[String]) = {
+    import spark.implicits._
+    Profiler.profile(spark, jsons.toDF("json"), "json")
+  }
+
+  private lazy val v1 = profilesOf(Seq(
+    """{"id": 1, "name": "a", "age": 30, "legacy": "x", "opt": null, "tag": "t"}""",
+    """{"id": 2, "name": "b", "age": 31, "legacy": "y", "opt": "set", "tag": "u"}"""))
+
+  private lazy val v2 = profilesOf(Seq(
+    """{"id": 1, "name": "a", "age": "thirty", "fresh": true, "opt": "v1", "tag": ["t"]}""",
+    """{"id": 2, "name": "b", "age": "thirtyone", "fresh": false, "opt": "v2", "tag": ["u"]}"""))
+
+  private lazy val rows =
+    VersionDiff.diff(v1, v2).collect().map(d => d.fieldPath -> d).toMap
+
+  test("added fields are non-breaking") {
+    assert(rows("fresh").changeType === "added")
+    assert(!rows("fresh").isBreaking)
+  }
+
+  test("removed fields are breaking") {
+    assert(rows("legacy").changeType === "removed")
+    assert(rows("legacy").isBreaking)
+  }
+
+  test("type change is a breaking modification with change string") {
+    val d = rows("age")
+    assert(d.changeType === "modified")
+    assert(d.isBreaking)
+    assert(d.changes.contains("Type changed: integer -> string"))
+  }
+
+  test("nullable -> non-nullable is breaking") {
+    val d = rows("opt")
+    assert(d.changeType === "modified")
+    assert(d.isBreaking)
+    assert(d.changes.contains("Nullability changed: True -> False"))
+  }
+
+  test("array flip is breaking with change string") {
+    val d = rows("tag")
+    assert(d.isBreaking)
+    assert(d.changes.exists(_.startsWith("Array status changed: False -> True")))
+  }
+
+  test("unchanged fields are not emitted") {
+    assert(!rows.contains("id"))
+    assert(!rows.contains("name"))
+  }
+
+  test("summary rollup counts by change type and breaking") {
+    val s = VersionDiff.summary(VersionDiff.diff(v1, v2))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(s("added") === ((1L, 0L)))
+    assert(s("removed") === ((1L, 1L)))
+    assert(s("modified")._1 === 3L)
+  }
+}
