@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.Queries
+import graft.queries.{Queries, TrainingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -31,7 +31,15 @@ object SparkEntry {
     "q11_user_set_diff" -> (Queries.q11UserSetDiff(_, _)),
     "q12_orders_page" -> (Queries.q12OrdersPage(_, _)),
     "q13_orders_cardinality" -> (Queries.q13OrdersCardinality(_, _)),
-    "q14_part_type_classes" -> (Queries.q14PartTypeClasses(_, _))
+    "q14_part_type_classes" -> (Queries.q14PartTypeClasses(_, _)),
+    "q15_ngram_jaccard" -> (TrainingOps.q15NgramJaccard(_, _)),
+    "q16_minhash_lsh" -> (TrainingOps.q16MinhashLsh(_, _)),
+    "q17_simhash" -> (TrainingOps.q17Simhash(_, _)),
+    "q18_cosine_topk" -> (TrainingOps.q18CosineTopK(_, _)),
+    "q19_lsh_ann" -> (TrainingOps.q19LshAnn(_, _)),
+    "q20_doc_quality" -> (TrainingOps.q20DocQuality(_, _)),
+    "q21_multimodal_features" ->
+      (graft.multimodal.Multimodal.q21MultimodalFeatures(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -113,6 +121,55 @@ object SparkEntry {
       """SELECT p_brand, COUNT(*) AS n_parts,
          SUM(CASE WHEN REGEXP_MATCHES(p_type, '^[A-Z]+$') THEN 1 ELSE 0 END) AS n_alpha_type,
          COUNT(DISTINCT p_type) AS distinct_types
-         FROM part GROUP BY p_brand ORDER BY p_brand"""
+         FROM part GROUP BY p_brand ORDER BY p_brand""",
+    // q16/q17/q19 are approximate (MinHash/SimHash/LSH) — not ANSI-SQL
+    // expressible, so they get the driver's rows-only check; their
+    // correctness gates are DedupSpec/LshAnnSpec (recall vs the exact
+    // queries q15/q18).
+    "q15_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS shingles
+                FROM toks WHERE len(t) >= 3),
+         tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+         inter AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS n_inter
+                   FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT doc_i, doc_j, n_inter, sa.n + sb.n - n_inter AS n_union,
+                CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+         FROM inter JOIN sizes sa ON doc_i = sa.doc_id JOIN sizes sb ON doc_j = sb.doc_id
+         WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
+         ORDER BY doc_i, doc_j""",
+    "q18_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+         s AS (SELECT query_id, vec_id, list_cosine_similarity(qv, v) AS cos
+               FROM q, e WHERE vec_id <> query_id),
+         r AS (SELECT query_id, vec_id AS neighbor_id,
+                      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS "rank"
+               FROM s)
+         SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 5
+         ORDER BY query_id, "rank"""",
+    "q20_doc_quality" ->
+      """SELECT doc_id,
+         length(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct,
+         1.0 - CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '\s+')) AS dup_ratio,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             x -> x = 'the' OR x = 'a')) AS n_filler,
+         (len(regexp_split_to_array(trim(text), '\s+')) >= 10 AND
+          CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '\s+')) >= 0.3) AS keep
+         FROM documents ORDER BY doc_id""",
+    "q21_multimodal_features" ->
+      """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+         COUNT(*) AS n_items,
+         SUM(octet_length(encode(text))) AS total_bytes,
+         CAST(8 AS INT) AS feature_dim
+         FROM documents GROUP BY 1 ORDER BY media_type"""
   )
 }

@@ -1,0 +1,97 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video ride as opaque `binary`
+  * columns with typed metadata; decode / feature-extraction runs batched
+  * inside `mapPartitions` (the Scala analogue of `mapInPandas` — same
+  * batch shape, same schema contract).
+  *
+  * The actual media decoder is STUBBED ([[FakeDecoder]]): no image/audio
+  * libraries exist in this sandbox, so the decode step is a deterministic
+  * byte-level fake. Everything around it — schema, batching, partitioning,
+  * feature shape — is the real plumbing a production decoder drops into.
+  */
+object Multimodal {
+
+  /** One media item: payload is the raw encoded bytes. */
+  final case class MediaRecord(
+      media_id: Long,
+      media_type: String, // image | audio | video
+      payload: Array[Byte],
+      meta: Map[String, String])
+
+  /** Extracted features for one media item. */
+  final case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      feature: Array[Float])
+
+  val FeatureDim = 8
+  val BatchSize = 64
+
+  /** STUB decoder — stands in for the real image/audio decode +
+    * feature-extract. Deterministic: features are scaled sums over
+    * byte stripes, so tests are reproducible. A real implementation
+    * replaces only this function (signature: one batch in, one batch of
+    * fixed-dim features out — exactly the Arrow-batch contract of
+    * `mapInPandas`).
+    */
+  def decodeBatchStub(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    batch.map { r =>
+      val f = new Array[Float](FeatureDim)
+      var i = 0
+      while (i < r.payload.length) {
+        f(i % FeatureDim) += (r.payload(i) & 0xFF) / 255.0f
+        i += 1
+      }
+      MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong, f)
+    }
+
+  /** Wrap the documents table as a media table: deterministic fake
+    * payloads (UTF-8 bytes of the text) with a media_type derived from
+    * the id — gives the plumbing a real binary column to move.
+    */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        expr("array('image','audio','video')[cast(pmod(doc_id, 3) as int)]")
+          .as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"),
+        map(lit("src"), col("source"), lit("lang"), col("lang")).as("meta"))
+      .as[MediaRecord]
+  }
+
+  /** Batched feature extraction: `mapPartitions` with explicit batching —
+    * the executor-side shape of a Pandas-UDF decode (vectorized batches,
+    * bounded memory), minus Python. Decoder calls see [[BatchSize]]-row
+    * groups, never the whole partition.
+    */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap(b => decodeBatchStub(b.toSeq))
+    }
+  }
+
+  /** q21 — multimodal pipeline rollup: documents → binary media column →
+    * batched stub decode → per-type integer aggregates. The emitted
+    * columns are decode-independent exact integers (plus the constant
+    * feature dim read from the real decoded batch), so the query is
+    * oracle-checkable while still driving the full binary path.
+    */
+  def q21MultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val feats = extractFeatures(mediaFromDocuments(spark, docs))
+    feats.toDF()
+      .groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        max(size(col("feature"))).as("feature_dim"))
+      .orderBy(col("media_type"))
+  }
+}

@@ -1,0 +1,328 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents`/`embeddings`:
+  * deduplication (exact→q08, n-gram Jaccard, MinHash+LSH, SimHash),
+  * similarity search (brute-force cosine top-k baseline, LSH-bucketed ANN
+  * scale path), and quality scoring. These are the ops a 100 TB corpus
+  * pipeline runs between ingest and training.
+  *
+  * Oracle discipline: queries with a DuckDB oracle emit only exact integers
+  * (or doubles derived from one division of exact integers) and ranked IDs
+  * — never accumulated floats, whose rounding differs across engines.
+  */
+object TrainingOps {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Distinct 3-word shingles per doc. 0-based `toks[i]` indexing; docs
+    * with <3 tokens have no shingles and drop out, same as the oracle's
+    * `WHERE len(t) >= 3`.
+    */
+  private def shingleSets(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", expr(
+        "array_distinct(transform(sequence(1, size(toks)-2), " +
+          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))"))
+      .select(col("doc_id"), col("shingles"))
+
+  /** q15 — exact n-gram Jaccard near-dup pairs (dedup family, the exact
+    * baseline MinHash approximates). Shingle-level inverted index:
+    * explode → self-join on shingle → count intersections; union from
+    * per-doc set sizes. jaccard ≥ 0.5 keeps the planted near-dups.
+    *
+    * Scale: the shingle join shuffles on the shingle string — at 100 TB
+    * you band-limit it (that is exactly q16's MinHash+LSH); this exact
+    * variant is the correctness oracle for it.
+    */
+  def q15NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sets = shingleSets(t(spark, dir, "documents")).cache()
+    val tok = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val sizes = sets.select(col("doc_id"), size(col("shingles")).as("n"))
+    val inter = tok.as("a").join(tok.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_i"), col("n").as("na")), "doc_i")
+      .join(sizes.select(col("doc_id").as("doc_j"), col("n").as("nb")), "doc_j")
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_i"), col("doc_j"), col("n_inter"), col("n_union"),
+        col("jaccard"))
+      .orderBy(col("doc_i"), col("doc_j"))
+  }
+
+  val MinHashPerms = 32
+  val MinHashBands = 8 // 4 rows per band
+
+  /** q16 — MinHash + LSH near-dup detection (banding), verified exact.
+    *
+    * Pipeline: shingle → 32 xxhash64 min-signatures (ONE groupBy shuffle,
+    * partial-aggregated map-side) → 8 bands of 4 → self-join on
+    * (band, band_hash) for candidates → exact Jaccard verify on the
+    * candidate set only. Same output contract as q15, so the spec can
+    * assert recall directly.
+    *
+    * Scale: the candidate join touches only banded buckets — the 100 TB
+    * path — while the exact verify join is proportional to candidates,
+    * not pairs. P(candidate | jac=0.5) with 8 bands of 4 rows
+    * = 1-(1-0.5^4)^8 ≈ 0.40 per band structure — for jac ≥ 0.8 it is
+    * ≈ 0.98; planted near-dups here sit at ≥ 0.5 so the spec checks
+    * recall against q15 rather than assuming 100%.
+    */
+  def q16MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sets = shingleSets(t(spark, dir, "documents")).cache()
+    val tok = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val sigCols = (0 until MinHashPerms).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val sigs = tok.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until MinHashBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((0 until 4).map(r => col(s"h${b * 4 + r}")): _*).as("bh"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val candidates = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
+      .distinct()
+    // exact verify on candidates only
+    candidates
+      .join(sets.select(col("doc_id").as("doc_i"), col("shingles").as("sa")), "doc_i")
+      .join(sets.select(col("doc_id").as("doc_j"), col("shingles").as("sb")), "doc_j")
+      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("n_union", size(col("sa")) + size(col("sb")) - col("n_inter"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_i"), col("doc_j"), col("n_inter"), col("n_union"),
+        col("jaccard"))
+      .orderBy(col("doc_i"), col("doc_j"))
+  }
+
+  /** q17 — SimHash near-dup candidates. 64-bit simhash over token hashes
+    * (per-bit majority vote, term-frequency weighted), banded into 4×16-bit
+    * keys so any pair within Hamming distance 3 shares ≥1 exact band
+    * (pigeonhole); candidates are then filtered by true Hamming ≤ 3.
+    *
+    * The bit-vote accumulation is a fold over 64 counters — genuinely
+    * imperative per-row state, so it runs in one typed map (the documented
+    * mapPartitions-tier exception, SURVEY.md §2.9), everything else stays
+    * Catalyst.
+    */
+  def q17Simhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .as[(Long, Seq[String])]
+    val hashed = docs.map { case (id, toks) =>
+      (id, TrainingOps.simhash64(toks))
+    }.toDF("doc_id", "simhash")
+    val bands = hashed.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "key")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+        col("a.simhash").as("sh_i"), col("b.simhash").as("sh_j"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("sh_i").bitwiseXOR(col("sh_j"))))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_i"), col("doc_j"), col("hamming"))
+      .orderBy(col("doc_i"), col("doc_j"))
+  }
+
+  /** 64-bit SimHash: per-bit majority over token hashes (tf-weighted by
+    * repetition). Deterministic: MurmurHash3 of the token string.
+    */
+  def simhash64(tokens: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    tokens.foreach { tk =>
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(tk, 0x9747b28c).toLong
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(tk, 0x85ebca6b).toLong
+      val h = (h1 << 32) | (h2 & 0xFFFFFFFFL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  /** Cosine similarity of two double-array columns as a pure Column
+    * expression (stays in whole-stage codegen; no UDF).
+    */
+  def cosineCol(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    def norm(x: Column) = sqrt(dot(x, x))
+    dot(a, b) / (norm(a) * norm(b))
+  }
+
+  val TopK = 5
+  val NQueries = 20
+
+  /** q18 — brute-force cosine top-k over the embedding column: the exact
+    * ANN baseline. Query side (20 vectors) broadcasts against the full
+    * table; ranking emits only (query_id, neighbor_id, rank) — adjacent
+    * cosine gaps in this data are ≥2e-5, six orders above double rounding,
+    * so ranks are engine-portable where raw floats are not.
+    *
+    * Scale: O(Q·N) — correct but linear; q19 is the bucketed path.
+    */
+  def q18CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosineCol(col("qv"), col("v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // 16 tables × 4 bits: tuned for uniform-random vectors (LSH's worst
+  // case — true neighbours sit at cosine ≈0.4, so per-bit agreement is
+  // only ~0.63; 4 bits/16 tables gives ~0.94 recall@5). At scale, bits
+  // grow with log(N / target-bucket-size) and tables buy back recall.
+  val LshTables = 16
+  val LshBits = 4
+  private val LshSeed = 42
+
+  /** Deterministic random hyperplanes: tables × bits planes of unit
+    * Gaussians (seeded — identical on driver and executors).
+    */
+  lazy val hyperplanes: Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(LshSeed)
+    Array.fill(LshTables)(Array.fill(LshBits)(Array.fill(64)(rnd.nextGaussian())))
+  }
+
+  def lshBucket(v: Seq[Double], table: Int): Int = {
+    val planes = hyperplanes(table)
+    var bucket = 0
+    var b = 0
+    while (b < LshBits) {
+      val p = planes(b)
+      var d = 0.0
+      var i = 0
+      val n = math.min(v.length, p.length)
+      while (i < n) { d += v(i) * p(i); i += 1 }
+      if (d >= 0) bucket |= (1 << b)
+      b += 1
+    }
+    bucket
+  }
+
+  /** q19 — LSH-bucketed approximate nearest neighbours (random-hyperplane
+    * cosine LSH, 8 tables × 8 bits, OR-amplified): candidates are pairs
+    * sharing a bucket in any table; exact cosine re-rank on candidates.
+    * Same output shape as q18 so recall is directly measurable
+    * (LshAnnSpec asserts it).
+    *
+    * Scale: replaces q18's O(Q·N) scan with per-bucket joins — the
+    * shuffle key is (table, bucket), load bounded by bucket occupancy;
+    * more tables buy recall, more bits buy selectivity.
+    */
+  def q19LshAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])]
+    val buckets = emb.flatMap { case (id, v) =>
+      (0 until LshTables).iterator.map(t => (id, t, lshBucket(v, t)))
+    }.toDF("vec_id", "tbl", "bucket")
+    val vecs = emb.toDF("vec_id", "v")
+    val qb = buckets.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
+    val cand = broadcast(qb).join(buckets,
+        Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+    val scored = cand
+      .join(vecs.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
+      .join(vecs, "vec_id")
+      .withColumn("cos", cosineCol(col("qv"), col("v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (dedup family): all pairs with
+    * cosine ≥ threshold, via the same LSH bucketing (candidates) + exact
+    * verify. Exposed as an API (this corpus has no near-dup vectors; the
+    * spec exercises it on synthetic ones).
+    */
+  def embeddingNearDups(spark: SparkSession, emb: DataFrame,
+      threshold: Double): DataFrame = {
+    import spark.implicits._
+    val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])]
+    val buckets = e.flatMap { case (id, v) =>
+      (0 until LshTables).iterator.map(t => (id, t, lshBucket(v, t)))
+    }.toDF("vec_id", "tbl", "bucket")
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_i"), col("b.vec_id").as("vec_j"))
+      .distinct()
+    val vecs = e.toDF("vec_id", "v")
+    cand
+      .join(vecs.select(col("vec_id").as("vec_i"), col("v").as("va")), "vec_i")
+      .join(vecs.select(col("vec_id").as("vec_j"), col("v").as("vb")), "vec_j")
+      .withColumn("cos", cosineCol(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_i"), col("vec_j"), col("cos"))
+  }
+
+  /** q20 — document quality scoring (text-analysis family): token counts,
+    * duplication ratio, average token length, filler-word ratio, keep
+    * verdict. Exact integers and single divisions only — bit-identical to
+    * the DuckDB oracle. All in whole-stage codegen over the scan.
+    */
+  def q20DocQuality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks"))).as("dup_ratio"),
+        (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+          size(col("toks"))).as("avg_token_len"),
+        size(expr("filter(toks, x -> x = 'the' or x = 'a')")).as("n_filler"),
+        (size(col("toks")) >= 10 &&
+          (size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks"))) >= 0.3).as("keep"))
+      .orderBy(col("doc_id"))
+}

@@ -1,0 +1,53 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** Multimodal plumbing: binary payload column, batched decode shape,
+  * deterministic stub features.
+  */
+class MultimodalSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("media table carries binary payloads with typed metadata") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val media = Multimodal.mediaFromDocuments(spark, docs).collect()
+    assert(media.length === docs.count())
+    media.take(20).foreach { m =>
+      assert(Set("image", "audio", "video").contains(m.media_type))
+      assert(m.payload.nonEmpty)
+      assert(m.meta.contains("lang"))
+    }
+  }
+
+  test("feature extraction is batched, fixed-dim, and deterministic") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.length === f2.length)
+    f1.zip(f2).foreach { case (a, b) =>
+      assert(a.feature.length === Multimodal.FeatureDim)
+      assert(a.feature.toSeq === b.feature.toSeq)
+      assert(a.n_bytes > 0)
+    }
+  }
+
+  test("stub decode matches a direct single-record computation") {
+    val rec = Multimodal.MediaRecord(1L, "image",
+      "abc".getBytes("UTF-8"), Map.empty)
+    val f = Multimodal.decodeBatchStub(Seq(rec)).head
+    assert(f.n_bytes === 3)
+    assert(math.abs(f.feature(0) - 'a' / 255.0f) < 1e-6)
+    assert(math.abs(f.feature(1) - 'b' / 255.0f) < 1e-6)
+    assert(math.abs(f.feature(2) - 'c' / 255.0f) < 1e-6)
+    assert(f.feature(3) === 0.0f)
+  }
+
+  test("q21 rollup: per-type counts and byte totals are exact") {
+    val rows = Multimodal.q21MultimodalFeatures(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("audio", "image", "video"))
+    assert(rows.map(_.getLong(1)).sum ===
+      spark.read.parquet(s"$dir/documents.parquet").count())
+    rows.foreach(r => assert(r.getInt(3) === Multimodal.FeatureDim))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+/** Dedup-family correctness: the approximate operators (MinHash+LSH,
+  * SimHash, embedding-LSH) are gated against their exact counterparts.
+  */
+class DedupSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def pairs(rows: Array[Row]): Set[(Long, Long)] =
+    rows.map(r => (r.getLong(r.fieldIndex("doc_i")),
+      r.getLong(r.fieldIndex("doc_j")))).toSet
+
+  private lazy val exact = TrainingOps.q15NgramJaccard(spark, dir).collect()
+  private lazy val lsh = TrainingOps.q16MinhashLsh(spark, dir).collect()
+
+  test("exact n-gram jaccard finds the planted near-dups") {
+    assert(exact.length > 10)
+    exact.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("jaccard")) >= 0.5)
+      assert(r.getLong(r.fieldIndex("doc_i")) < r.getLong(r.fieldIndex("doc_j")))
+    }
+  }
+
+  test("minhash+lsh verified pairs are a subset of the exact pairs") {
+    // exact verification on candidates means zero false positives by
+    // construction; this asserts the plumbing preserves that
+    assert(pairs(lsh).subsetOf(pairs(exact)))
+  }
+
+  test("minhash+lsh recall on planted near-dups >= 0.9") {
+    val recall = pairs(lsh).size.toDouble / pairs(exact).size
+    assert(recall >= 0.9, s"recall=$recall (${lsh.length}/${exact.length})")
+  }
+
+  test("simhash candidates at hamming<=3 overlap the exact near-dups") {
+    val sh = TrainingOps.q17Simhash(spark, dir).collect()
+    assert(sh.nonEmpty)
+    val overlap = pairs(sh).intersect(pairs(exact))
+    assert(overlap.nonEmpty,
+      s"simhash found ${sh.length} pairs, none among the planted near-dups")
+  }
+
+  test("embedding near-dup finds planted duplicate vectors via LSH") {
+    import spark.implicits._
+    // synthetic: 100 random unit-ish vectors + 5 exact duplicates of the
+    // first 5 at ids 100..104
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 100).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val dups = (0 until 5).map(i => (100L + i, base(i)._2.clone()))
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val found = TrainingOps.embeddingNearDups(spark, emb, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 5).forall(i => found.contains((i.toLong, 100L + i))),
+      s"found=$found")
+  }
+}
