@@ -65,18 +65,91 @@ object Heuristics {
 
   /** Array of heuristic drop-reason tags that fired for `content` (empty ⇒
     * heuristics vote keep). Tag order is fixed and part of the contract.
+    *
+    * NOTE: convenient for ad-hoc use, but it re-walks `content` once per
+    * rule (array HOFs also defeat codegen subexpression elimination —
+    * measured ~0.26 MB/s/core). The production pipeline extracts
+    * [[TextFeatures]] once per row inside the scorer pass and applies
+    * [[dropReasonsFromFeatures]] instead.
     */
-  def dropReasons(content: Column): Column = {
-    val rules: Seq[(String, Column)] = Seq(
+  def dropReasons(content: Column): Column =
+    reasonsArray(Seq(
       "empty" -> (trim(content) === ""),
       "too_small" -> (length(content) < MinChars),
       "long_line" -> (maxLineLen(content) > MaxLineLen),
       "avg_line_long" -> (avgLineLen(content) > MaxAvgLineLen),
       "low_alnum" -> (alnumRatio(content) < MinAlnumRatio),
       "dup_lines" -> (nonBlankLines(content) >= DupLineMin &&
-        dupLineRatio(content) > MaxDupRatio)
-    )
-    // filter(array(structs), _.fired) → names; stays in codegen
+        dupLineRatio(content) > MaxDupRatio)))
+
+  /** Heuristic keep (no rule fired). */
+  def heuristicKeep(content: Column): Column = size(dropReasons(content)) === 0
+
+  /** Per-row text features, extracted in ONE pass over the content string
+    * (fused into the langid/KN-LM `mapPartitions`, so each row is walked
+    * once for all heuristics). Semantics byte-matched to the golden oracle
+    * (tools/make_golden.py `heuristic_reasons`): lines split on `\n`
+    * keeping trailing empties; "blank" strips ASCII space ONLY (Spark
+    * `trim` semantics, Python `strip(" ")`).
+    */
+  final case class TextFeatures(
+      nChars: Int, alnumChars: Int, maxLineLen: Int, nLines: Int,
+      nonBlankLines: Int, distinctNonBlank: Int, spaceOnly: Boolean)
+
+  def textFeatures(content: String): TextFeatures = {
+    val n = content.length
+    var alnum = 0
+    var spaceOnly = true
+    var i = 0
+    while (i < n) {
+      val c = content.charAt(i)
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+        (c >= '0' && c <= '9')) alnum += 1
+      if (c != ' ') spaceOnly = false
+      i += 1
+    }
+    val ls = content.split("\n", -1)
+    var maxLen = 0
+    var nonBlank = 0
+    val distinct = new java.util.HashSet[String]()
+    var j = 0
+    while (j < ls.length) {
+      val l = ls(j)
+      if (l.length > maxLen) maxLen = l.length
+      // blank = ASCII-space-only (Python strip(" "), Spark trim)
+      var k = 0
+      var isBlank = true
+      while (k < l.length && isBlank) {
+        if (l.charAt(k) != ' ') isBlank = false
+        k += 1
+      }
+      if (!isBlank) { nonBlank += 1; distinct.add(l) }
+      j += 1
+    }
+    TextFeatures(n, alnum, maxLen, ls.length, nonBlank, distinct.size, spaceOnly)
+  }
+
+  /** The keep/drop RULES as Catalyst expressions (north rule) over the
+    * pre-extracted feature columns — cheap comparisons in whole-stage
+    * codegen; decision logic stays declarative and optimizer-visible.
+    */
+  def dropReasonsFromFeatures(nChars: Column, alnumChars: Column,
+      maxLine: Column, nLines: Column, nonBlank: Column,
+      distinctNb: Column, spaceOnly: Column): Column = {
+    val dupRatio = when(nonBlank === 0, lit(0.0)).otherwise(
+      lit(1.0) - distinctNb.cast("double") / nonBlank.cast("double"))
+    reasonsArray(Seq(
+      "empty" -> spaceOnly,
+      "too_small" -> (nChars < MinChars),
+      "long_line" -> (maxLine > MaxLineLen),
+      "avg_line_long" -> (nChars.cast("double") / nLines.cast("double") > MaxAvgLineLen),
+      "low_alnum" -> (alnumChars.cast("double") /
+        greatest(nChars, lit(1)).cast("double") < MinAlnumRatio),
+      "dup_lines" -> (nonBlank >= DupLineMin && dupRatio > MaxDupRatio)))
+  }
+
+  /** filter(array(structs), _.fired) → names; fixed tag order. */
+  private def reasonsArray(rules: Seq[(String, Column)]): Column =
     transform(
       filter(
         array(rules.map { case (name, cond) =>
@@ -84,8 +157,4 @@ object Heuristics {
         }: _*),
         s => s.getField("fired")),
       s => s.getField("name"))
-  }
-
-  /** Heuristic keep (no rule fired). */
-  def heuristicKeep(content: Column): Column = size(dropReasons(content)) === 0
 }

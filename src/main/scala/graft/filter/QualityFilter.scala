@@ -33,25 +33,38 @@ object QualityFilter {
   final case class Scored(
       repo: String, path: String, commit: String, lang: String,
       content: String, pred_lang: String, lang_margin: Double,
-      lang_prob: Double, avg_nll: Double)
+      lang_prob: Double, avg_nll: Double,
+      // heuristic text features, extracted in the same per-row pass
+      n_chars: Int, alnum_chars: Int, max_line_len: Int, n_lines: Int,
+      non_blank_lines: Int, distinct_non_blank: Int, space_only: Boolean)
 
   /** Score langid + perplexity for every row (single mapPartitions). */
   def score(spark: SparkSession, input: Dataset[FileRecord],
       langB: Broadcast[LangId.Model], knB: Broadcast[KnLm.Model],
       repartition: Boolean = true): Dataset[Scored] = {
     import spark.implicits._
+    // Explicit partition count: this stage is CPU-bound (regex bank + two
+    // model scorers per row), so AQE's byte-based coalescing must NOT fold
+    // it to one task just because the bytes are small — `repartition(cols)`
+    // without a count is coalescible, `repartition(n, cols)` is not.
+    // 2× cores leaves headroom for stragglers from the salt spread.
     val part =
-      if (repartition)
-        input.repartition(col("repo"), pmod(hash(col("path")), lit(SaltBuckets)))
-      else input
+      if (repartition) {
+        val parts = spark.sparkContext.defaultParallelism * 2
+        input.repartition(parts, col("repo"),
+          pmod(hash(col("path")), lit(SaltBuckets)))
+      } else input
     part.mapPartitions { it =>
       val lm = langB.value
       val km = knB.value
       it.map { r =>
         val s = LangId.score(lm, r.content)
         val nll = KnLm.avgNll(km, r.content)
+        val f = Heuristics.textFeatures(r.content)
         Scored(r.repo, r.path, r.commit, r.lang, r.content,
-          s.lang, s.margin, s.prob, nll)
+          s.lang, s.margin, s.prob, nll,
+          f.nChars, f.alnumChars, f.maxLineLen, f.nLines,
+          f.nonBlankLines, f.distinctNonBlank, f.spaceOnly)
       }
     }
   }
@@ -70,8 +83,11 @@ object QualityFilter {
         .otherwise(array().cast("array<string>")),
       when(col("avg_nll") > KnLm.MaxAvgNll, array(lit("high_perplexity")))
         .otherwise(array().cast("array<string>")))
+    val heuristicReasons = Heuristics.dropReasonsFromFeatures(
+      col("n_chars"), col("alnum_chars"), col("max_line_len"), col("n_lines"),
+      col("non_blank_lines"), col("distinct_non_blank"), col("space_only"))
     scored.toDF()
-      .withColumn("drop_reasons", concat(Heuristics.dropReasons(c), modelReasons))
+      .withColumn("drop_reasons", concat(heuristicReasons, modelReasons))
       .withColumn("keep", size(col("drop_reasons")) === 0)
       .withColumn("scrub", PiiScrub.scrub_pii(c))
       .withColumn("scrubbed", col("scrub.scrubbed"))

@@ -1,0 +1,76 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+
+import graft.filter.{Heuristics, KnLm, LangId, QualityFilter}
+import graft.functions.PiiScrub
+import graft.model.FileRecord
+import org.apache.spark.sql.functions._
+
+/** Temporary diagnostic: time each pipeline slice separately to find the
+  * serial bottleneck in the scaling bench.
+  */
+object ScalingProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.nonEmpty) args(0).toInt else 32
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val lm = spark.sparkContext.broadcast(LangId.load(BuildFixtures.LangIdModelPath))
+    val km = spark.sparkContext.broadcast(KnLm.load(BuildFixtures.KnLmModelPath))
+    val input = spark.read.parquet(ScalingBench.BenchCorpus).as[FileRecord]
+
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      System.err.println(f"[probe $cpus] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+
+    time("scan-only")(input.write.format("noop").mode("overwrite").save())
+    time("scan-only-2")(input.write.format("noop").mode("overwrite").save())
+    time("exchange-only") {
+      input.repartition(cpus * 2, col("repo"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("exchange-only-2") {
+      input.repartition(cpus * 2, col("repo"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("score-no-repart") {
+      QualityFilter.score(spark, input, lm, km, repartition = false)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("score-no-repart-2") {
+      QualityFilter.score(spark, input, lm, km, repartition = false)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("score (repart+langid+knlm)") {
+      QualityFilter.score(spark, input, lm, km)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("score-2") {
+      QualityFilter.score(spark, input, lm, km)
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("heuristics-only") {
+      input.toDF().withColumn("dr", Heuristics.dropReasons(col("content")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("scrub-only") {
+      input.toDF().withColumn("s", PiiScrub.scrub_pii(col("content")))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("full verdicts") {
+      QualityFilter.verdicts(spark, input, lm, km)
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.stop()
+  }
+}

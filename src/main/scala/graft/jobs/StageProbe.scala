@@ -1,0 +1,66 @@
+package graft.jobs
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+import graft.filter.{KnLm, LangId, QualityFilter}
+import graft.model.FileRecord
+
+/** Temporary diagnostic: per-stage wall vs task-time for the full
+  * verdicts pass, to locate the serial component.
+  */
+object StageProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = if (args.nonEmpty) args(0).toInt else 32
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    final case class StageRow(id: Int, name: String, wallMs: Long,
+        taskSumMs: Long, gcMs: Long, tasks: Int)
+    val stages = new ArrayBuffer[StageRow]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val wall = (for {
+          s <- i.submissionTime; c <- i.completionTime
+        } yield c - s).getOrElse(-1L)
+        stages += StageRow(i.stageId, i.name.takeWhile(_ != '\n').take(60),
+          wall, i.taskMetrics.executorRunTime, i.taskMetrics.jvmGCTime,
+          i.numTasks)
+      }
+    })
+
+    val lm = spark.sparkContext.broadcast(LangId.load(BuildFixtures.LangIdModelPath))
+    val km = spark.sparkContext.broadcast(KnLm.load(BuildFixtures.KnLmModelPath))
+    val input = spark.read.parquet(ScalingBench.BenchCorpus).as[FileRecord]
+
+    def pass(label: String): Unit = {
+      stages.clear()
+      val t0 = System.nanoTime()
+      QualityFilter.verdicts(spark, input, lm, km)
+        .write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[stages $cpus] $label total=$wall%.2f s")
+      stages.foreach { s =>
+        System.err.println(f"[stages $cpus]   stage ${s.id}%3d ${s.tasks}%4d tasks " +
+          f"wall=${s.wallMs / 1000.0}%6.2f taskSum=${s.taskSumMs / 1000.0}%7.2f " +
+          f"(par=${s.taskSumMs.toDouble / math.max(s.wallMs, 1)}%5.2f) " +
+          f"gc=${s.gcMs / 1000.0}%5.2f  ${s.name}")
+      }
+      val stagesWall = stages.map(_.wallMs).sum / 1000.0
+      System.err.println(f"[stages $cpus]   sum(stage wall)=$stagesWall%.2f driver-gap=${wall - stagesWall}%.2f")
+    }
+    pass("warmup")
+    pass("timed")
+    spark.stop()
+  }
+}
