@@ -1,0 +1,133 @@
+package graft.export
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.model.FieldProfile
+
+/** Export surface — the reference's presentation operators (SURVEY.md
+  * §2.8) re-expressed as ordered projections + `to_json` assembly. The
+  * data plane is a plain `Dataset`; sheet styling (fills, borders) is
+  * presentation-only and out of the data plane.
+  */
+object Exports {
+
+  /** Python `str.title()` parity (U4) — `initcap` differs: Python
+    * uppercases the letter after ANY non-alpha (digits included:
+    * "a1b" → "A1B"), `initcap` only after whitespace. Used by the
+    * fallback business name (`ai_generator.py:525-533`).
+    */
+  def pyTitle(s: String): String = {
+    if (s == null) return null
+    val sb = new java.lang.StringBuilder(s.length)
+    var prevAlpha = false
+    s.foreach { c =>
+      if (c.isLetter) {
+        sb.append(if (prevAlpha) c.toLower else c.toUpper)
+        prevAlpha = true
+      } else {
+        sb.append(c)
+        prevAlpha = false
+      }
+    }
+    sb.toString
+  }
+
+  private val pyTitleUdf = udf(pyTitle _)
+
+  /** Deterministic fallback business name + description
+    * (`ai_generator.py:525-533`): the engine's network-free stand-in for
+    * the reference's AI annotation path.
+    */
+  def withFallbackAnnotation(profiles: DataFrame): DataFrame = {
+    val businessName =
+      pyTitleUdf(regexp_replace(col("fieldName"), "_", " "))
+    profiles
+      .withColumn("businessName", businessName)
+      .withColumn("description",
+        concat(col("businessName"), lit(" field of type "),
+          coalesce(col("semanticType"), col("dataType"))))
+  }
+
+  /** E1 — the Excel "Data Dictionary" sheet projection, exact column
+    * order and rendering (`excel_exporter.py:58-67,138-173`): Field Path,
+    * Data Type, Semantic Type, Description, Sample Values (first 5,
+    * comma-joined), Null % (1 decimal + '%'), Cardinality
+    * (= distinct_count), PII Flag Yes/No. Ordered by position.
+    */
+  def dataDictionarySheet(profiles: Dataset[FieldProfile]): DataFrame =
+    withFallbackAnnotation(profiles.toDF())
+      .orderBy(col("position"))
+      .select(
+        col("fieldPath").as("Field Path"),
+        col("dataType").as("Data Type"),
+        coalesce(col("semanticType"), lit("")).as("Semantic Type"),
+        col("description").as("Description"),
+        concat_ws(", ", slice(col("sampleValues"), 1, 5)).as("Sample Values"),
+        concat(format_number(col("nullPercentage"), 1), lit("%")).as("Null %"),
+        col("distinctCount").as("Cardinality"),
+        when(col("isPii"), "Yes").otherwise("No").as("PII Flag"))
+
+  /** E2 — the "Metadata" sheet key-values (`excel_exporter.py:277-310`):
+    * a small summary map computed from the profile set.
+    */
+  def metadataSheet(profiles: Dataset[FieldProfile], name: String,
+      schemaHash: String): Seq[(String, String)] = {
+    val n = profiles.count()
+    val piiCount = profiles.filter(col("isPii")).count()
+    Seq(
+      "Dictionary Name" -> name,
+      "Total Fields" -> n.toString,
+      "PII Fields" -> piiCount.toString,
+      "Schema Hash" -> schemaHash)
+  }
+
+  /** S19/E1 — CSV sink for the ordered projection (the engine's data-plane
+    * stand-in for the styled XLSX writer; POI is not in this sandbox).
+    */
+  def exportCsv(profiles: Dataset[FieldProfile], path: String): Unit =
+    dataDictionarySheet(profiles)
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(path)
+
+  /** S20/E3 — JSON export with include_* toggles
+    * (`export_service.py:111-226`): per-field nested blocks with optional
+    * statistics / pii / annotation sections, as one JSON document column.
+    */
+  def exportJson(profiles: Dataset[FieldProfile],
+      includeStatistics: Boolean = true,
+      includePii: Boolean = true,
+      includeAnnotations: Boolean = true): DataFrame = {
+    val base: Seq[Column] = Seq(
+      col("fieldPath").as("field_path"),
+      col("fieldName").as("field_name"),
+      col("dataType").as("data_type"),
+      col("semanticType").as("semantic_type"),
+      col("isNullable").as("is_nullable"),
+      col("isArray").as("is_array"))
+    val stats =
+      if (includeStatistics) Seq(struct(
+        col("nullCount").as("null_count"),
+        col("nullPercentage").as("null_percentage"),
+        col("totalCount").as("total_count"),
+        col("distinctCount").as("distinct_count"),
+        col("minValue").as("min_value"),
+        col("maxValue").as("max_value"),
+        col("meanValue").as("mean_value")).as("statistics"))
+      else Nil
+    val pii =
+      if (includePii) Seq(struct(
+        col("isPii").as("is_pii"),
+        col("piiType").as("pii_type")).as("pii"))
+      else Nil
+    val ann =
+      if (includeAnnotations) Seq(struct(
+        col("description"),
+        col("businessName").as("business_name"),
+        lit(false).as("is_ai_generated")).as("annotation"))
+      else Nil
+    withFallbackAnnotation(profiles.toDF())
+      .orderBy(col("position"))
+      .select(to_json(struct(base ++ stats ++ pii ++ ann: _*)).as("field_json"))
+  }
+}

@@ -45,7 +45,8 @@ object JsonWalk {
       nestingLevel: Int,
       typeTag: String,
       value: String,
-      arrayItemTags: Seq[String]
+      arrayItemTags: Seq[String],
+      arrayMark: Boolean = false // XML repeated-child flag (xml_parser.py:369-381)
   )
 
   val MaxDepth = 10

@@ -40,7 +40,8 @@ object Profiler {
       nestingLevel: Int,
       typeTag: String,
       value: String,
-      arrayItemTags: Seq[String])
+      arrayItemTags: Seq[String],
+      arrayMark: Boolean = false)
 
   /** One retained sample candidate: the value plus its earliest-known
     * arrival key and the type tag observed at that arrival.
@@ -125,7 +126,7 @@ object Profiler {
         types = b.types.updated(o.typeTag, b.types.getOrElse(o.typeTag, 0L) + 1L),
         nullCount = b.nullCount + (if (o.typeTag == "null") 1L else 0L),
         totalCount = b.totalCount + 1L,
-        isArray = b.isArray || o.typeTag == "array",
+        isArray = b.isArray || o.typeTag == "array" || o.arrayMark,
         arrayItemTags = (b.arrayItemTags ++ o.arrayItemTags).distinct,
         samples = samples,
         minRec = mr, minSeq = ms)
@@ -169,7 +170,7 @@ object Profiler {
         if (json == null) Iterator.empty
         else JsonWalk.walk(json, mongo).iterator.map(o =>
           RawObs(rid, o.seq, o.fieldPath, o.fieldName, o.parentPath,
-            o.nestingLevel, o.typeTag, o.value, o.arrayItemTags))
+            o.nestingLevel, o.typeTag, o.value, o.arrayItemTags, o.arrayMark))
       }
   }
 
@@ -227,14 +228,45 @@ object Profiler {
       position = 0)
   }
 
+  /** XML variant of [[observations]]: same generator contract, fed by
+    * [[XmlWalk]] (S7-S10 semantics; one row may hold a whole collection).
+    */
+  def xmlObservations(spark: SparkSession, df: DataFrame, xmlCol: String,
+      maxRecords: Long = 0L): Dataset[RawObs] = {
+    import spark.implicits._
+    val capped = if (maxRecords > 0) df.limit(maxRecords.toInt) else df
+    capped.select(col(xmlCol).cast("string"))
+      .withColumn("_rid", monotonically_increasing_id())
+      .as[(String, Long)]
+      .flatMap { case (xml, rid) =>
+        if (xml == null) Iterator.empty
+        else XmlWalk.walk(xml).iterator.map(o =>
+          RawObs(rid, o.seq, o.fieldPath, o.fieldName, o.parentPath,
+            o.nestingLevel, o.typeTag, o.value, o.arrayItemTags, o.arrayMark))
+      }
+  }
+
+  /** XML profile job — same aggregation/analysis path as [[profile]]. */
+  def profileXml(spark: SparkSession, df: DataFrame, xmlCol: String,
+      maxRecords: Long = 0L): Dataset[FieldProfile] =
+    profileObs(spark, xmlObservations(spark, df, xmlCol, maxRecords))
+
   /** Full profile job: JSON column → `Dataset[FieldProfile]` with
     * `position` = first-seen enumeration order (W3; the reference's
     * `enumerate` at `dictionary_service.py:220-226`).
     */
   def profile(spark: SparkSession, df: DataFrame, jsonCol: String,
       mongo: Boolean = false, maxRecords: Long = 0L): Dataset[FieldProfile] = {
-    import spark.implicits._
     val obs = observations(spark, df, jsonCol, mongo, maxRecords)
+    profileObs(spark, obs)
+  }
+
+  /** Shared tail: observations → single-shuffle accumulate → analyze →
+    * position.
+    */
+  def profileObs(spark: SparkSession,
+      obs: Dataset[RawObs]): Dataset[FieldProfile] = {
+    import spark.implicits._
     val aggregated = obs.groupByKey(_.fieldPath)
       .agg(FieldAccumulator.toColumn.name("buf"))
     val analyzed = aggregated.map { case (path, buf) =>

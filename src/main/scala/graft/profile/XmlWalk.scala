@@ -1,0 +1,171 @@
+package graft.profile
+
+import javax.xml.parsers.DocumentBuilderFactory
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.w3c.dom.{Document, Element, Node}
+
+import graft.profile.JsonWalk.Obs
+
+/** XML field walk — the Spark-side analogue of the reference's XMLParser
+  * (`/root/reference/backend/src/processors/xml_parser.py:150-412`):
+  * structure detection (S7), collection/single-record scans (S8/S9),
+  * namespace stripping (S10), attributes as `@`-prefixed fields, repeated
+  * children flagged as arrays.
+  *
+  * Semantics mirrored exactly:
+  *  - every XML value is `string`; empty text / childless-empty / has-
+  *    children elements observe `null` (`xml_parser.py:117-128` —
+  *    XMLFieldMetadata.observe_value)
+  *  - attributes: path `elem_path.@attr`, parent = the element's own path,
+  *    nesting level = the element's depth (`xml_parser.py:332-347`)
+  *  - repeated children under one parent instance → `is_array` mark
+  *    (`xml_parser.py:362-381`), observations unchanged
+  *  - namespace `{ns}tag → tag` (lxml) ≡ localName here
+  *    (`xml_parser.py:404-412`); depth cap 10 (`core/config.py:91`)
+  *  - structure detection: any (parent,child) tag pair repeating within
+  *    the first 100 elements at depth ≤2 ⇒ collection with that child as
+  *    the record tag (`xml_parser.py:155-223`)
+  *
+  * XXE safety: external entities and DTD loading disabled, matching the
+  * reference's `no_network/resolve_entities=False` defaults.
+  */
+object XmlWalk {
+
+  val MaxDepth = 10
+  val AttributePrefix = "@" // core/config.py:93
+
+  private def newDoc(xml: String): Option[Document] = {
+    try {
+      val f = DocumentBuilderFactory.newInstance()
+      f.setNamespaceAware(true)
+      f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", false)
+      f.setFeature("http://xml.org/sax/features/external-general-entities", false)
+      f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+      f.setAttribute("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
+      val b = f.newDocumentBuilder()
+      b.setErrorHandler(null)
+      Some(b.parse(new java.io.ByteArrayInputStream(xml.getBytes("UTF-8"))))
+    } catch { case _: Exception => None }
+  }
+
+  private def cleanTag(n: Node, strip: Boolean): String =
+    if (strip && n.getLocalName != null) n.getLocalName else n.getNodeName
+
+  private def childElements(e: Element): Seq[Element] = {
+    val nl = e.getChildNodes
+    (0 until nl.getLength).flatMap { i =>
+      nl.item(i) match {
+        case el: Element => Some(el)
+        case _ => None
+      }
+    }
+  }
+
+  private def directText(e: Element): String = {
+    // lxml `elem.text` = text before the first child only
+    val nl = e.getChildNodes
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    var stop = false
+    while (i < nl.getLength && !stop) {
+      val n = nl.item(i)
+      if (n.getNodeType == Node.TEXT_NODE || n.getNodeType == Node.CDATA_SECTION_NODE)
+        sb.append(n.getNodeValue)
+      else if (n.getNodeType == Node.ELEMENT_NODE) stop = true
+      i += 1
+    }
+    sb.toString.trim
+  }
+
+  /** S7 — structure detection over (up to) the first 100 elements in
+    * document order: a (parent, child) tag pair occurring more than once
+    * with the child at depth ≤ 2 ⇒ collection rooted at that child tag.
+    */
+  def detectStructure(xml: String, stripNamespaces: Boolean = true): (Boolean, Option[String]) = {
+    val doc = newDoc(xml).getOrElse(return (false, None))
+    val counts = scala.collection.mutable.LinkedHashMap.empty[(String, String), Int]
+    val depths = scala.collection.mutable.Map.empty[String, Int]
+    var checked = 0
+    def scan(e: Element, depth: Int): Unit = {
+      if (checked > 100) return
+      checked += 1
+      childElements(e).foreach { c =>
+        val key = (cleanTag(e, stripNamespaces), cleanTag(c, stripNamespaces))
+        counts(key) = counts.getOrElse(key, 0) + 1
+        depths(cleanTag(c, stripNamespaces)) = depth + 1
+        scan(c, depth + 1)
+      }
+    }
+    scan(doc.getDocumentElement, 0)
+    counts.collectFirst {
+      case ((_, child), n) if n > 1 && depths.getOrElse(child, 0) <= 2 =>
+        (true, Some(child))
+    }.getOrElse((false, None))
+  }
+
+  /** Walk one XML document: auto-detects collection vs single record
+    * (S7), then emits observations per record (S8) or for the whole tree
+    * (S9). `maxRecords` mirrors the reference's 1000-record cap.
+    */
+  def walk(xml: String, stripNamespaces: Boolean = true,
+      maxRecords: Int = 1000): Seq[Obs] = {
+    val doc = newDoc(xml).getOrElse(return Seq.empty)
+    val root = doc.getDocumentElement
+    val out = new ArrayBuffer[Obs]()
+    var seq = 0
+
+    def observe(path: String, name: String, parent: String, depth: Int,
+        value: String, mark: Boolean): Unit = {
+      val (tag, v) =
+        if (value == null || value.isEmpty) ("null", null) else ("string", value)
+      out += Obs(seq, path, name, parent, depth, tag, v, Nil, mark)
+      seq += 1
+    }
+
+    // _extract_fields (xml_parser.py:310-402)
+    def extract(e: Element, parentPath: String, depth: Int, mark: Boolean): Unit = {
+      if (depth > MaxDepth) return
+      val tag = cleanTag(e, stripNamespaces)
+      val path = if (parentPath.isEmpty) tag else s"$parentPath.$tag"
+      // attributes first, as @-prefixed children of this element's path
+      val attrs = e.getAttributes
+      var i = 0
+      while (i < attrs.getLength) {
+        val a = attrs.item(i)
+        val an = cleanTag(a, stripNamespaces)
+        if (!an.startsWith("xmlns")) {
+          observe(s"$path.$AttributePrefix$an", s"$AttributePrefix$an",
+            path, depth, a.getNodeValue, mark = false)
+        }
+        i += 1
+      }
+      val children = childElements(e)
+      if (children.nonEmpty) {
+        observe(path, tag, parentPath, depth, null, mark) // structural: no direct value
+        val childCounts = children.groupBy(cleanTag(_, stripNamespaces))
+          .map { case (t, cs) => t -> cs.size }
+        children.foreach { c =>
+          extract(c, path, depth + 1,
+            mark = childCounts(cleanTag(c, stripNamespaces)) > 1)
+        }
+      } else {
+        observe(path, tag, parentPath, depth, directText(e), mark)
+      }
+    }
+
+    detectStructure(xml, stripNamespaces) match {
+      case (true, Some(recordTag)) =>
+        // S8: each record element is one record, extracted at depth 0 with
+        // empty parent (collection wrapper does not appear in paths)
+        def findRecords(e: Element): Seq[Element] =
+          if (cleanTag(e, stripNamespaces) == recordTag) Seq(e)
+          else childElements(e).flatMap(findRecords)
+        findRecords(root).take(maxRecords).foreach(extract(_, "", 0, mark = false))
+      case _ =>
+        extract(root, "", 0, mark = false)
+    }
+    out.toSeq
+  }
+}

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.model.FieldProfile
+
+/** Field search / catalog query surface — the reference's repository
+  * filters (SURVEY.md §2.2 P8-P10, §2.6 O1-O4) over `Dataset[FieldProfile]`.
+  * All plain Catalyst: filters push into the profile-table scan, top-k
+  * sorts compile to TakeOrderedAndProject.
+  */
+object FieldSearch {
+
+  /** P8 — global search (`repositories/field_repo.py:530-612`):
+    * case-insensitive substring on name/path, optional equality filters,
+    * ordered by field_path with offset/limit pagination (O1/O2).
+    */
+  def search(profiles: Dataset[FieldProfile],
+      query: Option[String] = None,
+      dataType: Option[String] = None,
+      semanticType: Option[String] = None,
+      isPii: Option[Boolean] = None,
+      offsetN: Int = 0, limitN: Int = 50): DataFrame = {
+    var df = profiles.toDF()
+    query.foreach { q =>
+      val needle = lit(q.toLowerCase)
+      df = df.filter(lower(col("fieldName")).contains(needle) ||
+        lower(col("fieldPath")).contains(needle))
+    }
+    dataType.foreach(v => df = df.filter(col("dataType") === v))
+    semanticType.foreach(v => df = df.filter(col("semanticType") === v))
+    isPii.foreach(v => df = df.filter(col("isPii") === v))
+    df.orderBy(col("fieldPath")).offset(offsetN).limit(limitN)
+  }
+
+  /** P9 — high-cardinality fields (`field_repo.py:435-472`). */
+  def highCardinality(profiles: Dataset[FieldProfile],
+      threshold: Double = 0.9): DataFrame =
+    profiles.toDF()
+      .filter(col("cardinalityRatio") >= threshold)
+      .orderBy(col("cardinalityRatio").desc, col("fieldPath"))
+
+  /** P10/O4 — PII fields by confidence desc (`field_repo.py:235-246`). */
+  def piiFields(profiles: Dataset[FieldProfile]): DataFrame =
+    profiles.toDF()
+      .filter(col("isPii"))
+      .orderBy(col("confidenceScore").desc, col("fieldPath"))
+
+  /** P10/O4 — nullable fields by null %% desc (`field_repo.py:300-311`). */
+  def nullableFields(profiles: Dataset[FieldProfile]): DataFrame =
+    profiles.toDF()
+      .filter(col("isNullable"))
+      .orderBy(col("nullPercentage").desc, col("fieldPath"))
+
+  /** P10 — array fields, by position (`field_repo.py:350-399`). */
+  def arrayFields(profiles: Dataset[FieldProfile]): DataFrame =
+    profiles.toDF().filter(col("isArray")).orderBy(col("position"))
+}

@@ -1,0 +1,65 @@
+package graft.sources
+
+/** Relational-catalog scan helpers (SURVEY.md §2.1 S14-S17).
+  *
+  * The data plane for SQLite/GeoPackage in the reference is a JDBC-style
+  * table scan (`spark.read.jdbc` in this engine); no SQLite JDBC driver
+  * ships in this sandbox, so the scan wiring is exercised against Parquet
+  * tables in tests while the FORMAT-SPECIFIC logic — the pieces the
+  * reference actually implements — lives here as pure functions:
+  * type-affinity mapping and GeoPackage geometry dimensions.
+  */
+object JdbcCatalog {
+
+  /** S16 — SQLite type-affinity map
+    * (`/root/reference/backend/src/processors/sqlite_parser.py:337-391`).
+    * Declared-type keyword containment, checked in the reference's rule
+    * order (INT-family before REAL-family, so "INTEGER" hits integer even
+    * though it also contains no REAL keyword; "POINT" hits integer via
+    * "INT" — faithful to the reference).
+    */
+  def mapSqliteType(declaredType: String): String = {
+    val t = if (declaredType == null) "" else declaredType.toUpperCase
+    if (t.isEmpty) "string" // empty affinity without observations
+    else if (Seq("INT", "TINYINT", "SMALLINT", "MEDIUMINT", "BIGINT").exists(t.contains))
+      "integer"
+    else if (Seq("REAL", "DOUBLE", "FLOAT", "NUMERIC", "DECIMAL").exists(t.contains))
+      "float"
+    else if (Seq("TEXT", "VARCHAR", "CHAR", "CLOB", "STRING").exists(t.contains))
+      "string"
+    else if (t.contains("BLOB")) "binary"
+    else if (Seq("BOOL", "BOOLEAN").exists(t.contains)) "boolean"
+    else if (Seq("DATE", "TIME", "DATETIME", "TIMESTAMP").exists(t.contains))
+      "string"
+    else "string"
+  }
+
+  /** S16 — empty-affinity fallback: infer from observed physical tags
+    * (`sqlite_parser.py:352-364`), in the reference's priority order.
+    */
+  def inferFromObserved(typesSeen: Set[String]): String =
+    if (typesSeen.contains("integer")) "integer"
+    else if (typesSeen.contains("float")) "float"
+    else if (typesSeen.contains("boolean")) "boolean"
+    else if (typesSeen.contains("binary")) "binary"
+    else "string"
+
+  /** S17 — GeoPackage geometry dimension string
+    * (`/root/reference/backend/src/processors/geopackage_parser.py:260-276`):
+    * z/m flags 0=prohibited, 1=mandatory, 2=optional.
+    */
+  def dimensionString(z: Int, m: Int): String = {
+    val sb = new StringBuilder("XY")
+    if (z == 1 || z == 2) sb.append('Z')
+    if (m == 1 || m == 2) sb.append('M')
+    sb.toString
+  }
+
+  /** S17 — GeoPackage system tables excluded from layer scans
+    * (`geopackage_parser.py:41-363`: `gpkg_%`/`rtree_%` + sqlite
+    * internals).
+    */
+  def isUserTable(name: String): Boolean =
+    !name.startsWith("gpkg_") && !name.startsWith("rtree_") &&
+      !name.startsWith("sqlite_")
+}

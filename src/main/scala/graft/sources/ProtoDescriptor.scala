@@ -1,0 +1,162 @@
+package graft.sources
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal protobuf wire-format reader + FileDescriptorSet model — the
+  * engine's `.desc` scanner (SURVEY.md §2.1 S18; reference
+  * `/root/reference/backend/src/processors/protobuf_parser.py:58-500`).
+  *
+  * protobuf-java is not on this classpath, so the wire format (a public,
+  * stable spec: varints + tag = (field_number << 3) | wire_type) is decoded
+  * directly — ~100 lines for the descriptor subset the reference reads:
+  * files → messages (nested, skipping map-entries) / enums / services.
+  * `.proto` source compilation (the reference shells out to protoc) is out
+  * of scope in a sandbox without protoc; `.desc` is the interchange format.
+  */
+object ProtoDescriptor {
+
+  // --- wire reader ---------------------------------------------------
+  final case class Field(number: Int, varint: Long, bytes: Array[Byte]) {
+    def utf8: String = new String(bytes, "UTF-8")
+  }
+
+  /** Decode one message's fields. Unknown/irrelevant wire types are
+    * skipped correctly so forward-compatible descriptors still parse.
+    */
+  def readMessage(b: Array[Byte], from: Int = 0, to: Int = -1): Seq[Field] = {
+    val end = if (to < 0) b.length else to
+    val out = new ArrayBuffer[Field]()
+    var i = from
+    def varint(): Long = {
+      var shift = 0
+      var v = 0L
+      var more = true
+      while (more) {
+        val x = b(i) & 0xFF
+        i += 1
+        v |= (x & 0x7FL) << shift
+        shift += 7
+        more = (x & 0x80) != 0
+      }
+      v
+    }
+    while (i < end) {
+      val tag = varint()
+      val num = (tag >>> 3).toInt
+      (tag & 7L).toInt match {
+        case 0 => out += Field(num, varint(), Array.emptyByteArray)
+        case 1 => out += Field(num, 0L, Array.emptyByteArray); i += 8
+        case 2 =>
+          val len = varint().toInt
+          out += Field(num, 0L, java.util.Arrays.copyOfRange(b, i, i + len))
+          i += len
+        case 5 => out += Field(num, 0L, Array.emptyByteArray); i += 4
+        case w => throw new IllegalArgumentException(s"wire type $w")
+      }
+    }
+    out.toSeq
+  }
+
+  private def strs(fs: Seq[Field], n: Int): Seq[String] =
+    fs.filter(_.number == n).map(_.utf8)
+  private def str(fs: Seq[Field], n: Int): String =
+    fs.find(_.number == n).map(_.utf8).getOrElse("")
+  private def ints(fs: Seq[Field], n: Int): Seq[Long] =
+    fs.filter(_.number == n).map(_.varint)
+  private def subs(fs: Seq[Field], n: Int): Seq[Seq[Field]] =
+    fs.filter(_.number == n).map(f => readMessage(f.bytes))
+
+  // --- descriptor model (the subset protobuf_parser.py reads) ---------
+  /** protobuf type enum → name (`protobuf_parser.py:20-39`). */
+  val TypeNames: Map[Int, String] = Map(
+    1 -> "double", 2 -> "float", 3 -> "int64", 4 -> "uint64", 5 -> "int32",
+    6 -> "fixed64", 7 -> "fixed32", 8 -> "bool", 9 -> "string", 10 -> "group",
+    11 -> "message", 12 -> "bytes", 13 -> "uint32", 14 -> "enum",
+    15 -> "sfixed32", 16 -> "sfixed64", 17 -> "sint32", 18 -> "sint64")
+  val LabelNames: Map[Int, String] =
+    Map(1 -> "optional", 2 -> "required", 3 -> "repeated")
+
+  final case class PField(name: String, number: Int, tpe: String,
+      label: String, default: Option[String])
+  final case class PEnum(name: String, fullName: String,
+      values: Seq[(String, Long)])
+  final case class PMessage(name: String, fullName: String,
+      fields: Seq[PField], nested: Seq[PMessage], enums: Seq[PEnum])
+  final case class PMethod(name: String, inputType: String,
+      outputType: String, clientStreaming: Boolean, serverStreaming: Boolean)
+  final case class PService(name: String, fullName: String,
+      methods: Seq[PMethod])
+  final case class PFile(name: String, pkg: String, syntax: String,
+      messages: Seq[PMessage], enums: Seq[PEnum], services: Seq[PService])
+
+  private def fieldOf(fs: Seq[Field]): PField = {
+    val t = ints(fs, 5).headOption.map(_.toInt).getOrElse(0)
+    val tpeName = TypeNames.getOrElse(t, "unknown")
+    // message/enum fields carry the referenced type (`:292-296`)
+    val tpe =
+      if (t == 11 || t == 14)
+        s"$tpeName<${str(fs, 6).stripPrefix(".")}>"
+      else tpeName
+    PField(str(fs, 1), ints(fs, 3).headOption.getOrElse(0L).toInt, tpe,
+      LabelNames.getOrElse(ints(fs, 4).headOption.map(_.toInt).getOrElse(1),
+        "optional"),
+      fs.find(_.number == 7).map(_.utf8))
+  }
+
+  private def enumOf(fs: Seq[Field], prefix: String): PEnum = {
+    val name = str(fs, 1)
+    PEnum(name, s"$prefix.$name".stripPrefix("."),
+      subs(fs, 2).map(v => (str(v, 1), ints(v, 2).headOption.getOrElse(0L))))
+  }
+
+  private def isMapEntry(fs: Seq[Field]): Boolean =
+    subs(fs, 7).exists(opts => ints(opts, 7).headOption.contains(1L))
+
+  private def messageOf(fs: Seq[Field], prefix: String): PMessage = {
+    val name = str(fs, 1)
+    val full = s"$prefix.$name".stripPrefix(".")
+    PMessage(name, full,
+      subs(fs, 2).map(fieldOf),
+      // map-entry synthetic messages skipped (`:264-266`)
+      subs(fs, 3).filterNot(isMapEntry).map(messageOf(_, full)),
+      subs(fs, 4).map(enumOf(_, full)))
+  }
+
+  private def serviceOf(fs: Seq[Field], pkg: String): PService = {
+    val name = str(fs, 1)
+    PService(name, s"$pkg.$name".stripPrefix("."),
+      subs(fs, 2).map { m =>
+        PMethod(str(m, 1), str(m, 2).stripPrefix("."),
+          str(m, 3).stripPrefix("."),
+          ints(m, 5).headOption.contains(1L),
+          ints(m, 6).headOption.contains(1L))
+      })
+  }
+
+  /** Parse a serialized FileDescriptorSet. */
+  def parse(bytes: Array[Byte]): Seq[PFile] =
+    subs(readMessage(bytes), 1).map { f =>
+      val pkg = str(f, 2)
+      PFile(str(f, 1), pkg,
+        if (str(f, 12).isEmpty) "proto2" else str(f, 12),
+        subs(f, 4).map(messageOf(_, pkg)),
+        subs(f, 5).map(enumOf(_, pkg)),
+        subs(f, 6).map(serviceOf(_, pkg)))
+    }
+
+  /** protobuf type string → standard physical type
+    * (`protobuf_parser.py:502-537`).
+    */
+  def standardType(proto: String): String =
+    if (proto.startsWith("message<")) "object"
+    else if (proto.startsWith("enum<")) "integer"
+    else proto match {
+      case "double" | "float" => "float"
+      case "int32" | "int64" | "uint32" | "uint64" | "sint32" | "sint64" |
+           "fixed32" | "fixed64" | "sfixed32" | "sfixed64" => "integer"
+      case "bool" => "boolean"
+      case "string" => "string"
+      case "bytes" => "binary"
+      case _ => "string"
+    }
+}

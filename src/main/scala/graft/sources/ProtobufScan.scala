@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.model.FieldProfile
+import graft.profile.{PandasStats, TypeInference}
+
+/** `.desc` → `Dataset[FieldProfile]` — the reference's protobuf field
+  * flattening (`protobuf_parser.py:368-500`): top-level message fields
+  * (`message.field`), top-level enum values (as integer fields sampled
+  * with their number), and service methods. Driver-side metadata parse →
+  * `spark.createDataset` (no data plane; SURVEY.md §2.1 S18).
+  *
+  * Faithful quirk: like the reference, only TOP-LEVEL messages/enums are
+  * flattened to field rows — nested message fields stay reachable through
+  * [[ProtoDescriptor.parse]] but do not produce rows.
+  */
+object ProtobufScan {
+
+  def fieldProfiles(spark: SparkSession,
+      descriptorSet: Array[Byte]): Dataset[FieldProfile] = {
+    import spark.implicits._
+    val files = ProtoDescriptor.parse(descriptorSet)
+    var position = 0
+    def next(): Int = { val p = position; position += 1; p }
+
+    val rows = files.flatMap { f =>
+      val messageFields = f.messages.flatMap { m =>
+        m.fields.map { fld =>
+          val std = ProtoDescriptor.standardType(fld.tpe)
+          val isArray = fld.label == "repeated"
+          val (dataType, conf) = TypeInference.inferType(Map(std -> 1L))
+          FieldProfile(
+            fieldPath = s"${m.fullName}.${fld.name}",
+            fieldName = fld.name,
+            parentPath = m.fullName,
+            nestingLevel = 1,
+            dataType = dataType,
+            confidenceScore = conf,
+            typesSeen = Map(std -> 1L),
+            isArray = isArray,
+            arrayItemType = if (isArray) std else null,
+            sampleValues = Nil,
+            totalCount = 0L, nullCount = 0L, nullPercentage = 0.0,
+            distinctCount = 0L, cardinalityRatio = 0.0, isNullable = false,
+            semanticType = None, isPii = false, piiType = None,
+            minValue = None, maxValue = None, meanValue = None,
+            medianValue = None, stdDev = None, percentile25 = None,
+            percentile75 = None,
+            position = next())
+        }
+      }
+      val enumValues = f.enums.flatMap { e =>
+        e.values.map { case (name, number) =>
+          val sample = number.toString
+          val stats = PandasStats.numericStats(Seq(sample))
+          FieldProfile(
+            fieldPath = s"${e.fullName}.$name",
+            fieldName = name,
+            parentPath = e.fullName,
+            nestingLevel = 1,
+            dataType = "integer",
+            confidenceScore = 100.0,
+            typesSeen = Map("integer" -> 1L),
+            isArray = false, arrayItemType = null,
+            sampleValues = Seq(sample),
+            totalCount = 1L, nullCount = 0L, nullPercentage = 0.0,
+            distinctCount = 1L, cardinalityRatio = 1.0, isNullable = false,
+            semanticType = None, isPii = false, piiType = None,
+            minValue = stats.map(_.min), maxValue = stats.map(_.max),
+            meanValue = stats.map(_.mean), medianValue = stats.map(_.median),
+            stdDev = stats.flatMap(_.stdDev),
+            percentile25 = stats.map(_.p25), percentile75 = stats.map(_.p75),
+            position = next())
+        }
+      }
+      val methods = f.services.flatMap { s =>
+        s.methods.map { m =>
+          FieldProfile(
+            fieldPath = s"${s.fullName}.${m.name}",
+            fieldName = m.name,
+            parentPath = s.fullName,
+            nestingLevel = 1,
+            dataType = "string",
+            confidenceScore = 100.0,
+            typesSeen = Map("string" -> 1L),
+            isArray = false, arrayItemType = null,
+            sampleValues = Nil,
+            totalCount = 0L, nullCount = 0L, nullPercentage = 0.0,
+            distinctCount = 0L, cardinalityRatio = 0.0, isNullable = false,
+            semanticType = None, isPii = false, piiType = None,
+            minValue = None, maxValue = None, meanValue = None,
+            medianValue = None, stdDev = None, percentile25 = None,
+            percentile75 = None,
+            position = next())
+        }
+      }
+      messageFields ++ enumValues ++ methods
+    }
+    spark.createDataset(rows)
+  }
+}

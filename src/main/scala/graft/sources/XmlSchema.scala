@@ -1,0 +1,212 @@
+package graft.sources
+
+import javax.xml.XMLConstants
+import javax.xml.parsers.{DocumentBuilderFactory, SAXParserFactory}
+import javax.xml.transform.stream.StreamSource
+import javax.xml.validation.SchemaFactory
+
+import scala.collection.mutable.{ArrayBuffer, LinkedHashMap}
+
+import org.w3c.dom.Element
+import org.xml.sax.ext.{DeclHandler, DefaultHandler2}
+import org.xml.sax.{ErrorHandler, InputSource, SAXParseException}
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.model.FieldProfile
+
+/** XML schema (DTD/XSD) extraction + enhancement join — SURVEY.md §2.1
+  * S11-S13, reference
+  * `/root/reference/backend/src/processors/xml_schema_parser.py:25-509`.
+  *
+  * Driver-side metadata parse (tiny), broadcast-joined onto field
+  * profiles. DTD reading uses SAX's `DeclHandler` (JDK built-in — the
+  * declaration callbacks mirror lxml's DTD object walk); XSD reading
+  * walks the schema DOM; document-vs-XSD validation delegates to
+  * `javax.xml.validation` (JDK built-in).
+  */
+object XmlSchema {
+
+  // ---- S11: DTD ------------------------------------------------------
+  final case class DtdChild(name: String, cardinality: String)
+  final case class DtdElement(name: String, contentType: String,
+      contentModel: String, children: Seq[DtdChild])
+  final case class DtdAttribute(element: String, name: String, tpe: String,
+      defaultType: String, defaultValue: String,
+      allowedValues: Seq[String])
+  final case class DtdInfo(elements: Seq[DtdElement],
+      attributes: Seq[DtdAttribute])
+
+  /** Content-type classification (`xml_schema_parser.py:92-107`). */
+  def contentType(model: String): String =
+    if (model == null) "EMPTY"
+    else if (model == "(#PCDATA)") "PCDATA"
+    else if (model.contains("#PCDATA")) "MIXED"
+    else if (model == "EMPTY" || model == "ANY") model
+    else "ELEMENT"
+
+  /** Children + cardinality from a content-model string
+    * (`xml_schema_parser.py:109-144`: strip #PCDATA/parens, `|`→`,`,
+    * suffix `? * +` → OPTIONAL/ZERO_OR_MORE/ONE_OR_MORE).
+    */
+  def extractChildren(model: String): Seq[DtdChild] = {
+    if (model == null) return Nil
+    model.replace("#PCDATA", "").replace("|", ",")
+      .replaceAll("[()]", "")
+      .split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty)
+      .map { part =>
+        val (name, card) =
+          if (part.endsWith("?")) (part.dropRight(1), "OPTIONAL")
+          else if (part.endsWith("*")) (part.dropRight(1), "ZERO_OR_MORE")
+          else if (part.endsWith("+")) (part.dropRight(1), "ONE_OR_MORE")
+          else (part, "REQUIRED")
+        DtdChild(name, card)
+      }
+      .filter(_.name.nonEmpty)
+  }
+
+  /** Parse the internal DTD subset of an XML document. */
+  def parseDtd(xml: String): DtdInfo = {
+    val elements = new LinkedHashMap[String, DtdElement]()
+    val attrs = new ArrayBuffer[DtdAttribute]()
+    val handler = new DefaultHandler2 with DeclHandler {
+      override def elementDecl(name: String, model: String): Unit =
+        elements(name) = DtdElement(name, contentType(model),
+          if (model == null) "EMPTY" else model, extractChildren(model))
+      override def attributeDecl(eName: String, aName: String, tpe: String,
+          mode: String, value: String): Unit = {
+        val allowed =
+          if (tpe != null && tpe.startsWith("("))
+            tpe.stripPrefix("(").stripSuffix(")").split("\\|").toSeq.map(_.trim)
+          else Nil
+        attrs += DtdAttribute(eName, aName, tpe, mode, value, allowed)
+      }
+    }
+    val f = SAXParserFactory.newInstance()
+    f.setNamespaceAware(true)
+    f.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    val p = f.newSAXParser()
+    p.setProperty("http://xml.org/sax/properties/declaration-handler", handler)
+    try p.parse(new InputSource(new java.io.StringReader(xml)), handler)
+    catch { case _: Exception => }
+    DtdInfo(elements.values.toSeq, attrs.toSeq)
+  }
+
+  // ---- S12: XSD ------------------------------------------------------
+  final case class XsdElement(name: String, tpe: String, minOccurs: String,
+      maxOccurs: String, nillable: Boolean)
+  final case class XsdAttributeDef(name: String, tpe: String, use: String)
+  final case class XsdComplexType(name: String, compositor: String,
+      elements: Seq[XsdElement], attributes: Seq[XsdAttributeDef])
+  final case class XsdSimpleType(name: String, baseType: String,
+      restrictions: Seq[(String, String)], enumeration: Seq[String])
+  final case class XsdInfo(targetNamespace: String,
+      elements: Seq[XsdElement], complexTypes: Seq[XsdComplexType],
+      simpleTypes: Seq[XsdSimpleType])
+
+  private val XsNs = "http://www.w3.org/2001/XMLSchema"
+
+  private def descendants(e: Element, local: String): Seq[Element] = {
+    val nl = e.getElementsByTagNameNS(XsNs, local)
+    (0 until nl.getLength).map(nl.item(_).asInstanceOf[Element])
+  }
+
+  private def elementOf(e: Element): XsdElement = XsdElement(
+    e.getAttribute("name"),
+    if (e.hasAttribute("type")) e.getAttribute("type") else null,
+    if (e.hasAttribute("minOccurs")) e.getAttribute("minOccurs") else "1",
+    if (e.hasAttribute("maxOccurs")) e.getAttribute("maxOccurs") else "1",
+    e.getAttribute("nillable") == "true")
+
+  /** Parse an XSD document (`xml_schema_parser.py:160-290` semantics:
+    * every named xs:element/complexType/simpleType anywhere in the
+    * schema).
+    */
+  def parseXsd(xsd: String): XsdInfo = {
+    val f = DocumentBuilderFactory.newInstance()
+    f.setNamespaceAware(true)
+    val doc = f.newDocumentBuilder()
+      .parse(new InputSource(new java.io.StringReader(xsd)))
+    val root = doc.getDocumentElement
+    val elements = descendants(root, "element")
+      .filter(_.hasAttribute("name")).map(elementOf)
+    val complexTypes = descendants(root, "complexType")
+      .filter(_.hasAttribute("name")).map { ct =>
+        val compositor = Seq("sequence", "choice", "all")
+          .find(c => descendants(ct, c).nonEmpty)
+        val childElems = compositor.toSeq.flatMap(c =>
+          descendants(descendants(ct, c).head, "element")
+            .filter(_.hasAttribute("name")).map(elementOf))
+        val attrs = descendants(ct, "attribute").map(a => XsdAttributeDef(
+          a.getAttribute("name"),
+          if (a.hasAttribute("type")) a.getAttribute("type") else null,
+          if (a.hasAttribute("use")) a.getAttribute("use") else "optional"))
+        XsdComplexType(ct.getAttribute("name"), compositor.orNull,
+          childElems, attrs)
+      }
+    val simpleTypes = descendants(root, "simpleType")
+      .filter(_.hasAttribute("name")).map { st =>
+        val restriction = descendants(st, "restriction").headOption
+        val facets = restriction.toSeq.flatMap { r =>
+          val nl = r.getChildNodes
+          (0 until nl.getLength).map(nl.item).collect {
+            case e: Element if e.getNamespaceURI == XsNs =>
+              (e.getLocalName, e.getAttribute("value"))
+          }
+        }
+        XsdSimpleType(st.getAttribute("name"),
+          restriction.map(_.getAttribute("base")).orNull,
+          facets.filter(_._1 != "enumeration"),
+          facets.filter(_._1 == "enumeration").map(_._2))
+      }
+    XsdInfo(
+      if (root.hasAttribute("targetNamespace"))
+        root.getAttribute("targetNamespace") else null,
+      elements, complexTypes, simpleTypes)
+  }
+
+  /** S12 — validate an XML document against an XSD
+    * (`xml_schema_parser.py:322-404`): (isValid, error messages).
+    */
+  def validateXml(xml: String, xsd: String): (Boolean, Seq[String]) = {
+    val errors = new ArrayBuffer[String]()
+    try {
+      val sf = SchemaFactory.newInstance(XMLConstants.W3C_XML_SCHEMA_NS_URI)
+      val schema = sf.newSchema(new StreamSource(new java.io.StringReader(xsd)))
+      val v = schema.newValidator()
+      v.setErrorHandler(new ErrorHandler {
+        def warning(e: SAXParseException): Unit = ()
+        def error(e: SAXParseException): Unit =
+          errors += s"${e.getLineNumber}:${e.getColumnNumber} ${e.getMessage}"
+        def fatalError(e: SAXParseException): Unit =
+          errors += s"${e.getLineNumber}:${e.getColumnNumber} ${e.getMessage}"
+      })
+      v.validate(new StreamSource(new java.io.StringReader(xml)))
+      (errors.isEmpty, errors.toSeq)
+    } catch {
+      case e: Exception => (false, (errors += e.getMessage).toSeq)
+    }
+  }
+
+  // ---- S13/J5: enhancement join ---------------------------------------
+  /** Attach XSD element metadata to matching field rows by field name —
+    * the broadcast left join of `XMLSchemaEnhancer.enhance_fields`
+    * (`xml_schema_parser.py:407-509`). The schema side is driver-parsed
+    * metadata (at most hundreds of rows), so the join never shuffles the
+    * profile side.
+    */
+  def enhance(profiles: Dataset[FieldProfile], xsd: XsdInfo): DataFrame = {
+    val spark = profiles.sparkSession
+    import spark.implicits._
+    val meta = (xsd.elements ++ xsd.complexTypes.flatMap(_.elements))
+      .distinct
+      .map(e => (e.name, e.tpe, e.minOccurs, e.maxOccurs, e.nillable))
+      .toDF("fieldName", "xsd_type", "xsd_min_occurs", "xsd_max_occurs",
+        "xsd_nillable")
+      .dropDuplicates("fieldName")
+    profiles.toDF().join(broadcast(meta), Seq("fieldName"), "left")
+  }
+}

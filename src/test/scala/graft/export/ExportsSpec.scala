@@ -1,0 +1,75 @@
+package graft.export
+
+import graft.SparkSpec
+import graft.profile.Profiler
+import graft.queries.FieldSearch
+
+/** Export projections (E1-E3) and catalog search filters (P8-P10). */
+class ExportsSpec extends SparkSpec {
+
+  private lazy val profiles = {
+    import spark.implicits._
+    val rows = Seq(
+      """{"user_id": "u-1", "email": "a@b.com", "age": 30, "opt": null, "tags": ["x","y"]}""",
+      """{"user_id": "u-2", "email": "c@d.com", "age": 41, "opt": "v", "tags": ["z"]}""")
+    Profiler.profile(spark, rows.toDF("json"), "json")
+  }
+
+  test("python title() parity including the digit rule") {
+    assert(Exports.pyTitle("account_balance") === "Account_Balance")
+    assert(Exports.pyTitle("a1b") === "A1B") // initcap would give "A1b"
+    assert(Exports.pyTitle("hello world") === "Hello World")
+    assert(Exports.pyTitle("ALLCAPS") === "Allcaps")
+  }
+
+  test("data dictionary sheet has the exact 8-column contract") {
+    val sheet = Exports.dataDictionarySheet(profiles)
+    assert(sheet.columns.toSeq === Seq("Field Path", "Data Type",
+      "Semantic Type", "Description", "Sample Values", "Null %",
+      "Cardinality", "PII Flag"))
+    val rows = sheet.collect()
+    val byPath = rows.map(r => r.getString(0) -> r).toMap
+    assert(byPath("email").getString(7) === "Yes")
+    assert(byPath("age").getString(7) === "No")
+    assert(byPath("email").getString(4) === "a@b.com, c@d.com")
+    assert(byPath("opt").getString(5) === "50.0%")
+    // fallback annotation: title-cased name + type template
+    assert(byPath("user_id").getString(3) === "User Id field of type identifier")
+    // ordering follows position (document order)
+    assert(rows.head.getString(0) === "user_id")
+  }
+
+  test("json export toggles sections") {
+    import spark.implicits._
+    val full = Exports.exportJson(profiles).as[String].collect().head
+    assert(full.contains("\"statistics\""))
+    assert(full.contains("\"pii\""))
+    assert(full.contains("\"annotation\""))
+    val bare = Exports.exportJson(profiles, includeStatistics = false,
+      includePii = false, includeAnnotations = false)
+      .as[String].collect().head
+    assert(!bare.contains("\"statistics\""))
+    assert(!bare.contains("\"pii\""))
+    assert(!bare.contains("\"annotation\""))
+    assert(bare.contains("\"field_path\""))
+  }
+
+  test("search: substring + equality filters + pagination") {
+    val hits = FieldSearch.search(profiles, query = Some("ID")).collect()
+    assert(hits.map(_.getAs[String]("fieldPath")).toSeq === Seq("user_id"))
+    val pii = FieldSearch.search(profiles, isPii = Some(true)).collect()
+    assert(pii.map(_.getAs[String]("fieldPath")).toSeq === Seq("email"))
+    val page = FieldSearch.search(profiles, offsetN = 1, limitN = 2).collect()
+    assert(page.length === 2)
+  }
+
+  test("category filters: pii / nullable / array / high-cardinality") {
+    assert(FieldSearch.piiFields(profiles).collect()
+      .map(_.getAs[String]("fieldPath")).toSeq === Seq("email"))
+    assert(FieldSearch.nullableFields(profiles).collect()
+      .map(_.getAs[String]("fieldPath")).toSeq === Seq("opt"))
+    assert(FieldSearch.arrayFields(profiles).collect()
+      .map(_.getAs[String]("fieldPath")).toSeq === Seq("tags"))
+    assert(FieldSearch.highCardinality(profiles, 0.9).count() >= 3)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.profile.{Analysis, VersionDiff}
+
+/** Catalog persistence workflow: versioned profile runs, schema hashes,
+  * latest-version pick (W1), cross-version diff, analysis rollups.
+  */
+class ProfileJobSpec extends SparkSpec {
+
+  private lazy val outDir =
+    Files.createTempDirectory("graft_profile_job").toString
+
+  private def df(jsons: String*) = {
+    import spark.implicits._
+    jsons.toDF("json")
+  }
+
+  test("versioned profile runs: v1 then v2, hash changes with schema") {
+    val (v1, h1, p1) = ProfileJob.run(spark,
+      df("""{"id": 1, "name": "a"}""", """{"id": 2, "name": "b"}"""),
+      "json", outDir, "users")
+    assert(v1 === 1)
+    assert(p1.count() === 2)
+
+    val (v2, h2, _) = ProfileJob.run(spark,
+      df("""{"id": 1, "name": "a", "email": "a@b.co"}"""),
+      "json", outDir, "users")
+    assert(v2 === 2)
+    assert(h1 !== h2)
+    assert(ProfileJob.latestVersion(spark, outDir, "users") === 2)
+  }
+
+  test("fields read back typed and diffable across versions") {
+    ProfileJob.latestVersion(spark, outDir, "users") // ensure runs above
+    val f1 = ProfileJob.readFields(spark, outDir, "users", 1)
+    val f2 = ProfileJob.readFields(spark, outDir, "users", 2)
+    val d = VersionDiff.diff(f1, f2).collect().map(x => x.fieldPath -> x).toMap
+    assert(d("email").changeType === "added")
+    assert(!d("email").isBreaking)
+  }
+
+  test("separate dictionaries version independently") {
+    val (v, _, _) = ProfileJob.run(spark,
+      df("""{"k": true}"""), "json", outDir, "other")
+    assert(v === 1)
+    assert(ProfileJob.latestVersion(spark, outDir, "users") === 2)
+  }
+
+  test("mongo auto-detect routes wrapper documents to the mongo walker") {
+    import spark.implicits._
+    val mongo = df("""{"_id": {"$oid": "507f1f77bcf86cd799439011"}, "n": 1}""")
+    val p = Analysis.profileAutoDetect(spark, mongo, "json")
+      .collect().map(x => x.fieldPath -> x).toMap
+    assert(p("_id").dataType === "objectid")
+    assert(!p.contains("_id.$oid"))
+    // plain JSON stays in standard mode: wrapper-less object is an object
+    val plain = df("""{"_id": {"inner": "x"}}""")
+    val p2 = Analysis.profileAutoDetect(spark, plain, "json")
+      .collect().map(x => x.fieldPath -> x).toMap
+    assert(p2.contains("_id.inner"))
+  }
+
+  test("analysis rollups: type distribution and field statistics") {
+    val profiles = ProfileJob.readFields(spark, outDir, "users", 1)
+    val dist = Analysis.typeDistribution(profiles).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dist === Map("integer" -> 1L, "string" -> 1L))
+    val stats = Analysis.fieldStatistics(profiles).head()
+    assert(stats.getAs[Long]("total_fields") === 2L)
+    assert(stats.getAs[Long]("pii_fields") === 0L)
+  }
+}

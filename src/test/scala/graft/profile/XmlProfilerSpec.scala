@@ -1,0 +1,106 @@
+package graft.profile
+
+import graft.SparkSpec
+
+/** XML profiling vs the reference's XMLParser semantics
+  * (`/root/reference/backend/src/processors/xml_parser.py:150-412`),
+  * modeled on `/root/reference/samples/sample-data-medium.xml`.
+  */
+class XmlProfilerSpec extends SparkSpec {
+
+  private val collection =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<analytics>
+      |  <user id="U001" status="premium">
+      |    <profile>
+      |      <username>john_doe_92</username>
+      |      <email>john.doe@example.com</email>
+      |      <age>31</age>
+      |    </profile>
+      |    <sessions>
+      |      <session sid="S1"><duration>120</duration></session>
+      |      <session sid="S2"><duration>300</duration></session>
+      |    </sessions>
+      |    <notes></notes>
+      |  </user>
+      |  <user id="U002" status="basic">
+      |    <profile>
+      |      <username>jane_r</username>
+      |      <email>jane.r@example.com</email>
+      |      <age>27</age>
+      |    </profile>
+      |    <sessions>
+      |      <session sid="S3"><duration>45</duration></session>
+      |    </sessions>
+      |    <notes>vip</notes>
+      |  </user>
+      |</analytics>""".stripMargin
+
+  test("structure detection finds the repeating record element") {
+    assert(XmlWalk.detectStructure(collection) === ((true, Some("user"))))
+    val single = "<config><host>x</host><port>1</port></config>"
+    assert(XmlWalk.detectStructure(single) === ((false, None)))
+  }
+
+  private lazy val profiles = {
+    import spark.implicits._
+    Profiler.profileXml(spark, Seq(collection).toDF("xml"), "xml")
+      .collect().map(p => p.fieldPath -> p).toMap
+  }
+
+  test("records are rooted at the repeating element, not the wrapper") {
+    assert(profiles.contains("user"))
+    assert(!profiles.contains("analytics"))
+    assert(!profiles.contains("analytics.user"))
+    assert(profiles("user").totalCount === 2)
+  }
+
+  test("attributes become @-prefixed fields under the element path") {
+    val id = profiles("user.@id")
+    assert(id.fieldName === "@id")
+    assert(id.parentPath === "user")
+    assert(id.totalCount === 2)
+    assert(id.sampleValues === Seq("U001", "U002"))
+    assert(profiles("user.sessions.session.@sid").totalCount === 3)
+  }
+
+  test("all XML values are strings; structural elements observe null") {
+    assert(profiles("user.profile.username").dataType === "string")
+    assert(profiles("user.profile").dataType === "null")
+    assert(profiles("user.profile").typesSeen === Map("null" -> 2L))
+  }
+
+  test("empty elements count as nulls -> nullable") {
+    val notes = profiles("user.notes")
+    assert(notes.totalCount === 2)
+    assert(notes.nullCount === 1)
+    assert(notes.isNullable)
+    assert(notes.sampleValues === Seq("vip"))
+  }
+
+  test("repeated children are flagged as arrays") {
+    assert(profiles("user.sessions.session").isArray)
+    assert(!profiles("user.profile").isArray)
+    // duration appears once per session instance -> not repeated under one parent
+    assert(!profiles("user.sessions.session.duration").isArray)
+  }
+
+  test("nesting levels follow element depth; semantic detection applies") {
+    assert(profiles("user").nestingLevel === 0)
+    assert(profiles("user.profile.email").nestingLevel === 2)
+    assert(profiles("user.profile.email").semanticType === Some("email"))
+    assert(profiles("user.profile.email").isPii)
+  }
+
+  test("namespaces are stripped from tags") {
+    val ns =
+      """<m:root xmlns:m="http://example.com/meta">
+        |  <m:item>a</m:item><m:item>b</m:item>
+        |</m:root>""".stripMargin
+    import spark.implicits._
+    val p = Profiler.profileXml(spark, Seq(ns).toDF("xml"), "xml")
+      .collect().map(x => x.fieldPath -> x).toMap
+    assert(p.contains("item"))
+    assert(p("item").totalCount === 2)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQLite affinity + GeoPackage helpers (S14-S17 format logic). */
+class JdbcCatalogSpec extends AnyFunSuite {
+
+  test("sqlite affinity keyword containment in rule order") {
+    assert(JdbcCatalog.mapSqliteType("INTEGER") === "integer")
+    assert(JdbcCatalog.mapSqliteType("BigInt") === "integer")
+    assert(JdbcCatalog.mapSqliteType("REAL") === "float")
+    assert(JdbcCatalog.mapSqliteType("DECIMAL(10,2)") === "float")
+    assert(JdbcCatalog.mapSqliteType("VARCHAR(255)") === "string")
+    assert(JdbcCatalog.mapSqliteType("BLOB") === "binary")
+    assert(JdbcCatalog.mapSqliteType("BOOLEAN") === "boolean")
+    assert(JdbcCatalog.mapSqliteType("DATETIME") === "string")
+    assert(JdbcCatalog.mapSqliteType("GEOMETRY") === "string")
+    // reference quirk: "POINT" contains "INT" and maps to integer
+    assert(JdbcCatalog.mapSqliteType("POINT") === "integer")
+  }
+
+  test("empty affinity falls back to observed types in priority order") {
+    assert(JdbcCatalog.inferFromObserved(Set("integer", "string")) === "integer")
+    assert(JdbcCatalog.inferFromObserved(Set("float", "boolean")) === "float")
+    assert(JdbcCatalog.inferFromObserved(Set("boolean")) === "boolean")
+    assert(JdbcCatalog.inferFromObserved(Set("binary", "null")) === "binary")
+    assert(JdbcCatalog.inferFromObserved(Set("null")) === "string")
+  }
+
+  test("geopackage dimension strings") {
+    assert(JdbcCatalog.dimensionString(0, 0) === "XY")
+    assert(JdbcCatalog.dimensionString(1, 0) === "XYZ")
+    assert(JdbcCatalog.dimensionString(0, 2) === "XYM")
+    assert(JdbcCatalog.dimensionString(2, 1) === "XYZM")
+  }
+
+  test("gpkg/system tables excluded from layer scans") {
+    assert(JdbcCatalog.isUserTable("roads"))
+    assert(!JdbcCatalog.isUserTable("gpkg_contents"))
+    assert(!JdbcCatalog.isUserTable("rtree_roads_geom"))
+    assert(!JdbcCatalog.isUserTable("sqlite_sequence"))
+  }
+}

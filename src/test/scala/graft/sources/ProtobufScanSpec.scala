@@ -1,0 +1,123 @@
+package graft.sources
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.SparkSpec
+
+/** Protobuf descriptor scan (S18): wire decode + field flattening,
+  * against a FileDescriptorSet encoded by hand (mirrors the shape of
+  * the reference's addressbook sample).
+  */
+class ProtobufScanSpec extends SparkSpec {
+
+  // --- tiny wire writer (inverse of ProtoDescriptor.readMessage) ---
+  private def vint(buf: ArrayBuffer[Byte], v: Long): Unit = {
+    var x = v
+    while ((x & ~0x7FL) != 0) { buf += ((x & 0x7F) | 0x80).toByte; x >>>= 7 }
+    buf += x.toByte
+  }
+  private def field(buf: ArrayBuffer[Byte], n: Int, v: Long): Unit = {
+    vint(buf, (n << 3) | 0); vint(buf, v)
+  }
+  private def bytesField(buf: ArrayBuffer[Byte], n: Int, b: Array[Byte]): Unit = {
+    vint(buf, (n << 3) | 2); vint(buf, b.length.toLong); buf ++= b
+  }
+  private def strField(buf: ArrayBuffer[Byte], n: Int, s: String): Unit =
+    bytesField(buf, n, s.getBytes("UTF-8"))
+  private def msg(f: ArrayBuffer[Byte] => Unit): Array[Byte] = {
+    val b = new ArrayBuffer[Byte](); f(b); b.toArray
+  }
+
+  /** FileDescriptorSet for:
+    * package tutorial;
+    * message Person { string name=1; int32 id=2; repeated string emails=3;
+    *                  PhoneType type=4; message Inner { bool x=1; } }
+    * enum PhoneType { MOBILE=0; HOME=1; }
+    * service Contacts { rpc Lookup(Person) returns (Person); }
+    */
+  private lazy val descBytes: Array[Byte] = {
+    def fld(name: String, num: Int, tpe: Int, label: Int,
+        typeName: String = null) = msg { b =>
+      strField(b, 1, name); field(b, 3, num.toLong)
+      field(b, 4, label.toLong); field(b, 5, tpe.toLong)
+      if (typeName != null) strField(b, 6, typeName)
+    }
+    val inner = msg { b =>
+      strField(b, 1, "Inner")
+      bytesField(b, 2, fld("x", 1, 8, 1))
+    }
+    val person = msg { b =>
+      strField(b, 1, "Person")
+      bytesField(b, 2, fld("name", 1, 9, 1))
+      bytesField(b, 2, fld("id", 2, 5, 1))
+      bytesField(b, 2, fld("emails", 3, 9, 3))
+      bytesField(b, 2, fld("type", 4, 14, 1, ".tutorial.PhoneType"))
+      bytesField(b, 3, inner)
+    }
+    val phoneType = msg { b =>
+      strField(b, 1, "PhoneType")
+      bytesField(b, 2, msg { v => strField(v, 1, "MOBILE"); field(v, 2, 0L) })
+      bytesField(b, 2, msg { v => strField(v, 1, "HOME"); field(v, 2, 1L) })
+    }
+    val service = msg { b =>
+      strField(b, 1, "Contacts")
+      bytesField(b, 2, msg { m =>
+        strField(m, 1, "Lookup")
+        strField(m, 2, ".tutorial.Person")
+        strField(m, 3, ".tutorial.Person")
+      })
+    }
+    val file = msg { b =>
+      strField(b, 1, "addressbook.proto")
+      strField(b, 2, "tutorial")
+      bytesField(b, 4, person)
+      bytesField(b, 5, phoneType)
+      bytesField(b, 6, service)
+      strField(b, 12, "proto3")
+    }
+    msg(b => bytesField(b, 1, file))
+  }
+
+  test("wire decode recovers files, messages, enums, services") {
+    val files = ProtoDescriptor.parse(descBytes)
+    assert(files.length === 1)
+    val f = files.head
+    assert(f.name === "addressbook.proto")
+    assert(f.pkg === "tutorial")
+    assert(f.syntax === "proto3")
+    val person = f.messages.head
+    assert(person.fullName === "tutorial.Person")
+    assert(person.fields.map(_.name) === Seq("name", "id", "emails", "type"))
+    assert(person.fields(1).tpe === "int32")
+    assert(person.fields(2).label === "repeated")
+    assert(person.fields(3).tpe === "enum<tutorial.PhoneType>")
+    assert(person.nested.map(_.name) === Seq("Inner"))
+    assert(f.enums.head.values === Seq(("MOBILE", 0L), ("HOME", 1L)))
+    assert(f.services.head.methods.head.inputType === "tutorial.Person")
+  }
+
+  test("field flattening matches the reference contract") {
+    val profiles = ProtobufScan.fieldProfiles(spark, descBytes)
+      .collect().map(p => p.fieldPath -> p).toMap
+    // message fields at nesting level 1 under the message path
+    val id = profiles("tutorial.Person.id")
+    assert(id.dataType === "integer")
+    assert(id.parentPath === "tutorial.Person")
+    assert(id.nestingLevel === 1)
+    // repeated -> is_array with the standard type as item type
+    val emails = profiles("tutorial.Person.emails")
+    assert(emails.isArray)
+    assert(emails.arrayItemType === "string")
+    // enum-typed field maps to integer
+    assert(profiles("tutorial.Person.type").dataType === "integer")
+    // enum values become integer fields sampled with their number
+    val home = profiles("tutorial.PhoneType.HOME")
+    assert(home.dataType === "integer")
+    assert(home.sampleValues === Seq("1"))
+    assert(home.minValue === Some(1.0))
+    // service methods as string-typed fields
+    assert(profiles("tutorial.Contacts.Lookup").dataType === "string")
+    // reference quirk: nested message fields do not produce rows
+    assert(!profiles.contains("tutorial.Person.Inner.x"))
+  }
+}

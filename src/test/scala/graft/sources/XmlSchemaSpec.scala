@@ -1,0 +1,110 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.profile.Profiler
+
+/** DTD/XSD extraction + validation + enhancement join (S11-S13),
+  * modeled on `/root/reference/samples/sample-xml-with-dtd.xml` /
+  * `sample-books.xsd` shapes.
+  */
+class XmlSchemaSpec extends SparkSpec {
+
+  private val xmlWithDtd =
+    """<?xml version="1.0"?>
+      |<!DOCTYPE library [
+      |  <!ELEMENT library (book+)>
+      |  <!ELEMENT book (title, author, year?, tags*)>
+      |  <!ELEMENT title (#PCDATA)>
+      |  <!ELEMENT author (#PCDATA)>
+      |  <!ELEMENT year (#PCDATA)>
+      |  <!ELEMENT tags (#PCDATA)>
+      |  <!ATTLIST book isbn CDATA #REQUIRED>
+      |  <!ATTLIST book format (hardcover|paperback) "paperback">
+      |]>
+      |<library>
+      |  <book isbn="111"><title>A</title><author>X</author></book>
+      |  <book isbn="222" format="hardcover"><title>B</title><author>Y</author><year>2020</year></book>
+      |</library>""".stripMargin
+
+  private val xsd =
+    """<?xml version="1.0"?>
+      |<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+      |  <xs:element name="library">
+      |    <xs:complexType>
+      |      <xs:sequence>
+      |        <xs:element name="book" maxOccurs="unbounded">
+      |          <xs:complexType>
+      |            <xs:sequence>
+      |              <xs:element name="title" type="xs:string"/>
+      |              <xs:element name="author" type="xs:string"/>
+      |              <xs:element name="year" type="xs:int" minOccurs="0" nillable="true"/>
+      |            </xs:sequence>
+      |            <xs:attribute name="isbn" type="xs:string" use="required"/>
+      |          </xs:complexType>
+      |        </xs:element>
+      |      </xs:sequence>
+      |    </xs:complexType>
+      |  </xs:element>
+      |  <xs:simpleType name="format">
+      |    <xs:restriction base="xs:string">
+      |      <xs:enumeration value="hardcover"/>
+      |      <xs:enumeration value="paperback"/>
+      |      <xs:maxLength value="20"/>
+      |    </xs:restriction>
+      |  </xs:simpleType>
+      |</xs:schema>""".stripMargin
+
+  test("dtd: element content models, cardinality, attributes, enums") {
+    val dtd = XmlSchema.parseDtd(xmlWithDtd)
+    val elems = dtd.elements.map(e => e.name -> e).toMap
+    assert(elems("title").contentType === "PCDATA")
+    assert(elems("library").contentType === "ELEMENT")
+    val bookChildren = elems("book").children.map(c => c.name -> c.cardinality).toMap
+    assert(bookChildren("title") === "REQUIRED")
+    assert(bookChildren("year") === "OPTIONAL")
+    assert(bookChildren("tags") === "ZERO_OR_MORE")
+    assert(elems("library").children ===
+      Seq(XmlSchema.DtdChild("book", "ONE_OR_MORE")))
+    val attrs = dtd.attributes.map(a => (a.element, a.name) -> a).toMap
+    assert(attrs(("book", "isbn")).defaultType === "#REQUIRED")
+    assert(attrs(("book", "format")).allowedValues === Seq("hardcover", "paperback"))
+    assert(attrs(("book", "format")).defaultValue === "paperback")
+  }
+
+  test("xsd: elements, complex types, simple-type restrictions") {
+    val info = XmlSchema.parseXsd(xsd)
+    val elems = info.elements.map(e => e.name -> e).toMap
+    assert(elems("year").minOccurs === "0")
+    assert(elems("year").nillable)
+    assert(elems("book").maxOccurs === "unbounded")
+    val st = info.simpleTypes.head
+    assert(st.name === "format")
+    assert(st.baseType === "xs:string")
+    assert(st.enumeration === Seq("hardcover", "paperback"))
+    assert(st.restrictions.contains(("maxLength", "20")))
+  }
+
+  test("xsd validation: valid and invalid documents") {
+    val valid =
+      "<library><book isbn=\"1\"><title>t</title><author>a</author></book></library>"
+    assert(XmlSchema.validateXml(valid, xsd) === ((true, Nil)))
+    val invalid =
+      "<library><book><author>a</author><title>t</title></book></library>"
+    val (ok, errors) = XmlSchema.validateXml(invalid, xsd)
+    assert(!ok)
+    assert(errors.nonEmpty)
+  }
+
+  test("enhancement join attaches xsd metadata to profile rows") {
+    import spark.implicits._
+    val profiles = Profiler.profileXml(spark,
+      Seq(xmlWithDtd).toDF("xml"), "xml")
+    val enhanced = XmlSchema.enhance(profiles, XmlSchema.parseXsd(xsd))
+      .collect().map(r => r.getAs[String]("fieldPath") -> r).toMap
+    assert(enhanced("book.year").getAs[String]("xsd_type") === "xs:int")
+    assert(enhanced("book.year").getAs[String]("xsd_min_occurs") === "0")
+    assert(enhanced("book.title").getAs[String]("xsd_type") === "xs:string")
+    // fields with no schema entry keep null metadata (left join)
+    assert(enhanced("book.@isbn").getAs[String]("xsd_type") === null)
+  }
+}
