@@ -1,0 +1,79 @@
+package graft.export
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Catalog import (S21) — the reference's XLSX re-import
+  * (`/root/reference/backend/src/services/import_service.py:34-351`)
+  * over the engine's CSV sheet format: parse the 8-column data-dictionary
+  * sheet back into field rows and land them in the catalog tables with
+  * the reference's conflict modes.
+  *
+  * Conflict semantics (`import_service.py:140-158`): when the dictionary
+  * already exists — `skip` returns without writing (the degenerate
+  * left-anti), `fail` raises, `overwrite` replaces. One deliberate
+  * divergence: versions here are immutable appends, so `overwrite` lands
+  * the imported fields as a NEW version rather than mutating history.
+  */
+object Imports {
+
+  /** Parse a [[Exports.dataDictionarySheet]] CSV back into field rows
+    * (`import_service.py:240-351` rehydration): null % strips the
+    * rendered '%', sample values un-join on ", ", PII flag back to
+    * boolean, blank semantic types back to null.
+    */
+  def importCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+      .select(
+        col("Field Path").as("fieldPath"),
+        col("Data Type").as("dataType"),
+        when(col("Semantic Type") === "" || col("Semantic Type").isNull, null)
+          .otherwise(col("Semantic Type")).as("semanticType"),
+        col("Description").as("description"),
+        when(col("Sample Values").isNull, array().cast("array<string>"))
+          .otherwise(split(col("Sample Values"), ", ")).as("sampleValues"),
+        regexp_replace(col("Null %"), "%$", "").cast("double")
+          .as("nullPercentage"),
+        col("Cardinality").cast("long").as("distinctCount"),
+        (col("PII Flag") === "Yes").as("isPii"))
+
+  /** Land imported field rows into the catalog tables under
+    * `conflictMode` ∈ {skip, overwrite, fail}. Returns true if a write
+    * happened.
+    */
+  def importInto(spark: SparkSession, outDir: String, dict: String,
+      fields: DataFrame, conflictMode: String = "skip"): Boolean = {
+    val dictsPath = s"$outDir/dictionaries"
+    val exists = new java.io.File(dictsPath).exists() &&
+      spark.read.parquet(dictsPath)
+        .filter(col("dictionary") === dict).limit(1).count() > 0
+
+    if (exists) conflictMode match {
+      case "skip" => return false
+      case "fail" =>
+        throw new IllegalStateException(s"dictionary '$dict' already exists")
+      case "overwrite" => // fall through: new immutable version
+      case m => throw new IllegalArgumentException(s"unknown conflict mode: $m")
+    }
+
+    val version =
+      graft.jobs.ProfileJob.latestVersion(spark, outDir, dict) + 1
+    fields
+      .withColumn("dictionary", lit(dict))
+      .withColumn("version_number", lit(version))
+      .write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("dictionary", "version_number")
+      .parquet(s"$outDir/fields_imported")
+    val spark2 = spark
+    import spark2.implicits._
+    Seq((dict, version, "imported", fields.count()))
+      .toDF("dictionary", "version_number", "schema_hash", "n_fields")
+      .write.mode(SaveMode.Append).parquet(s"$outDir/versions")
+    if (!exists) {
+      Seq((dict, version)).toDF("dictionary", "created_version")
+        .write.mode(SaveMode.Append).parquet(dictsPath)
+    }
+    true
+  }
+}

@@ -1,0 +1,84 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.filter.{KnLm, LangId, QualityFilter}
+import graft.jobs.BuildFixtures
+import graft.model.FileRecord
+
+/** Incremental quality-filter ingest via Structured Streaming — the
+  * engine's second resume path (SURVEY.md §2.10): `readStream` over the
+  * input directory, `Trigger.AvailableNow` (process everything present,
+  * then stop), `foreachBatch` running the SAME batch pipeline, checkpoint
+  * directory tracking which input files are already committed. A rerun
+  * after new files land processes ONLY the new files.
+  *
+  * Complements the bucket-level commit protocol of
+  * [[graft.jobs.QualityFilterJob]]: that one re-runs unfinished buckets of
+  * a fixed snapshot; this one tails a growing directory. `foreachBatch`
+  * gives at-least-once batch delivery — verdict writes are idempotent per
+  * (repo,path,commit) keys, metrics appends carry the batch id so
+  * duplicates are distinguishable downstream.
+  */
+object StreamingFilterJob {
+
+  val fileRecordSchema: StructType = StructType(Seq(
+    StructField("repo", StringType), StructField("path", StringType),
+    StructField("commit", StringType), StructField("lang", StringType),
+    StructField("content", StringType)))
+
+  /** Run one availableNow pass; returns rows processed in this pass. */
+  def runOnce(spark: SparkSession, inputDir: String, outDir: String,
+      checkpointDir: String): Long = {
+    import spark.implicits._
+    val lm = spark.sparkContext.broadcast(LangId.load(BuildFixtures.LangIdModelPath))
+    val km = spark.sparkContext.broadcast(KnLm.load(BuildFixtures.KnLmModelPath))
+    val processed = spark.sparkContext.longAccumulator("rows_processed")
+
+    val stream = spark.readStream
+      .schema(fileRecordSchema)
+      .parquet(inputDir)
+
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val records = batch.as[FileRecord]
+        val v = QualityFilter.verdicts(spark, records, lm, km).cache()
+        val n = v.count()
+        processed.add(n)
+        if (n > 0) {
+          v.withColumn("batch_id", lit(batchId))
+            .write.mode(SaveMode.Append).parquet(s"$outDir/verdicts")
+          QualityFilter.metrics(v)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode(SaveMode.Append).parquet(s"$outDir/metrics")
+        }
+        v.unpersist()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    lm.destroy(); km.destroy()
+    processed.value
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(inputDir, outDir, checkpointDir) = args.take(3)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-streaming-filter")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = runOnce(spark, inputDir, outDir, checkpointDir)
+    println(s"""{"rows_processed":$n}""")
+    spark.stop()
+  }
+}

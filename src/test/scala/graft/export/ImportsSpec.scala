@@ -1,0 +1,49 @@
+package graft.export
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.profile.Profiler
+
+/** Export → import round trip (S19/S21) with conflict modes. */
+class ImportsSpec extends SparkSpec {
+
+  private lazy val base = Files.createTempDirectory("graft_import").toString
+
+  private lazy val profiles = {
+    import spark.implicits._
+    Profiler.profile(spark, Seq(
+      """{"user_id": "u-1", "email": "a@b.com", "age": 30}""",
+      """{"user_id": "u-2", "email": "c@d.com", "age": null}""").toDF("json"),
+      "json")
+  }
+
+  test("csv export -> import round-trips the sheet columns") {
+    val csvPath = s"$base/sheet"
+    Exports.exportCsv(profiles, csvPath)
+    val back = Imports.importCsv(spark, csvPath)
+      .collect().map(r => r.getAs[String]("fieldPath") -> r).toMap
+    assert(back.size === 3)
+    assert(back("email").getAs[String]("dataType") === "string")
+    assert(back("email").getAs[Boolean]("isPii"))
+    assert(back("email").getAs[Seq[String]]("sampleValues") ===
+      Seq("a@b.com", "c@d.com"))
+    assert(back("age").getAs[Double]("nullPercentage") === 50.0)
+    assert(back("user_id").getAs[String]("semanticType") === "identifier")
+  }
+
+  test("conflict modes: first import lands, skip no-ops, fail raises, overwrite versions") {
+    val csvPath = s"$base/sheet2"
+    Exports.exportCsv(profiles, csvPath)
+    val fields = Imports.importCsv(spark, csvPath)
+    val outDir = s"$base/catalog"
+    assert(Imports.importInto(spark, outDir, "users", fields))
+    assert(!Imports.importInto(spark, outDir, "users", fields, "skip"))
+    intercept[IllegalStateException] {
+      Imports.importInto(spark, outDir, "users", fields, "fail")
+    }
+    assert(Imports.importInto(spark, outDir, "users", fields, "overwrite"))
+    val versions = spark.read.parquet(s"$outDir/versions")
+    assert(versions.count() === 2)
+  }
+}

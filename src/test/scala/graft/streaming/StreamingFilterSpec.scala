@@ -1,0 +1,45 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SaveMode
+
+import graft.SparkSpec
+import graft.fixtures.Corpus
+
+/** Incremental ingest: availableNow processes what's present; a rerun
+  * after new files land processes only the delta (checkpoint resume).
+  */
+class StreamingFilterSpec extends SparkSpec {
+
+  test("availableNow ingest resumes from checkpoint, no reprocessing") {
+    val base = Files.createTempDirectory("graft_stream").toString
+    val in = s"$base/in"
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+
+    // first wave of files
+    Corpus.generate(spark, 300).write.mode(SaveMode.Append).parquet(in)
+    val n1 = StreamingFilterJob.runOnce(spark, in, out, ckpt)
+    assert(n1 === 300)
+    assert(spark.read.parquet(s"$out/verdicts").count() === 300)
+
+    // no new files -> nothing processed
+    val n2 = StreamingFilterJob.runOnce(spark, in, out, ckpt)
+    assert(n2 === 0)
+
+    // second wave -> only the delta processed, output is the union
+    Corpus.generateClean(spark, 200).write.mode(SaveMode.Append).parquet(in)
+    val n3 = StreamingFilterJob.runOnce(spark, in, out, ckpt)
+    assert(n3 === 200)
+    val verdicts = spark.read.parquet(s"$out/verdicts")
+    assert(verdicts.count() === 500)
+    // per-row identity preserved, no duplicates
+    assert(verdicts.select("repo", "path", "commit").distinct().count() === 500)
+    // metrics carry batch lineage
+    val metrics = spark.read.parquet(s"$out/metrics")
+    assert(metrics.columns.contains("batch_id"))
+    assert(metrics.agg(org.apache.spark.sql.functions.sum("rows_in"))
+      .head().getLong(0) === 500)
+  }
+}
