@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Queries, TrainingOps}
+import graft.queries.{ProfileQueries, Queries, TrainingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,7 +39,11 @@ object SparkEntry {
     "q19_lsh_ann" -> (TrainingOps.q19LshAnn(_, _)),
     "q20_doc_quality" -> (TrainingOps.q20DocQuality(_, _)),
     "q21_multimodal_features" ->
-      (graft.multimodal.Multimodal.q21MultimodalFeatures(_, _))
+      (graft.multimodal.Multimodal.q21MultimodalFeatures(_, _)),
+    "q22_profile_json" -> (ProfileQueries.q22ProfileJson(_, _)),
+    "q23_profile_xml" -> (ProfileQueries.q23ProfileXml(_, _)),
+    "q24_pii_scrub" -> (ProfileQueries.q24PiiScrub(_, _)),
+    "q25_profile_mongo" -> (ProfileQueries.q25ProfileMongo(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -170,6 +174,77 @@ object SparkEntry {
          COUNT(*) AS n_items,
          SUM(octet_length(encode(text))) AS total_bytes,
          CAST(8 AS INT) AS feature_dim
-         FROM documents GROUP BY 1 ORDER BY media_type"""
+         FROM documents GROUP BY 1 ORDER BY media_type""",
+    // q22-q25 run the real profiling engine / scrubber on columns derived
+    // deterministically from the testdata; the oracle recomputes the
+    // dynamic outputs (counts, null %) from the raw columns and pins the
+    // classification contract (inferred type, semantic, PII, position).
+    "q22_profile_json" ->
+      """WITH tot AS (SELECT COUNT(*) AS n,
+           SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS nulls
+           FROM customer)
+         SELECT * FROM (
+           SELECT 'balance' AS field_path, 'balance' AS field_name,
+                  '' AS parent_path, CAST(0 AS INT) AS nesting_level,
+                  'float' AS data_type, 100.0 AS confidence_score,
+                  'currency' AS semantic_type, FALSE AS is_pii,
+                  n AS total_count, CAST(0 AS BIGINT) AS null_count,
+                  0.0 AS null_percentage, FALSE AS is_nullable,
+                  CAST(1 AS INT) AS position FROM tot
+           UNION ALL SELECT 'email', 'email', '', 0, 'string', 100.0, 'email',
+                  TRUE, n, nulls, CAST(nulls AS DOUBLE) / n * 100.0,
+                  nulls > 0, 4 FROM tot
+           UNION ALL SELECT 'name', 'name', '', 0, 'string', 100.0, 'name',
+                  FALSE, n, 0, 0.0, FALSE, 0 FROM tot
+           UNION ALL SELECT 'profile', 'profile', '', 0, 'object', 100.0,
+                  CAST(NULL AS VARCHAR), FALSE, n, 0, 0.0, FALSE, 2 FROM tot
+           UNION ALL SELECT 'profile.segment', 'segment', 'profile', 1,
+                  'string', 100.0, CAST(NULL AS VARCHAR), FALSE, n, 0, 0.0,
+                  FALSE, 3 FROM tot
+         ) ORDER BY field_path""",
+    "q23_profile_xml" ->
+      """WITH tot AS (SELECT COUNT(*) AS n FROM orders)
+         SELECT * FROM (
+           SELECT 'order' AS field_path, 'order' AS field_name,
+                  '' AS parent_path, CAST(0 AS INT) AS nesting_level,
+                  'null' AS data_type, 100.0 AS confidence_score,
+                  CAST(NULL AS VARCHAR) AS semantic_type, FALSE AS is_pii,
+                  n AS total_count, n AS null_count,
+                  100.0 AS null_percentage, TRUE AS is_nullable,
+                  CAST(1 AS INT) AS position FROM tot
+           UNION ALL SELECT 'order.@id', '@id', 'order', 0, 'string', 100.0,
+                  NULL, FALSE, n, CAST(0 AS BIGINT), 0.0, FALSE, 0 FROM tot
+           UNION ALL SELECT 'order.price', 'price', 'order', 1, 'string',
+                  100.0, NULL, FALSE, n, 0, 0.0, FALSE, 3 FROM tot
+           UNION ALL SELECT 'order.priority', 'priority', 'order', 1,
+                  'string', 100.0, NULL, FALSE, n, 0, 0.0, FALSE, 2 FROM tot
+         ) ORDER BY field_path""",
+    "q24_pii_scrub" ->
+      """WITH t AS (SELECT c_custkey,
+           'User ' || c_name || ' mail ' || lower(replace(c_name, '#', '')) ||
+           '@example.com ssn ' ||
+           lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-' ||
+           lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0') || '-' ||
+           lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') || ' end' AS text
+           FROM customer)
+         SELECT c_custkey,
+           sha256(regexp_replace(regexp_replace(text,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g')) AS scrub_sha,
+           'email,ssn' AS pii_types
+         FROM t ORDER BY c_custkey""",
+    "q25_profile_mongo" ->
+      """WITH tot AS (SELECT COUNT(*) AS n FROM events)
+         SELECT * FROM (
+           SELECT '_id' AS field_path, '_id' AS field_name,
+                  '' AS parent_path, CAST(0 AS INT) AS nesting_level,
+                  'objectid' AS data_type, 95.0 AS confidence_score,
+                  'identifier' AS semantic_type, FALSE AS is_pii,
+                  n AS total_count, CAST(0 AS BIGINT) AS null_count,
+                  0.0 AS null_percentage, FALSE AS is_nullable,
+                  CAST(0 AS INT) AS position FROM tot
+           UNION ALL SELECT 'n', 'n', '', 0, 'integer', 95.0,
+                  CAST(NULL AS VARCHAR), FALSE, n, 0, 0.0, FALSE, 1 FROM tot
+         ) ORDER BY field_path"""
   )
 }

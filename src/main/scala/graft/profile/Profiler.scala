@@ -159,13 +159,27 @@ object Profiler {
     * (`json_parser.py:22,76-77`); 0 profiles everything (the Spark-native
     * default — sampling is a cost knob here, not a memory necessity).
     */
+  /** Parallelism guard for the generator stage: the per-record walk is
+    * CPU-bound, so a small-but-dense input (one parquet file ≪
+    * maxPartitionBytes) would otherwise run the whole walk on ONE task.
+    * The arrival id is assigned BEFORE the spread, so the (rid, seq)
+    * order keys — and therefore sample arrival order and positions — are
+    * unaffected. The shuffled payload is just the raw records; at real
+    * scale (inputs already ≥ cores partitions) this is a no-op.
+    */
+  private def spread[T](spark: SparkSession, ds: Dataset[T]): Dataset[T] = {
+    val target = spark.sparkContext.defaultParallelism
+    if (ds.rdd.getNumPartitions < target) ds.repartition(target) else ds
+  }
+
   def observations(spark: SparkSession, df: DataFrame, jsonCol: String,
       mongo: Boolean = false, maxRecords: Long = 0L): Dataset[RawObs] = {
     import spark.implicits._
     val capped = if (maxRecords > 0) df.limit(maxRecords.toInt) else df
-    capped.select(col(jsonCol).cast("string"))
+    val keyed = capped.select(col(jsonCol).cast("string"))
       .withColumn("_rid", monotonically_increasing_id())
       .as[(String, Long)]
+    spread(spark, keyed)
       .flatMap { case (json, rid) =>
         if (json == null) Iterator.empty
         else JsonWalk.walk(json, mongo).iterator.map(o =>
@@ -235,9 +249,10 @@ object Profiler {
       maxRecords: Long = 0L): Dataset[RawObs] = {
     import spark.implicits._
     val capped = if (maxRecords > 0) df.limit(maxRecords.toInt) else df
-    capped.select(col(xmlCol).cast("string"))
+    val keyed = capped.select(col(xmlCol).cast("string"))
       .withColumn("_rid", monotonically_increasing_id())
       .as[(String, Long)]
+    spread(spark, keyed)
       .flatMap { case (xml, rid) =>
         if (xml == null) Iterator.empty
         else XmlWalk.walk(xml).iterator.map(o =>

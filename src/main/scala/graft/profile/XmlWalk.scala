@@ -36,16 +36,29 @@ object XmlWalk {
   val MaxDepth = 10
   val AttributePrefix = "@" // core/config.py:93
 
+  // Factory + builder construction costs ~100x a small-document parse, so
+  // both are built once per executor thread (DocumentBuilder is not
+  // thread-safe; ThreadLocal + reset() is the standard reuse pattern). At
+  // 100 TB this is the difference between parse-bound and allocation-bound.
+  private val builderTl =
+    new ThreadLocal[javax.xml.parsers.DocumentBuilder] {
+      override def initialValue(): javax.xml.parsers.DocumentBuilder = {
+        val f = DocumentBuilderFactory.newInstance()
+        f.setNamespaceAware(true)
+        f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", false)
+        f.setFeature("http://xml.org/sax/features/external-general-entities", false)
+        f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+        f.setAttribute("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
+        val b = f.newDocumentBuilder()
+        b.setErrorHandler(null)
+        b
+      }
+    }
+
   private def newDoc(xml: String): Option[Document] = {
     try {
-      val f = DocumentBuilderFactory.newInstance()
-      f.setNamespaceAware(true)
-      f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", false)
-      f.setFeature("http://xml.org/sax/features/external-general-entities", false)
-      f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
-      f.setAttribute("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
-      val b = f.newDocumentBuilder()
-      b.setErrorHandler(null)
+      val b = builderTl.get()
+      b.reset()
       Some(b.parse(new java.io.ByteArrayInputStream(xml.getBytes("UTF-8"))))
     } catch { case _: Exception => None }
   }
@@ -83,8 +96,14 @@ object XmlWalk {
     * document order: a (parent, child) tag pair occurring more than once
     * with the child at depth ≤ 2 ⇒ collection rooted at that child tag.
     */
-  def detectStructure(xml: String, stripNamespaces: Boolean = true): (Boolean, Option[String]) = {
-    val doc = newDoc(xml).getOrElse(return (false, None))
+  def detectStructure(xml: String, stripNamespaces: Boolean = true): (Boolean, Option[String]) =
+    newDoc(xml) match {
+      case Some(doc) => detectStructureDoc(doc, stripNamespaces)
+      case None => (false, None)
+    }
+
+  private def detectStructureDoc(doc: Document,
+      stripNamespaces: Boolean): (Boolean, Option[String]) = {
     val counts = scala.collection.mutable.LinkedHashMap.empty[(String, String), Int]
     val depths = scala.collection.mutable.Map.empty[String, Int]
     var checked = 0
@@ -155,7 +174,7 @@ object XmlWalk {
       }
     }
 
-    detectStructure(xml, stripNamespaces) match {
+    detectStructureDoc(doc, stripNamespaces) match {
       case (true, Some(recordTag)) =>
         // S8: each record element is one record, extracted at depth 0 with
         // empty parent (collection wrapper does not appear in paths)

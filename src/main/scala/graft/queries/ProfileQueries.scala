@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PiiScrub
+import graft.profile.Profiler
+
+/** Driver-gate queries that exercise the CORE profiling engine end-to-end
+  * (SURVEY.md §2.1-§2.4, §3.1) — not just the relational surface. Each one
+  * derives a semi-structured column deterministically from the driver
+  * testdata, runs the real `Profiler`/`PiiScrub` pipeline on it, and
+  * projects a SQL-expressible slice so the DuckDB oracle can verify the
+  * engine's dynamic outputs (counts, null %, type inference, semantic/PII
+  * classification, first-seen positions) against independently computed
+  * values.
+  *
+  * Scale shape: all four are the Profiler's single-shuffle plan — a typed
+  * flatMap generator (U7) into one groupBy(fieldPath) with a bounded
+  * accumulator — so the gate validates exactly the plan that runs at 100 TB.
+  */
+object ProfileQueries {
+  import Queries.t
+
+  private val profileProjection = Seq(
+    col("fieldPath").as("field_path"),
+    col("fieldName").as("field_name"),
+    col("parentPath").as("parent_path"),
+    col("nestingLevel").as("nesting_level"),
+    col("dataType").as("data_type"),
+    col("confidenceScore").as("confidence_score"),
+    col("semanticType").as("semantic_type"),
+    col("isPii").as("is_pii"),
+    col("totalCount").as("total_count"),
+    col("nullCount").as("null_count"),
+    col("nullPercentage").as("null_percentage"),
+    col("isNullable").as("is_nullable"),
+    col("position"))
+
+  /** q22 — JSON profile E2E (S1-S3, P1-P7, A1, W3): a nested JSON doc per
+    * customer (nullable email 1-in-10) through the full profile job. The
+    * oracle recomputes counts/null% from the raw columns and pins the
+    * inferred type / semantic / PII / position contract per field.
+    */
+  def q22ProfileJson(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "customer").select(
+      to_json(
+        struct(
+          col("c_name").as("name"),
+          col("c_acctbal").as("balance"),
+          struct(col("c_mktsegment").as("segment")).as("profile"),
+          when(col("c_custkey") % 10 === 0, lit(null).cast("string"))
+            .otherwise(concat(lower(regexp_replace(col("c_name"), "#", "")),
+              lit("@example.com"))).as("email")),
+        Map("ignoreNullFields" -> "false")).as("doc"))
+    Profiler.profile(spark, docs, "doc")
+      .select(profileProjection: _*)
+      .orderBy(col("field_path"))
+  }
+
+  /** q23 — XML profile E2E (S7-S10): one XML record per order; attributes
+    * as `@`-fields, structural elements observe null (reference
+    * `xml_parser.py:117-128` semantics).
+    */
+  def q23ProfileXml(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "orders").select(
+      concat(
+        lit("<order id=\""), col("o_orderkey"),
+        lit("\"><priority>"), col("o_orderpriority"),
+        lit("</priority><price>"), col("o_totalprice"),
+        lit("</price></order>")).as("doc"))
+    Profiler.profileXml(spark, docs, "doc")
+      .select(profileProjection: _*)
+      .orderBy(col("field_path"))
+  }
+
+  /** q24 — PII scrubber E2E (U1, F1/F2, north rule): synthetic text with an
+    * email + SSN per customer through the fused single-pass scrubber; the
+    * oracle re-scrubs with the same patterns in DuckDB and compares sha256
+    * of the scrubbed bytes per row.
+    */
+  def q24PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val txt = t(spark, dir, "customer").select(
+      col("c_custkey"),
+      concat(
+        lit("User "), col("c_name"), lit(" mail "),
+        lower(regexp_replace(col("c_name"), "#", "")), lit("@example.com ssn "),
+        lpad(pmod(col("c_custkey"), lit(1000)).cast("string"), 3, "0"), lit("-"),
+        lpad(pmod(col("c_custkey"), lit(100)).cast("string"), 2, "0"), lit("-"),
+        lpad(pmod(col("c_custkey"), lit(10000)).cast("string"), 4, "0"),
+        lit(" end")).as("text"))
+    txt.select(col("c_custkey"), PiiScrub.scrub_pii(col("text")).as("s"))
+      .select(
+        col("c_custkey"),
+        sha2(col("s.scrubbed"), 256).as("scrub_sha"),
+        array_join(col("s.pii_types"), ",").as("pii_types"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q25 — MongoDB Extended JSON profile E2E (S4/S5, P1's fixed-95.0
+    * confidences): `$oid` + `$numberLong` wrappers derived from events;
+    * wrappers must be typed `objectid`/`integer` and never recursed.
+    */
+  def q25ProfileMongo(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "events").select(
+      to_json(struct(
+        struct(substring(md5(col("event_id").cast("string")), 1, 24).as("$oid"))
+          .as("_id"),
+        struct(col("event_id").cast("string").as("$numberLong")).as("n")))
+        .as("doc"))
+    Profiler.profile(spark, docs, "doc", mongo = true)
+      .select(profileProjection: _*)
+      .orderBy(col("field_path"))
+  }
+}
