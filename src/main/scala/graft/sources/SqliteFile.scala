@@ -1,0 +1,358 @@
+package graft.sources
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Read-only, from-scratch SQLite main-database-file reader.
+  *
+  * The sandbox ships no SQLite JDBC driver, and at scale the interesting
+  * shape is "millions of small .db files as a binary column" anyway — so
+  * this implements the public SQLite file format
+  * (sqlite.org/fileformat2.html) directly: header, table B-tree traversal,
+  * record decoding (serial types), varints, and overflow-page chains. It
+  * gives the S14/S15/S17 operators (SURVEY.md §2.1) a real data plane that
+  * runs inside a `flatMap` over file bytes — no driver, no JDBC, fully
+  * distributed.
+  *
+  * Scope (matches what the reference's PRAGMA-based scan consumes,
+  * `/root/reference/backend/src/processors/sqlite_parser.py:30-231`):
+  * ordinary rowid tables, UTF-8 text, no WAL side-files. WITHOUT ROWID
+  * tables (index-btree storage) are skipped, like a failed PRAGMA scan in
+  * the reference. Values decode to: null, java.lang.Long, java.lang.Double,
+  * String, Array[Byte].
+  */
+object SqliteFile {
+
+  final case class Column(
+      name: String,
+      declType: String,
+      notNull: Boolean,
+      defaultValue: Option[String],
+      isPrimaryKey: Boolean,
+      isUnique: Boolean,
+      referencesTable: Option[String],
+      referencesColumn: Option[String])
+
+  final case class Table(
+      name: String,
+      rootPage: Int,
+      sql: String,
+      columns: Seq[Column],
+      withoutRowid: Boolean,
+      ipkIndex: Option[Int]) // INTEGER PRIMARY KEY = rowid alias column
+
+  final case class Index(name: String, tableName: String, unique: Boolean,
+      columns: Seq[String])
+
+  final class Db(val bytes: Array[Byte]) {
+    require(bytes.length >= 100 &&
+      new String(bytes, 0, 15, "US-ASCII") == "SQLite format 3",
+      "not an SQLite 3 database file")
+    val pageSize: Int = {
+      val raw = ((bytes(16) & 0xff) << 8) | (bytes(17) & 0xff)
+      if (raw == 1) 65536 else raw
+    }
+    val reserved: Int = bytes(20) & 0xff
+    val usable: Int = pageSize - reserved
+    val textEncoding: Int = u32(56).toInt // 1 = UTF-8 (only one supported)
+
+    private[SqliteFile] def u32(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+
+    private[SqliteFile] def pageOffset(page: Int): Int = (page - 1) * pageSize
+  }
+
+  def open(bytes: Array[Byte]): Db = new Db(bytes)
+
+  /** SQLite varint: 1-9 bytes, 7 high bits per byte, 9th byte carries 8.
+    * Returns (value, bytesConsumed).
+    */
+  private def varint(b: Array[Byte], off: Int): (Long, Int) = {
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      val c = b(off + i) & 0xff
+      v = (v << 7) | (c & 0x7f)
+      if ((c & 0x80) == 0) return (v, i + 1)
+      i += 1
+    }
+    ((v << 8) | (b(off + 8) & 0xff), 9)
+  }
+
+  private def beInt(b: Array[Byte], off: Int, len: Int): Long = {
+    var v = if ((b(off) & 0x80) != 0) -1L else 0L // sign-extend
+    var i = 0
+    while (i < len) { v = (v << 8) | (b(off + i) & 0xff); i += 1 }
+    v
+  }
+
+  /** Payload of one table-leaf cell, following overflow chains
+    * (spill arithmetic per fileformat2.html §B-tree Pages).
+    */
+  private def readPayload(db: Db, b: Array[Byte], off: Int, total: Long): Array[Byte] = {
+    val u = db.usable
+    val x = u - 35
+    if (total <= x) return java.util.Arrays.copyOfRange(b, off, off + total.toInt)
+    val m = (u - 12) * 32 / 255 - 23
+    val k = m + ((total - m) % (u - 4)).toInt
+    val local = if (k <= x) k else m
+    val out = new Array[Byte](total.toInt)
+    System.arraycopy(b, off, out, 0, local)
+    var written = local
+    var page = db.u32(off + local).toInt
+    while (page != 0 && written < total) {
+      val po = db.pageOffset(page)
+      val chunk = math.min(u - 4, total.toInt - written)
+      System.arraycopy(b, po + 4, out, written, chunk)
+      written += chunk
+      page = db.u32(po).toInt
+    }
+    out
+  }
+
+  /** Decode one record (header of serial types + body). Missing trailing
+    * columns (ALTER TABLE ADD COLUMN files) yield nulls at the caller.
+    */
+  private def decodeRecord(p: Array[Byte]): Array[Any] = {
+    val (hdrLen, n0) = varint(p, 0)
+    val types = new ArrayBuffer[Long]()
+    var ho = n0
+    while (ho < hdrLen) {
+      val (t, n) = varint(p, ho)
+      types += t
+      ho += n
+    }
+    var bo = hdrLen.toInt
+    val out = new Array[Any](types.length)
+    var i = 0
+    while (i < types.length) {
+      types(i) match {
+        case 0 => out(i) = null
+        case 8 => out(i) = java.lang.Long.valueOf(0L)
+        case 9 => out(i) = java.lang.Long.valueOf(1L)
+        case 7 =>
+          out(i) = java.lang.Double.valueOf(
+            java.lang.Double.longBitsToDouble(beInt(p, bo, 8)))
+          bo += 8
+        case t if t >= 1 && t <= 6 =>
+          val len = t match {
+            case 5 => 6
+            case 6 => 8
+            case n => n.toInt
+          }
+          out(i) = java.lang.Long.valueOf(beInt(p, bo, len))
+          bo += len
+        case t if t >= 13 && t % 2 == 1 =>
+          val len = ((t - 13) / 2).toInt
+          out(i) = new String(p, bo, len, "UTF-8")
+          bo += len
+        case t if t >= 12 =>
+          val len = ((t - 12) / 2).toInt
+          out(i) = java.util.Arrays.copyOfRange(p, bo, bo + len)
+          bo += len
+        case _ => out(i) = null
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Walk a table B-tree in rowid order, emitting (rowid, record values). */
+  def scanTable(db: Db, rootPage: Int): Iterator[(Long, Array[Any])] = {
+    val b = db.bytes
+    def walk(page: Int): Iterator[(Long, Array[Any])] = {
+      val po = db.pageOffset(page)
+      val hdr = if (page == 1) po + 100 else po
+      val pageType = b(hdr) & 0xff
+      val nCells = ((b(hdr + 3) & 0xff) << 8) | (b(hdr + 4) & 0xff)
+      pageType match {
+        case 5 => // interior table page
+          val ptrBase = hdr + 12
+          val children = (0 until nCells).iterator.map { i =>
+            val co = po + (((b(ptrBase + 2 * i) & 0xff) << 8) |
+              (b(ptrBase + 2 * i + 1) & 0xff))
+            db.u32(co).toInt
+          } ++ Iterator.single(db.u32(hdr + 8).toInt)
+          children.flatMap(walk)
+        case 13 => // leaf table page
+          val ptrBase = hdr + 8
+          (0 until nCells).iterator.map { i =>
+            var co = po + (((b(ptrBase + 2 * i) & 0xff) << 8) |
+              (b(ptrBase + 2 * i + 1) & 0xff))
+            val (payloadLen, n1) = varint(b, co); co += n1
+            val (rowid, n2) = varint(b, co); co += n2
+            (rowid, decodeRecord(readPayload(db, b, co, payloadLen)))
+          }
+        case _ => Iterator.empty // index pages: not a rowid table
+      }
+    }
+    walk(rootPage)
+  }
+
+  /** sqlite_master rows: (type, name, tbl_name, rootpage, sql). */
+  def masterRows(db: Db): Seq[(String, String, String, Int, String)] =
+    scanTable(db, 1).map { case (_, r) =>
+      def s(i: Int) = r(i) match { case x: String => x; case _ => null }
+      val root = r(3) match { case l: java.lang.Long => l.toInt; case _ => 0 }
+      (s(0), s(1), s(2), root, s(4))
+    }.toSeq
+
+  /** User tables (reference excludes `sqlite_%`, `sqlite_parser.py:63-67`),
+    * with columns parsed from the CREATE TABLE DDL (the PRAGMA stand-in).
+    */
+  def tables(db: Db): Seq[Table] =
+    masterRows(db).collect {
+      case ("table", name, _, root, sql)
+          if name != null && !name.startsWith("sqlite_") && sql != null =>
+        parseCreateTable(name, root, sql)
+    }
+
+  def indexes(db: Db): Seq[Index] =
+    masterRows(db).collect {
+      case ("index", name, tbl, _, sql) if sql != null =>
+        parseCreateIndex(name, tbl, sql)
+    }
+
+  // ---- DDL parsing (PRAGMA table_info / index_list stand-in) ----
+
+  private val ConstraintStarters =
+    Set("PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT")
+
+  private def unquote(tok: String): String = {
+    val t = tok.trim
+    if (t.length >= 2 && ((t.head == '"' && t.last == '"') ||
+        (t.head == '`' && t.last == '`') || (t.head == '\'' && t.last == '\'')))
+      t.substring(1, t.length - 1)
+    else if (t.length >= 2 && t.head == '[' && t.last == ']')
+      t.substring(1, t.length - 1)
+    else t
+  }
+
+  /** Split on top-level commas (parens + quotes tracked). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = new ArrayBuffer[String]()
+    val cur = new java.lang.StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    s.foreach { c =>
+      if (quote != 0) { cur.append(c); if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c; cur.append(c)
+        case '(' => depth += 1; cur.append(c)
+        case ')' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => out += cur.toString; cur.setLength(0)
+        case _ => cur.append(c)
+      }
+    }
+    if (cur.length > 0) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private[sources] def parseCreateTable(name: String, root: Int, sql: String): Table = {
+    val open = sql.indexOf('(')
+    val close = sql.lastIndexOf(')')
+    val body = if (open >= 0 && close > open) sql.substring(open + 1, close) else ""
+    val withoutRowid = sql.substring(math.max(close, 0) + 1)
+      .toUpperCase.contains("WITHOUT ROWID")
+    val defs = splitTopLevel(body)
+    val cols = new ArrayBuffer[Column]()
+    var tablePk: Seq[String] = Nil
+    var tableUnique: Set[String] = Set.empty
+    defs.foreach { d =>
+      val firstTok = d.split("\\s+", 2)(0)
+      if (ConstraintStarters.contains(unquote(firstTok).toUpperCase)) {
+        val up = d.toUpperCase
+        def colList: Seq[String] = {
+          val o = d.indexOf('(')
+          val c = d.indexOf(')', o + 1)
+          if (o >= 0 && c > o)
+            d.substring(o + 1, c).split(",").toSeq.map(x => unquote(x.trim))
+          else Nil
+        }
+        if (up.startsWith("PRIMARY")) tablePk = colList
+        else if (up.startsWith("UNIQUE")) tableUnique ++= colList
+        // FOREIGN KEY (col) REFERENCES tbl(col): attach to the named column
+        else if (up.startsWith("FOREIGN")) {
+          val fkCols = colList
+          val refM = "(?i)REFERENCES\\s+([\"`\\[]?[A-Za-z0-9_]+[\"`\\]]?)\\s*(?:\\(([^)]*)\\))?".r
+            .findFirstMatchIn(d)
+          refM.foreach { m =>
+            val rt = unquote(m.group(1))
+            val rc = Option(m.group(2)).map(x => unquote(x.trim))
+            fkCols.headOption.foreach { fc =>
+              val i = cols.indexWhere(_.name == fc)
+              if (i >= 0) cols(i) = cols(i).copy(
+                referencesTable = Some(rt), referencesColumn = rc)
+            }
+          }
+        }
+      } else {
+        val nameTok = unquote(firstTok)
+        val rest = d.substring(d.indexOf(firstTok) + firstTok.length).trim
+        val up = rest.toUpperCase
+        // declared type = tokens before the first constraint keyword
+        val stops = Seq("PRIMARY KEY", "NOT NULL", "UNIQUE", "DEFAULT",
+          "REFERENCES", "CHECK", "COLLATE", "GENERATED", "AS ")
+        val cut = stops.map(up.indexOf).filter(_ >= 0).sorted.headOption
+          .getOrElse(rest.length)
+        val declType = rest.substring(0, cut).trim
+        val refM = "(?i)REFERENCES\\s+([\"`\\[]?[A-Za-z0-9_]+[\"`\\]]?)\\s*(?:\\(([^)]*)\\))?".r
+          .findFirstMatchIn(rest)
+        val defM = "(?i)DEFAULT\\s+(\\([^)]*\\)|'[^']*'|\\S+)".r
+          .findFirstMatchIn(rest)
+        cols += Column(
+          name = nameTok,
+          declType = declType,
+          notNull = up.contains("NOT NULL"),
+          defaultValue = defM.map(_.group(1)),
+          isPrimaryKey = up.contains("PRIMARY KEY"),
+          isUnique = up.contains("UNIQUE"),
+          referencesTable = refM.map(m => unquote(m.group(1))),
+          referencesColumn = refM.flatMap(m => Option(m.group(2)).map(x => unquote(x.trim))))
+      }
+    }
+    val withTablePk = cols.map { c =>
+      if (tablePk.contains(c.name)) c.copy(isPrimaryKey = true)
+      else if (tableUnique.contains(c.name)) c.copy(isUnique = true)
+      else c
+    }.toSeq
+    // rowid alias: single-column PK declared exactly INTEGER, rowid table
+    val pkCols = withTablePk.zipWithIndex.filter(_._1.isPrimaryKey)
+    val ipk =
+      if (!withoutRowid && pkCols.size == 1 &&
+        pkCols.head._1.declType.trim.equalsIgnoreCase("INTEGER"))
+        Some(pkCols.head._2)
+      else None
+    Table(name, root, sql, withTablePk, withoutRowid, ipk)
+  }
+
+  private[sources] def parseCreateIndex(name: String, tbl: String, sql: String): Index = {
+    val unique = sql.toUpperCase.contains("UNIQUE")
+    val o = sql.indexOf('(')
+    val c = sql.lastIndexOf(')')
+    val cols =
+      if (o >= 0 && c > o)
+        splitTopLevel(sql.substring(o + 1, c))
+          .map(d => unquote(d.split("\\s+")(0)))
+      else Nil
+    Index(name, tbl, unique, cols)
+  }
+
+  /** Full-table value scan with rowid-alias substitution and short-record
+    * (ALTER TABLE ADD COLUMN) padding — what `SELECT *` returns.
+    */
+  def rows(db: Db, t: Table): Iterator[Array[Any]] = {
+    if (t.withoutRowid) return Iterator.empty
+    val nCols = t.columns.size
+    scanTable(db, t.rootPage).map { case (rowid, rec) =>
+      val out = new Array[Any](nCols)
+      var i = 0
+      while (i < nCols) {
+        out(i) = if (i < rec.length) rec(i) else null
+        i += 1
+      }
+      t.ipkIndex.foreach(i => out(i) = java.lang.Long.valueOf(rowid))
+      out
+    }
+  }
+}

@@ -1,0 +1,252 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions.col
+
+import graft.model.FieldProfile
+import graft.profile.{PandasStats, PiiDetector, SemanticDetector, TypeInference}
+
+/** S14/S15 — SQLite catalog + column-sampling scan over raw file bytes
+  * (via [[SqliteFile]]), mirroring the reference's PRAGMA pipeline
+  * (`/root/reference/backend/src/processors/sqlite_parser.py:30-231`):
+  *
+  *  - tables sorted by name, system `sqlite_%` tables excluded
+  *  - per column: full null count; first-seen DISTINCT non-null values
+  *    capped at min(1000, rowCount) (the `SELECT DISTINCT ... LIMIT`);
+  *    ≤10 unique samples in arrival order
+  *  - `types_seen` has SET semantics (each observed tag once, `null`
+  *    added when null_count > 0, `sqlite_parser.py:396-400`), so type
+  *    inference is presence-voting — faithful to the reference
+  *  - fields at `table.column`, nesting level 1, position = enumeration
+  *    order; constraint metadata (PK/FK/unique/indexed/not-null/default)
+  *    parsed from DDL (the PRAGMA stand-in)
+  *
+  * Executed inside `flatMap` over a binary column, so a table of many .db
+  * files profiles fully distributed (one task per file; files are
+  * independent, no shuffle until the usual fieldPath aggregation — which
+  * this scan doesn't even need, since a db file carries its own schema).
+  */
+object SqliteScan {
+
+  val MaxSamples = 1000 // reference max_samples, core/config.py:86-87
+  val KeepSamples = 10
+
+  final case class ColumnProfile(profile: FieldProfile, meta: SqliteMeta)
+
+  final case class SqliteMeta(
+      tableName: String,
+      columnType: String,
+      isPrimaryKey: Boolean,
+      isForeignKey: Boolean,
+      foreignKeyRef: Option[String],
+      isUnique: Boolean,
+      isIndexed: Boolean,
+      isNotNull: Boolean,
+      defaultValue: Option[String])
+
+  private def typeTag(v: Any): String = v match {
+    case null => "null"
+    case _: java.lang.Long => "integer"
+    case _: java.lang.Double => "float"
+    case _: String => "string"
+    case _: Array[Byte] => "binary"
+    case _ => "string"
+  }
+
+  private def render(v: Any): String = v match {
+    case l: java.lang.Long => l.toString
+    case d: java.lang.Double => d.toString
+    case s: String => s
+    case _ => null // binary is noted but never sampled (sqlite_parser.py:324-326)
+  }
+
+  /** Profile every user table in one database file. */
+  def profileBytes(bytes: Array[Byte]): Seq[ColumnProfile] = {
+    val db = SqliteFile.open(bytes)
+    val idx = SqliteFile.indexes(db)
+    val out = Seq.newBuilder[ColumnProfile]
+    var position = 0
+    SqliteFile.tables(db).sortBy(_.name).foreach { t =>
+      val indexed = idx.filter(_.tableName == t.name).flatMap(_.columns).toSet
+      val uniqueIdx = idx.filter(i => i.tableName == t.name && i.unique)
+        .flatMap(_.columns).toSet
+      val nCols = t.columns.size
+      val nullCounts = new Array[Long](nCols)
+      var rowCount = 0L
+      // (tag, rendered-or-null) pairs; binary renders null (never sampled,
+      // sqlite_parser.py:324-326) so all blobs collapse to one entry — the
+      // 1000-cap is a sampling-work bound, not a reported statistic.
+      val distinctSeen = Array.fill(nCols)(
+        scala.collection.mutable.LinkedHashSet.empty[(String, String)])
+      // one pass = COUNT(*), per-column null counts, and the DISTINCT
+      // sample (first-seen order == rowid order, like SELECT DISTINCT)
+      SqliteFile.rows(db, t).foreach { r =>
+        rowCount += 1
+        var i = 0
+        while (i < nCols) {
+          if (r(i) == null) nullCounts(i) += 1
+          else {
+            val ds = distinctSeen(i)
+            if (ds.size < MaxSamples) ds += ((typeTag(r(i)), render(r(i))))
+          }
+          i += 1
+        }
+      }
+      t.columns.zipWithIndex.foreach { case (c, i) =>
+        val observed = distinctSeen(i).toSeq
+        // set-semantics types_seen (+ null when nulls exist)
+        val tags = observed.map(_._1).distinct ++
+          (if (nullCounts(i) > 0) Seq("null") else Nil)
+        val typesSeen =
+          if (tags.nonEmpty) tags.map(_ -> 1L).toMap
+          else Map(JdbcCatalog.mapSqliteType(c.declType) -> 1L)
+        val declared = c.declType.trim
+        val (dataType, confidence) =
+          if (declared.isEmpty) // empty affinity: observed-type fallback
+            (JdbcCatalog.inferFromObserved(observed.map(_._1).toSet), 100.0)
+          else {
+            val mapped = JdbcCatalog.mapSqliteType(declared)
+            if (observed.isEmpty) (mapped, 100.0)
+            else TypeInference.inferType(typesSeen)
+          }
+        val samples = observed.filter(_._2 != null).take(KeepSamples)
+        val sampleValues = samples.map(_._2)
+        val semanticType = SemanticDetector.detect(c.name, samples, dataType)
+        val (isPii, piiType) = PiiDetector.detectPii(c.name, semanticType, samples)
+        val stats =
+          if (dataType == "integer" || dataType == "float")
+            PandasStats.numericStats(sampleValues)
+          else None
+        val nullPct =
+          if (rowCount > 0) nullCounts(i).toDouble / rowCount * 100.0 else 0.0
+        val distinct = sampleValues.distinct.size.toLong
+        out += ColumnProfile(
+          FieldProfile(
+            fieldPath = s"${t.name}.${c.name}",
+            fieldName = c.name,
+            parentPath = t.name,
+            nestingLevel = 1,
+            dataType = dataType,
+            confidenceScore = confidence,
+            typesSeen = typesSeen,
+            isArray = false,
+            arrayItemType = null,
+            sampleValues = sampleValues,
+            totalCount = rowCount,
+            nullCount = nullCounts(i),
+            nullPercentage = nullPct,
+            distinctCount = distinct,
+            cardinalityRatio =
+              if (sampleValues.nonEmpty) distinct.toDouble / sampleValues.size
+              else 0.0,
+            isNullable = nullPct > 0.0,
+            semanticType = semanticType,
+            isPii = isPii,
+            piiType = piiType,
+            minValue = stats.map(_.min),
+            maxValue = stats.map(_.max),
+            meanValue = stats.map(_.mean),
+            medianValue = stats.map(_.median),
+            stdDev = stats.flatMap(_.stdDev),
+            percentile25 = stats.map(_.p25),
+            percentile75 = stats.map(_.p75),
+            position = { val p = position; position += 1; p }),
+          SqliteMeta(
+            tableName = t.name,
+            columnType = c.declType,
+            isPrimaryKey = c.isPrimaryKey,
+            isForeignKey = c.referencesTable.nonEmpty,
+            foreignKeyRef = c.referencesTable.map(rt =>
+              s"$rt(${c.referencesColumn.getOrElse("")})"),
+            isUnique = c.isUnique || uniqueIdx.contains(c.name),
+            isIndexed = indexed.contains(c.name) || c.isPrimaryKey,
+            isNotNull = c.notNull,
+            defaultValue = c.defaultValue))
+      }
+    }
+    out.result()
+  }
+
+  /** Distributed form: profile a binary column of .db files. */
+  def fieldProfiles(spark: SparkSession, df: DataFrame,
+      binCol: String): Dataset[FieldProfile] = {
+    import spark.implicits._
+    df.select(col(binCol)).as[Array[Byte]]
+      .flatMap(b => profileBytes(b).map(_.profile))
+  }
+
+  // ---- S17: GeoPackage (geopackage_parser.py:41-363) ----
+
+  final case class GpkgLayer(tableName: String, dataType: String,
+      identifier: String, srsId: Long,
+      minX: Option[Double], minY: Option[Double],
+      maxX: Option[Double], maxY: Option[Double])
+
+  final case class GpkgGeometryColumn(tableName: String, columnName: String,
+      geometryType: String, srsId: Long, dims: String)
+
+  final case class GpkgInfo(
+      isValid: Boolean,
+      missingTables: Seq[String],
+      srsCount: Long,
+      layers: Seq[GpkgLayer],
+      geometryColumns: Seq[GpkgGeometryColumn],
+      userTables: Seq[String])
+
+  private val RequiredGpkgTables =
+    Seq("gpkg_spatial_ref_sys", "gpkg_contents", "gpkg_geometry_columns")
+
+  /** Validate + extract GeoPackage metadata (3 required tables, contents
+    * layers with bbox, geometry columns with Z/M dims, user tables minus
+    * `gpkg_%`/`rtree_%`).
+    */
+  def geopackage(bytes: Array[Byte]): GpkgInfo = {
+    val db = SqliteFile.open(bytes)
+    val tables = SqliteFile.tables(db)
+    val byName = tables.map(t => t.name -> t).toMap
+    val missing = RequiredGpkgTables.filterNot(byName.contains)
+    if (missing.nonEmpty)
+      return GpkgInfo(isValid = false, missing, 0, Nil, Nil,
+        tables.map(_.name).filter(JdbcCatalog.isUserTable))
+
+    def colIdx(t: SqliteFile.Table, name: String): Int =
+      t.columns.indexWhere(_.name == name)
+    def str(v: Any): String = v match { case s: String => s; case _ => null }
+    def lng(v: Any): Long = v match { case l: java.lang.Long => l; case _ => 0L }
+    def dbl(v: Any): Option[Double] = v match {
+      case d: java.lang.Double => Some(d.doubleValue())
+      case l: java.lang.Long => Some(l.doubleValue())
+      case _ => None
+    }
+
+    val srs = byName("gpkg_spatial_ref_sys")
+    val srsCount = SqliteFile.rows(db, srs).size.toLong
+
+    val contents = byName("gpkg_contents")
+    val ct = (n: String) => colIdx(contents, n)
+    val layers = SqliteFile.rows(db, contents).map { r =>
+      GpkgLayer(
+        tableName = str(r(ct("table_name"))),
+        dataType = str(r(ct("data_type"))),
+        identifier = str(r(ct("identifier"))),
+        srsId = lng(r(ct("srs_id"))),
+        minX = dbl(r(ct("min_x"))), minY = dbl(r(ct("min_y"))),
+        maxX = dbl(r(ct("max_x"))), maxY = dbl(r(ct("max_y"))))
+    }.toSeq
+
+    val geom = byName("gpkg_geometry_columns")
+    val gc = (n: String) => colIdx(geom, n)
+    val geometryColumns = SqliteFile.rows(db, geom).map { r =>
+      GpkgGeometryColumn(
+        tableName = str(r(gc("table_name"))),
+        columnName = str(r(gc("column_name"))),
+        geometryType = str(r(gc("geometry_type_name"))),
+        srsId = lng(r(gc("srs_id"))),
+        dims = JdbcCatalog.dimensionString(
+          lng(r(gc("z"))).toInt, lng(r(gc("m"))).toInt))
+    }.toSeq
+
+    GpkgInfo(isValid = true, Nil, srsCount, layers, geometryColumns,
+      tables.map(_.name).filter(JdbcCatalog.isUserTable))
+  }
+}

@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.model.FieldProfile
+import graft.profile.{JsonWalk, Profiler}
+import graft.profile.Profiler.{FieldAccumulator, ProfBuf, RawObs}
+
+/** Incremental schema profiling over a document stream — the reference's
+  * "create a new Version from a new file" loop (SURVEY.md §3.3 4th entry
+  * point) re-expressed as ONE stateful Structured Streaming query instead
+  * of repeated batch re-parses:
+  *
+  *   readStream (availableNow)
+  *     → flatMap JsonWalk observations
+  *     → groupByKey(fieldPath).flatMapGroupsWithState(ProfBuf state)
+  *     → foreachBatch: overwrite `current/` snapshot + append `history/`
+  *
+  * The per-key state is exactly the batch engine's [[ProfBuf]] accumulator,
+  * folded with the same `FieldAccumulator.reduce` — so a streaming profile
+  * after N batches equals the batch profile over the union of those batches
+  * (asserted in StreamingProfileSpec). State lives in the checkpoint's
+  * state store: a restarted query (new process, same checkpoint) resumes
+  * counting where it left off and only reads NEW files.
+  *
+  * Arrival keys across batches: the batch engine's global order key is
+  * (recordId, seq), but per-batch record ids restart at 0 — so the state
+  * carries a per-key epoch (the number of batches in which the key has
+  * appeared) and incoming ids are re-keyed to epoch ⋅ 2⁴⁸ + id. Order only
+  * matters WITHIN a key, so per-key epochs suffice: samples retained by
+  * the 10-cap stay first-seen-across-the-stream. (Valid while
+  * partitionId < 2¹⁵ — monotonically_increasing_id packs the partition
+  * into the high bits — and < 2¹⁵ batches; plenty for availableNow
+  * ingest.) `position` is not meaningful per-batch and is emitted as 0.
+  */
+object StreamingProfileJob {
+
+  val docSchema: StructType = StructType(Seq(StructField("doc", StringType)))
+
+  /** Per-key streaming state: batch-epoch counter + the batch engine's
+    * accumulator buffer.
+    */
+  final case class StreamBuf(epoch: Long, buf: ProfBuf)
+
+  private val RidMask = (1L << 48) - 1
+
+  private def updateState(path: String, obs: Iterator[RawObs],
+      state: GroupState[StreamBuf]): Iterator[FieldProfile] = {
+    val prior = state.getOption.getOrElse(StreamBuf(0L, FieldAccumulator.zero))
+    val shift = prior.epoch << 48
+    val next = obs.foldLeft(prior.buf)((b, o) =>
+      FieldAccumulator.reduce(b, o.copy(recordId = shift | (o.recordId & RidMask))))
+    state.update(StreamBuf(prior.epoch + 1, next))
+    Iterator.single(Profiler.analyze(path, next))
+  }
+
+  /** One availableNow pass; returns number of field profiles updated. */
+  def runOnce(spark: SparkSession, inputDir: String, outDir: String,
+      checkpointDir: String, mongo: Boolean = false): Long = {
+    import spark.implicits._
+    val updated = spark.sparkContext.longAccumulator("profiles_updated")
+
+    // monotonically_increasing_id is unsupported on streaming Datasets;
+    // build the same partitionId<<33|offset key by hand per micro-batch.
+    val obs = spark.readStream.schema(docSchema).parquet(inputDir)
+      .select(col("doc").cast("string"))
+      .as[String]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        var off = -1L
+        it.flatMap { json =>
+          off += 1
+          val rid = (pid << 33) | off
+          if (json == null) Iterator.empty
+          else JsonWalk.walk(json, mongo).iterator.map(o =>
+            RawObs(rid, o.seq, o.fieldPath, o.fieldName,
+              o.parentPath, o.nestingLevel, o.typeTag, o.value,
+              o.arrayItemTags, o.arrayMark))
+        }
+      }
+
+    val profiles = obs.groupByKey(_.fieldPath)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        updateState)
+
+    val q = profiles.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[FieldProfile], batchId: Long) =>
+        val rows = batch.cache()
+        val n = rows.count()
+        updated.add(n)
+        if (n > 0) {
+          // merge updated paths into the current snapshot (read-modify-write
+          // is safe: foreachBatch runs on the driver, one batch at a time)
+          val currentDir = s"$outDir/current"
+          val prev =
+            try spark.read.parquet(currentDir).as[FieldProfile]
+              .filter(!col("fieldPath").isin(
+                rows.select("fieldPath").as[String].collect().toSeq: _*))
+            catch { case _: Exception => spark.emptyDataset[FieldProfile] }
+          prev.unionByName(rows)
+            .write.mode(SaveMode.Overwrite).parquet(s"$outDir/next")
+          spark.read.parquet(s"$outDir/next")
+            .write.mode(SaveMode.Overwrite).parquet(currentDir)
+          rows.withColumn("batch_id", lit(batchId))
+            .write.mode(SaveMode.Append).parquet(s"$outDir/history")
+        }
+        rows.unpersist()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    updated.value
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(inputDir, outDir, checkpointDir) = args.take(3)
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-streaming-profile")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = runOnce(spark, inputDir, outDir, checkpointDir)
+    println(s"""{"profiles_updated":$n}""")
+    spark.stop()
+  }
+}

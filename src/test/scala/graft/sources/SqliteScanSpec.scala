@@ -1,0 +1,149 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S14/S15/S17 against committed fixtures written by sqlite3 itself
+  * (tools/make_sqlite_fixture.py): the from-scratch file reader must agree
+  * with the writing engine on every count and value. Exercises interior
+  * B-tree pages (3000-row table @ 4 KiB pages), an overflow chain (9000-byte
+  * text), all serial types, rowid aliasing, DDL constraints, and a minimal
+  * valid GeoPackage.
+  */
+class SqliteScanSpec extends AnyFunSuite {
+
+  private def bytes(p: String): Array[Byte] = Files.readAllBytes(Paths.get(p))
+  private lazy val db = SqliteFile.open(bytes("fixtures/sqlite/sample.db"))
+  private lazy val expected = new ObjectMapper()
+    .readTree(Files.readString(Paths.get("fixtures/sqlite/expected.json")))
+
+  test("catalog: tables, columns, constraints from DDL") {
+    val tables = SqliteFile.tables(db).sortBy(_.name)
+    assert(tables.map(_.name) == Seq("orders", "users"))
+    val users = tables.find(_.name == "users").get
+    assert(users.columns.map(_.name) ==
+      Seq("id", "email", "name", "balance", "age", "avatar", "active", "notes"))
+    val byName = users.columns.map(c => c.name -> c).toMap
+    assert(byName("id").isPrimaryKey && users.ipkIndex.contains(0))
+    assert(byName("email").notNull)
+    assert(byName("balance").defaultValue.contains("0.0"))
+    assert(byName("notes").declType.isEmpty)
+    val orders = tables.find(_.name == "orders").get
+    val oCol = orders.columns.map(c => c.name -> c).toMap
+    assert(oCol("user_id").referencesTable.contains("users"))
+    assert(oCol("user_id").referencesColumn.contains("id"))
+    assert(oCol("status").defaultValue.contains("'new'"))
+    assert(oCol("status").declType.toUpperCase.startsWith("VARCHAR"))
+    val idx = SqliteFile.indexes(db)
+    assert(idx.exists(i => i.name == "idx_orders_user" &&
+      i.columns == Seq("user_id") && !i.unique))
+    assert(idx.exists(i => i.name == "idx_orders_status_id" && i.unique &&
+      i.columns == Seq("status", "order_id")))
+  }
+
+  test("row scan: counts, serial types, rowid alias, overflow chain") {
+    val tables = SqliteFile.tables(db)
+    val users = tables.find(_.name == "users").get
+    val rows = SqliteFile.rows(db, users).toVector
+    assert(rows.size == 3000)
+    val r1 = rows.head
+    assert(r1(0) == 1L) // INTEGER PRIMARY KEY = rowid alias
+    assert(r1(1) == "user0001@example.com")
+    assert(r1(2) == "User 1")
+    assert(r1(3) == 1.25)
+    assert(r1(4) == 19L)
+    assert(r1(5) == null && r1(7) == null)
+    assert(r1(6) == 1L) // boolean stored as int (serial type 9)
+    val r7 = rows(6) // i=7: name null (i%7==0)
+    assert(r7(2) == null)
+    val r11 = rows(10) // i=11: balance null
+    assert(r11(3) == null)
+    val r5 = rows(4) // i=5: blob avatar
+    assert(r5(5).asInstanceOf[Array[Byte]].toSeq == Seq.fill(16)(5.toByte))
+    val r42 = rows(41) // overflow: 9000-char text spans >2 pages
+    assert(r42(7).asInstanceOf[String] == "x" * 9000)
+    assert(rows.map(_(0).asInstanceOf[Long]) == (1L to 3000L))
+    val orders = tables.find(_.name == "orders").get
+    assert(SqliteFile.rows(db, orders).size == 500)
+  }
+
+  test("column profiles match sqlite3-computed expectations") {
+    val profiles = SqliteScan.profileBytes(bytes("fixtures/sqlite/sample.db"))
+    assert(profiles.map(_.profile.parentPath).distinct == Seq("orders", "users"))
+    assert(profiles.map(_.profile.position) == profiles.indices)
+    profiles.foreach { cp =>
+      val p = cp.profile
+      val exp = expected.get(cp.meta.tableName).get(p.fieldName)
+      assert(p.totalCount == exp.get("total").asLong, p.fieldPath)
+      assert(p.nullCount == exp.get("nulls").asLong, p.fieldPath)
+      assert(p.nestingLevel == 1)
+      assert(cp.meta.isNotNull == exp.get("notnull").asBoolean, p.fieldPath)
+      assert(cp.meta.isPrimaryKey == exp.get("pk").asBoolean, p.fieldPath)
+      val distinctCapped = exp.get("distinct_capped").asLong
+      if (p.dataType != "binary")
+        assert(p.distinctCount == math.min(distinctCapped, 10), p.fieldPath)
+      // first sample = first non-null value in rowid order (floats are
+      // stored as repr() in expected.json; Java Double.toString agrees on
+      // the fixture's exact-quarter values)
+      val fv = exp.get("first_value")
+      if (!fv.isNull && !fv.asText.startsWith("xxxx"))
+        assert(p.sampleValues.headOption.contains(fv.asText), p.fieldPath)
+    }
+    val byPath = profiles.map(cp => cp.profile.fieldPath -> cp).toMap
+    // inferred types: observed-presence voting + affinity fallbacks
+    assert(byPath("users.id").profile.dataType == "integer")
+    assert(byPath("users.email").profile.dataType == "string")
+    assert(byPath("users.balance").profile.dataType == "float")
+    assert(byPath("users.avatar").profile.dataType == "binary")
+    assert(byPath("users.notes").profile.dataType == "string") // empty affinity, observed
+    assert(byPath("orders.amount").profile.dataType == "float")
+    // semantic + PII: 10 email samples → email, PII
+    val email = byPath("users.email").profile
+    assert(email.semanticType.contains("email") && email.isPii)
+    assert(email.piiType.contains("email"))
+    // balance keyword → currency (numeric hint)
+    assert(byPath("users.balance").profile.semanticType.contains("currency"))
+    // metadata joins: FK + index flags
+    val userId = byPath("orders.user_id")
+    assert(userId.meta.isForeignKey &&
+      userId.meta.foreignKeyRef.contains("users(id)"))
+    assert(userId.meta.isIndexed)
+    assert(byPath("orders.status").meta.isUnique) // via unique index
+    assert(byPath("users.email").meta.isUnique) // via table constraint
+    // nullability from real null fraction
+    val notes = byPath("users.notes").profile
+    assert(notes.isNullable && notes.nullCount == 2999L)
+  }
+
+  test("distributed scan: binary column of db files -> field profiles") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val fileBytes = bytes("fixtures/sqlite/sample.db")
+    // 6 copies of the db as a binary column — one task per file, no driver
+    val df = Seq.fill(6)(fileBytes).toDF("content").repartition(3)
+    val profiles = SqliteScan.fieldProfiles(spark, df, "content").collect()
+    assert(profiles.length == 6 * 12) // 8 users + 4 orders columns per file
+    assert(profiles.count(_.fieldPath == "users.email") == 6)
+    assert(profiles.filter(_.fieldPath == "users.email").forall(_.isPii))
+  }
+
+  test("geopackage: validation, layers, geometry dims, user tables") {
+    val g = SqliteScan.geopackage(bytes("fixtures/sqlite/sample.gpkg"))
+    assert(g.isValid && g.missingTables.isEmpty)
+    assert(g.srsCount == 1L)
+    assert(g.layers.map(_.tableName) == Seq("roads"))
+    val roads = g.layers.head
+    assert(roads.dataType == "features" && roads.srsId == 4326L)
+    assert(roads.minX.contains(-10.5) && roads.maxY.contains(20.25))
+    assert(g.geometryColumns ==
+      Seq(SqliteScan.GpkgGeometryColumn("roads", "geom", "LINESTRING", 4326L, "XYZ")))
+    assert(g.userTables == Seq("roads"))
+    // a plain .db is NOT a valid geopackage
+    val notG = SqliteScan.geopackage(bytes("fixtures/sqlite/sample.db"))
+    assert(!notG.isValid && notG.missingTables.size == 3)
+  }
+}

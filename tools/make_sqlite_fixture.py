@@ -1,0 +1,142 @@
+#!/usr/bin/env python3
+"""Build the committed SQLite/GeoPackage test fixtures (FIXTURES.md).
+
+Build-time tool (driver-side Python, like make_golden.py): the Scala engine
+reads these files with its own from-scratch SQLite file reader
+(graft.sources.SqliteFile); sqlite3 here is only the fixture WRITER.
+Deterministic content — no wall clock, no randomness.
+
+Exercises every reader path: multi-page table B-trees (interior pages),
+overflow-page chains (a >2-page text payload), all serial types (null, small
+and 8-byte ints, float, text, blob, the 0/1 constants), INTEGER PRIMARY KEY
+rowid aliasing, table- and column-level constraints, indexes, and a minimal
+valid GeoPackage (3 required tables + one layer).
+
+Run once: python3 tools/make_sqlite_fixture.py
+"""
+import json
+import sqlite3
+from pathlib import Path
+
+OUT = Path(__file__).resolve().parent.parent / "fixtures" / "sqlite"
+OUT.mkdir(parents=True, exist_ok=True)
+
+
+def build_sample_db(path: Path):
+    path.unlink(missing_ok=True)
+    conn = sqlite3.connect(path)
+    c = conn.cursor()
+    c.execute("PRAGMA page_size = 4096")
+    c.execute("""
+        CREATE TABLE users (
+            id INTEGER PRIMARY KEY,
+            email TEXT NOT NULL,
+            name TEXT,
+            balance REAL DEFAULT 0.0,
+            age INT,
+            avatar BLOB,
+            active BOOLEAN,
+            notes,
+            UNIQUE (email)
+        )""")
+    c.execute("""
+        CREATE TABLE orders (
+            order_id INTEGER PRIMARY KEY,
+            user_id INTEGER NOT NULL REFERENCES users(id),
+            amount NUMERIC,
+            status VARCHAR(16) DEFAULT 'new',
+            FOREIGN KEY (user_id) REFERENCES users(id)
+        )""")
+    c.execute("CREATE INDEX idx_orders_user ON orders(user_id)")
+    c.execute("CREATE UNIQUE INDEX idx_orders_status_id ON orders(status, order_id)")
+
+    # 3000 users -> multi-level table B-tree at 4 KiB pages
+    users = []
+    for i in range(1, 3001):
+        email = f"user{i:04d}@example.com"
+        name = None if i % 7 == 0 else f"User {i}"
+        balance = None if i % 11 == 0 else round(i * 1.25, 2)
+        age = 18 + (i % 60)
+        avatar = bytes([i % 256]) * 16 if i % 5 == 0 else None
+        active = i % 2  # stored as integer 0/1 (serial types 8/9)
+        notes = "x" * 9000 if i == 42 else None  # overflow chain (>2 pages)
+        users.append((i, email, name, balance, age, avatar, active, notes))
+    c.executemany("INSERT INTO users VALUES (?,?,?,?,?,?,?,?)", users)
+
+    orders = [(j, 1 + (j * 17) % 3000, j * 2.5, ("new", "paid", "shipped")[j % 3])
+              for j in range(1, 501)]
+    c.executemany("INSERT INTO orders VALUES (?,?,?,?)", orders)
+    conn.commit()
+
+    # expected values for the ScalaTest spec, computed via sqlite3 itself
+    exp = {}
+    for table in ("users", "orders"):
+        cols = c.execute(f"PRAGMA table_info({table})").fetchall()
+        total = c.execute(f"SELECT COUNT(*) FROM {table}").fetchone()[0]
+        tcols = {}
+        for _, col, decl, notnull, dflt, pk in cols:
+            nulls = c.execute(
+                f'SELECT COUNT(*) FROM {table} WHERE "{col}" IS NULL').fetchone()[0]
+            distinct = c.execute(
+                f'SELECT COUNT(*) FROM (SELECT DISTINCT "{col}" FROM {table} '
+                f'WHERE "{col}" IS NOT NULL LIMIT 1000)').fetchone()[0]
+            first = c.execute(
+                f'SELECT "{col}" FROM {table} WHERE "{col}" IS NOT NULL '
+                f"ORDER BY rowid LIMIT 1").fetchone()
+            fv = first[0] if first else None
+            if isinstance(fv, bytes):
+                fv = None  # binary is never sampled
+            tcols[col] = {
+                "declared": decl, "notnull": bool(notnull), "pk": pk > 0,
+                "total": total, "nulls": nulls,
+                "distinct_capped": min(distinct, 1000),
+                "first_value": fv if not isinstance(fv, float) else repr(fv),
+            }
+        exp[table] = tcols
+    (OUT / "expected.json").write_text(json.dumps(exp, indent=1, sort_keys=True))
+    conn.close()
+
+
+def build_sample_gpkg(path: Path):
+    path.unlink(missing_ok=True)
+    conn = sqlite3.connect(path)
+    c = conn.cursor()
+    c.execute("PRAGMA application_id = 1196444487")  # 'GPKG'
+    c.execute("""
+        CREATE TABLE gpkg_spatial_ref_sys (
+            srs_name TEXT NOT NULL, srs_id INTEGER PRIMARY KEY,
+            organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL,
+            definition TEXT NOT NULL, description TEXT)""")
+    c.execute("""
+        CREATE TABLE gpkg_contents (
+            table_name TEXT PRIMARY KEY, data_type TEXT NOT NULL,
+            identifier TEXT UNIQUE, description TEXT DEFAULT '',
+            last_change TEXT, min_x DOUBLE, min_y DOUBLE,
+            max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)""")
+    c.execute("""
+        CREATE TABLE gpkg_geometry_columns (
+            table_name TEXT NOT NULL, column_name TEXT NOT NULL,
+            geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL,
+            z TINYINT NOT NULL, m TINYINT NOT NULL,
+            PRIMARY KEY (table_name, column_name))""")
+    c.execute("""
+        CREATE TABLE roads (
+            fid INTEGER PRIMARY KEY, geom BLOB, name TEXT, lanes INT)""")
+    c.execute("INSERT INTO gpkg_spatial_ref_sys VALUES "
+              "('WGS 84', 4326, 'EPSG', 4326, 'GEOGCS[...]', NULL)")
+    c.execute("INSERT INTO gpkg_contents VALUES "
+              "('roads', 'features', 'Road network', '', "
+              "'2024-01-01T00:00:00Z', -10.5, -20.25, 10.5, 20.25, 4326)")
+    c.execute("INSERT INTO gpkg_geometry_columns VALUES "
+              "('roads', 'geom', 'LINESTRING', 4326, 2, 0)")
+    c.executemany("INSERT INTO roads VALUES (?,?,?,?)",
+                  [(i, b"\x47\x50" + bytes(8), f"road {i}", 1 + i % 4)
+                   for i in range(1, 21)])
+    conn.commit()
+    conn.close()
+
+
+if __name__ == "__main__":
+    build_sample_db(OUT / "sample.db")
+    build_sample_gpkg(OUT / "sample.gpkg")
+    print(f"fixtures -> {OUT}")
