@@ -1,0 +1,277 @@
+package graft.sources
+
+import scala.collection.mutable.ArrayBuffer
+
+import graft.sources.ProtoDescriptor.{PEnum, PField, PFile, PMessage, PMethod, PService}
+
+/** `.proto` SOURCE parser — the second half of S18 (the reference compiles
+  * `.proto` with protoc and walks the descriptor,
+  * `/root/reference/backend/src/processors/protobuf_parser.py:88-143`; no
+  * protoc in this sandbox, so the proto2/proto3 text grammar is parsed
+  * directly into the same [[ProtoDescriptor.PFile]] model the `.desc`
+  * reader produces — one downstream flatten for both).
+  *
+  * Supported grammar (the subset descriptors carry): syntax/package/import,
+  * nested messages, scalar/message/enum fields with labels and
+  * `[default = x]`, `map<K,V>` (modeled as protoc does: a synthetic
+  * `<Field>Entry` map-entry message, which the flattener skips), `oneof`
+  * (members become plain optional fields, like descriptors), enums,
+  * services with `rpc` methods (client/server streaming), `reserved`,
+  * `option` (skipped). Type references resolve innermost-scope-outward like
+  * protoc.
+  */
+object ProtoSource {
+
+  private val ScalarTypes = Set("double", "float", "int32", "int64",
+    "uint32", "uint64", "sint32", "sint64", "fixed32", "fixed64",
+    "sfixed32", "sfixed64", "bool", "string", "bytes")
+
+  // ---- tokenizer ----
+  private def tokenize(src: String): Vector[String] = {
+    val noBlock = "(?s)/\\*.*?\\*/".r.replaceAllIn(src, " ")
+    val noLine = "//[^\n]*".r.replaceAllIn(noBlock, " ")
+    val out = new ArrayBuffer[String]()
+    var i = 0
+    val s = noLine
+    while (i < s.length) {
+      val c = s(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '"' || c == '\'') {
+        val q = c
+        val sb = new java.lang.StringBuilder
+        i += 1
+        while (i < s.length && s(i) != q) {
+          if (s(i) == '\\' && i + 1 < s.length) { sb.append(s(i + 1)); i += 2 }
+          else { sb.append(s(i)); i += 1 }
+        }
+        i += 1
+        out += ("\"" + sb) // string literal token, marked by leading quote
+      } else if (c.isLetterOrDigit || c == '_' || c == '.' || c == '-') {
+        val start = i
+        while (i < s.length &&
+          (s(i).isLetterOrDigit || s(i) == '_' || s(i) == '.' || s(i) == '-'))
+          i += 1
+        out += s.substring(start, i)
+      } else { out += c.toString; i += 1 }
+    }
+    out.toVector
+  }
+
+  // ---- recursive-descent AST (raw type names, resolved in pass 2) ----
+  private final case class RawField(name: String, number: Int, rawType: String,
+      label: String, default: Option[String], mapKV: Option[(String, String)])
+  private final case class RawMsg(name: String, fields: ArrayBuffer[RawField],
+      nested: ArrayBuffer[RawMsg], enums: ArrayBuffer[PEnum])
+
+  private final class Parser(val toks: Vector[String]) {
+    var pos = 0
+    def peek: String = if (pos < toks.length) toks(pos) else ""
+    def next(): String = { val t = peek; pos += 1; t }
+    def expect(t: String): Unit = {
+      val got = next()
+      require(got == t, s"expected '$t' got '$got' at $pos")
+    }
+    def skipStatement(): Unit = { // up to and including ';' or a balanced block
+      var depth = 0
+      var done = false
+      while (!done && pos < toks.length) {
+        val t = next()
+        if (t == "{") depth += 1
+        else if (t == "}") { depth -= 1; if (depth == 0) done = true }
+        else if (t == ";" && depth == 0) done = true
+      }
+    }
+
+    def parseEnum(): PEnum = { // 'enum' consumed by caller
+      val name = next()
+      expect("{")
+      val values = new ArrayBuffer[(String, Long)]()
+      while (peek != "}") {
+        peek match {
+          case "option" | "reserved" => skipStatement()
+          case _ =>
+            val vName = next()
+            expect("=")
+            val num = next().toLong
+            if (peek == "[") { while (next() != "]") {} } // value options
+            expect(";")
+            values += ((vName, num))
+        }
+      }
+      expect("}")
+      PEnum(name, name, values.toSeq) // fullName fixed up in resolve pass
+    }
+
+    def parseField(label: String, first: String): RawField = {
+      var rawType = first
+      var mapKV: Option[(String, String)] = None
+      if (first == "map") {
+        expect("<"); val k = next(); expect(","); val v = next(); expect(">")
+        mapKV = Some((k, v))
+        rawType = "map"
+      }
+      val name = next()
+      expect("=")
+      val number = next().toInt
+      var default: Option[String] = None
+      if (peek == "[") {
+        next()
+        while (peek != "]") {
+          val k = next()
+          if (k == "default") { expect("="); default = Some(next().stripPrefix("\"")) }
+          else if (peek == "=") { next(); next() } // other option k = v
+          if (peek == ",") next()
+        }
+        expect("]")
+      }
+      expect(";")
+      RawField(name, number, rawType, label, default, mapKV)
+    }
+
+    def parseMessage(): RawMsg = { // 'message' consumed
+      val name = next()
+      expect("{")
+      val m = RawMsg(name, new ArrayBuffer, new ArrayBuffer, new ArrayBuffer)
+      while (peek != "}") {
+        peek match {
+          case "message" => next(); m.nested += parseMessage()
+          case "enum" => next(); m.enums += parseEnum()
+          case "option" | "reserved" | "extensions" | "extend" => skipStatement()
+          case "oneof" =>
+            next(); next(); expect("{")
+            while (peek != "}") {
+              if (peek == "option") skipStatement()
+              else m.fields += parseField("optional", next())
+            }
+            expect("}")
+          case "optional" | "required" | "repeated" =>
+            val label = next()
+            m.fields += parseField(label, next())
+          case _ => // proto3 unlabeled field
+            m.fields += parseField("optional", next())
+        }
+      }
+      expect("}")
+      m
+    }
+
+    def parseService(): (String, Seq[PMethod]) = { // 'service' consumed
+      val name = next()
+      expect("{")
+      val methods = new ArrayBuffer[PMethod]()
+      while (peek != "}") {
+        peek match {
+          case "option" => skipStatement()
+          case "rpc" =>
+            next()
+            val mName = next()
+            expect("(")
+            val cs = peek == "stream"
+            if (cs) next()
+            val in = next()
+            expect(")")
+            expect("returns")
+            expect("(")
+            val ss = peek == "stream"
+            if (ss) next()
+            val outT = next()
+            expect(")")
+            if (peek == "{") skipStatement() else expect(";")
+            methods += PMethod(mName, in, outT, cs, ss)
+          case _ => skipStatement()
+        }
+      }
+      expect("}")
+      (name, methods.toSeq)
+    }
+  }
+
+  /** Parse one `.proto` source file into the `.desc` model. */
+  def parse(source: String, fileName: String = "input.proto"): PFile = {
+    val p = new Parser(tokenize(source))
+    var pkg = ""
+    var syntax = "proto2"
+    val messages = new ArrayBuffer[RawMsg]()
+    val enums = new ArrayBuffer[PEnum]()
+    val services = new ArrayBuffer[(String, Seq[PMethod])]()
+    while (p.pos < p.toks.length) {
+      p.peek match {
+        case "syntax" =>
+          p.next(); p.expect("="); syntax = p.next().stripPrefix("\""); p.expect(";")
+        case "package" => p.next(); pkg = p.next(); p.expect(";")
+        case "import" | "option" | "extend" => p.skipStatement()
+        case "message" => p.next(); messages += p.parseMessage()
+        case "enum" => p.next(); enums += p.parseEnum()
+        case "service" => p.next(); services += p.parseService()
+        case ";" => p.next()
+        case other => throw new IllegalArgumentException(s"unexpected '$other'")
+      }
+    }
+
+    // ---- pass 2: symbol table + scope resolution (innermost outward) ----
+    val symbols = scala.collection.mutable.Map.empty[String, String] // full -> message|enum
+    def collect(m: RawMsg, prefix: String): Unit = {
+      val full = s"$prefix.${m.name}".stripPrefix(".")
+      symbols(full) = "message"
+      m.enums.foreach(e => symbols(s"$full.${e.name}") = "enum")
+      m.nested.foreach(collect(_, full))
+    }
+    messages.foreach(collect(_, pkg))
+    enums.foreach(e => symbols(s"$pkg.${e.name}".stripPrefix(".")) = "enum")
+
+    def resolve(raw: String, scope: String): Option[(String, String)] = {
+      if (raw.startsWith(".")) {
+        val full = raw.stripPrefix(".")
+        return symbols.get(full).map(k => (full, k))
+      }
+      var s = scope
+      while (true) {
+        val cand = if (s.isEmpty) raw else s"$s.$raw"
+        symbols.get(cand) match {
+          case Some(kind) => return Some((cand, kind))
+          case None =>
+            if (s.isEmpty) return None
+            s = if (s.contains('.')) s.substring(0, s.lastIndexOf('.')) else ""
+        }
+      }
+      None
+    }
+
+    def camel(fieldName: String): String =
+      fieldName.split('_').filter(_.nonEmpty).map(_.capitalize).mkString
+
+    def fieldOf(f: RawField, scope: String): PField = {
+      val tpe = f.mapKV match {
+        // protoc models map<K,V> as a synthetic repeated <Field>Entry message
+        case Some(_) => s"message<$scope.${camel(f.name)}Entry>"
+        case None =>
+          if (ScalarTypes.contains(f.rawType)) f.rawType
+          else resolve(f.rawType, scope) match {
+            case Some((full, "enum")) => s"enum<$full>"
+            case Some((full, _)) => s"message<$full>"
+            case None => s"message<${f.rawType}>"
+          }
+      }
+      val label = if (f.mapKV.isDefined) "repeated" else f.label
+      PField(f.name, f.number, tpe, label, f.default)
+    }
+
+    def msgOf(m: RawMsg, prefix: String): PMessage = {
+      val full = s"$prefix.${m.name}".stripPrefix(".")
+      PMessage(m.name, full,
+        m.fields.toSeq.map(fieldOf(_, full)),
+        m.nested.toSeq.map(msgOf(_, full)),
+        m.enums.toSeq.map(e => e.copy(fullName = s"$full.${e.name}")))
+    }
+
+    PFile(fileName, pkg, syntax,
+      messages.toSeq.map(msgOf(_, pkg)),
+      enums.toSeq.map(e => e.copy(fullName = s"$pkg.${e.name}".stripPrefix("."))),
+      services.toSeq.map { case (n, ms) =>
+        PService(n, s"$pkg.$n".stripPrefix("."), ms.map { m =>
+          def res(t: String) = resolve(t, pkg).map(_._1).getOrElse(t)
+          m.copy(inputType = res(m.inputType), outputType = res(m.outputType))
+        })
+      })
+  }
+}

@@ -18,9 +18,19 @@ import graft.profile.{PandasStats, TypeInference}
 object ProtobufScan {
 
   def fieldProfiles(spark: SparkSession,
-      descriptorSet: Array[Byte]): Dataset[FieldProfile] = {
+      descriptorSet: Array[Byte]): Dataset[FieldProfile] =
+    fieldProfiles(spark, ProtoDescriptor.parse(descriptorSet))
+
+  /** `.proto` SOURCE variant: same flatten over [[ProtoSource]]'s output
+    * (reference's protoc-compile path, `protobuf_parser.py:88-143`).
+    */
+  def fieldProfilesFromSource(spark: SparkSession,
+      source: String): Dataset[FieldProfile] =
+    fieldProfiles(spark, Seq(ProtoSource.parse(source)))
+
+  def fieldProfiles(spark: SparkSession,
+      files: Seq[ProtoDescriptor.PFile]): Dataset[FieldProfile] = {
     import spark.implicits._
-    val files = ProtoDescriptor.parse(descriptorSet)
     var position = 0
     def next(): Int = { val p = position; position += 1; p }
 

@@ -1,0 +1,100 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** `.proto` source parser (S18's protoc-compile path): the text grammar
+  * must land in the same model the `.desc` wire reader produces — asserted
+  * by parsing the SOURCE equivalent of ProtobufScanSpec's hand-encoded
+  * descriptor and comparing structures, plus grammar-specific cases
+  * (map fields, oneof, defaults, scope resolution, streaming rpcs).
+  */
+class ProtoSourceSpec extends AnyFunSuite {
+
+  private val addressbook =
+    """// addressbook sample, mirrors ProtobufScanSpec's descriptor
+      |syntax = "proto3";
+      |package tutorial;
+      |import "google/protobuf/timestamp.proto";
+      |option java_package = "com.example.tutorial";
+      |
+      |message Person {
+      |  string name = 1;
+      |  int32 id = 2;          /* unique id */
+      |  repeated string emails = 3;
+      |  PhoneType type = 4;
+      |  message Inner { bool x = 1; }
+      |}
+      |enum PhoneType { MOBILE = 0; HOME = 1; }
+      |service Contacts { rpc Lookup (Person) returns (Person); }
+      |""".stripMargin
+
+  test("source parse matches the wire-decoded model") {
+    val f = ProtoSource.parse(addressbook, "addressbook.proto")
+    assert(f.pkg == "tutorial" && f.syntax == "proto3")
+    val person = f.messages.head
+    assert(person.fullName == "tutorial.Person")
+    assert(person.fields.map(_.name) == Seq("name", "id", "emails", "type"))
+    assert(person.fields(1).tpe == "int32")
+    assert(person.fields(2).label == "repeated")
+    assert(person.fields(3).tpe == "enum<tutorial.PhoneType>")
+    assert(person.nested.map(_.name) == Seq("Inner"))
+    assert(person.nested.head.fullName == "tutorial.Person.Inner")
+    assert(f.enums.head.values == Seq(("MOBILE", 0L), ("HOME", 1L)))
+    val m = f.services.head.methods.head
+    assert(m.inputType == "tutorial.Person" && !m.clientStreaming)
+  }
+
+  test("grammar: maps, oneof, proto2 defaults, scoping, streaming rpc") {
+    val src =
+      """syntax = "proto2";
+        |package acme.store;
+        |message Order {
+        |  required int64 order_id = 1;
+        |  optional string status = 2 [default = "new", deprecated = true];
+        |  map<string, int32> item_counts = 3;
+        |  oneof payment {
+        |    string card_token = 4;
+        |    Wallet wallet = 5;
+        |  }
+        |  message Wallet { optional string provider = 1; }
+        |  enum State { OPEN = 0; CLOSED = 1; }
+        |  optional State state = 6;
+        |  reserved 7, 8;
+        |  reserved "legacy";
+        |}
+        |service Orders {
+        |  rpc Watch (Order) returns (stream Order);
+        |}
+        |""".stripMargin
+    val f = ProtoSource.parse(src)
+    assert(f.syntax == "proto2")
+    val order = f.messages.head
+    val byName = order.fields.map(fl => fl.name -> fl).toMap
+    assert(byName("order_id").label == "required")
+    assert(byName("status").default.contains("new"))
+    // map -> synthetic protoc-style entry message, repeated
+    assert(byName("item_counts").tpe ==
+      "message<acme.store.Order.ItemCountsEntry>")
+    assert(byName("item_counts").label == "repeated")
+    // oneof members are plain optional fields
+    assert(byName("card_token").label == "optional")
+    assert(byName("wallet").tpe == "message<acme.store.Order.Wallet>")
+    // innermost-scope-outward resolution
+    assert(byName("state").tpe == "enum<acme.store.Order.State>")
+    val watch = f.services.head.methods.head
+    assert(watch.serverStreaming && !watch.clientStreaming)
+    assert(watch.inputType == "acme.store.Order")
+  }
+
+  test("source path flattens identically to the downstream contract") {
+    val spark = graft.SparkSpec.session
+    val profiles = ProtobufScan.fieldProfilesFromSource(spark, addressbook)
+      .collect().map(p => p.fieldPath -> p).toMap
+    assert(profiles("tutorial.Person.id").dataType == "integer")
+    assert(profiles("tutorial.Person.emails").isArray)
+    assert(profiles("tutorial.Person.type").dataType == "integer")
+    assert(profiles("tutorial.PhoneType.HOME").sampleValues == Seq("1"))
+    assert(profiles("tutorial.Contacts.Lookup").dataType == "string")
+    assert(!profiles.contains("tutorial.Person.Inner.x")) // nested: no rows
+  }
+}
