@@ -325,4 +325,96 @@ object TrainingOps {
           (size(array_distinct(col("toks"))).cast("double") /
             size(col("toks"))) >= 0.3).as("keep"))
       .orderBy(col("doc_id"))
+
+  // ---- IVF ANN: coarse k-means quantizer + inverted-list probing ----
+  // The second scale path for similarity search (complementing q19's LSH):
+  // train a small codebook on a driver-side sample (centroids are tiny and
+  // broadcast — exactly the at-scale pattern), assign every vector to its
+  // nearest list with one narrow map, then answer queries by probing the
+  // nProbe nearest lists only. The candidate join shuffles on list_id —
+  // O(N · nProbe / nLists) pairs instead of q18's O(N · nQueries).
+
+  val IvfLists = 16
+  val IvfProbe = 6
+  val IvfIters = 8
+  val IvfTrainCap = 4096
+
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val x = a(i) - b(i); d += x * x; i += 1 }
+    d
+  }
+
+  def nearestLists(v: Array[Double], cents: Array[Array[Double]],
+      p: Int): Array[Int] =
+    cents.indices.sortBy(c => sqDist(v, cents(c))).take(p).toArray
+
+  /** Deterministic Lloyd's k-means over a driver-side sample (first-k
+    * init; empty clusters keep their previous centroid).
+    */
+  def kmeansTrain(samples: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(samples.length >= k, s"need >= $k training vectors")
+    val dim = samples.head.length
+    var cents = samples.take(k).map(_.clone)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      samples.foreach { v =>
+        val c = nearestLists(v, cents, 1)(0)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else { val s = sums(c); s.map(_ / counts(c)) }
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF approximate top-k cosine neighbours for the first [[NQueries]]
+    * vectors — same output contract as q18/q19 (query_id, neighbor_id,
+    * rank), recall measured against exact q18 in IvfAnnSpec.
+    */
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])]
+    // codebook from a deterministic sample (vec_id order, capped)
+    val sample = e.sort(col("vec_id")).limit(IvfTrainCap)
+      .collect().map(_._2.toArray)
+    val cents = kmeansTrain(sample, IvfLists, IvfIters)
+    val bc = spark.sparkContext.broadcast(cents)
+
+    val assigned = e.map { case (id, v) =>
+      (id, nearestLists(v.toArray, bc.value, 1)(0))
+    }.toDF("vec_id", "list_id")
+    val vecs = e.toDF("vec_id", "v")
+
+    val probes = e.filter(col("vec_id") < NQueries).flatMap { case (id, v) =>
+      nearestLists(v.toArray, bc.value, IvfProbe).iterator.map(l => (id, l))
+    }.toDF("query_id", "list_id")
+
+    val cand = broadcast(probes).join(assigned, Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val scored = cand
+      .join(vecs.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
+      .join(vecs, "vec_id")
+      .withColumn("cos", cosineCol(col("qv"), col("v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }
