@@ -90,6 +90,45 @@ object Exports {
       .coalesce(1)
       .write.mode("overwrite").option("header", "true").csv(path)
 
+  /** S19/E1/E2 — the REAL `.xlsx` sink via [[Xlsx]]: "Data Dictionary" +
+    * "Metadata" sheets with the reference's styling rules
+    * (`excel_exporter.py:127-192, 277-332`): bold-white header on 366092,
+    * zebra rows, whole-row PII fill FFE6E6 with CC0000 bold font, Null %
+    * cell fills (>50 → FFE6E6, >20 → FFFFCC), frozen header pane,
+    * auto-filter, reference column widths. Driver-side writer over the
+    * ordered projection, like the reference.
+    */
+  def exportXlsx(profiles: Dataset[FieldProfile], name: String,
+      schemaHash: String, path: String): Unit = {
+    import Xlsx.{Cell, Sheet}
+    val proj = dataDictionarySheet(profiles)
+    val nullPcts = withFallbackAnnotation(profiles.toDF())
+      .orderBy(col("position"))
+      .select(col("nullPercentage")).collect().map(_.getDouble(0))
+    val header = proj.columns.map(h => Cell(h, Xlsx.StyleHeader)).toSeq
+    val dataRows = proj.collect().zipWithIndex.map { case (row, idx) =>
+      val vals = row.toSeq.map(v => if (v == null) "" else v.toString)
+      val isPii = vals.last == "Yes"
+      val zebra = if (idx % 2 == 0) Xlsx.StyleRowEven else Xlsx.StyleRowOdd
+      vals.zipWithIndex.map { case (v, c) =>
+        val style =
+          if (isPii) Xlsx.StylePii
+          else if (c == 5 && nullPcts(idx) > 50) Xlsx.StyleNullHigh
+          else if (c == 5 && nullPcts(idx) > 20) Xlsx.StyleNullMedium
+          else zebra
+        Cell(v, style)
+      }
+    }.toSeq
+    val dict = Sheet("Data Dictionary", header +: dataRows,
+      colWidths = Seq(40, 15, 20, 50, 35, 12, 15, 12),
+      freezeHeader = true, autoFilter = true)
+    val meta = Sheet("Metadata",
+      metadataSheet(profiles, name, schemaHash).map { case (k, v) =>
+        Seq(Cell(k, Xlsx.StyleMetaKey), Cell(v))
+      })
+    Xlsx.write(path, Seq(dict, meta))
+  }
+
   /** S20/E3 — JSON export with include_* toggles
     * (`export_service.py:111-226`): per-field nested blocks with optional
     * statistics / pii / annotation sections, as one JSON document column.

@@ -1,0 +1,241 @@
+package graft.export
+
+import java.io.{ByteArrayInputStream, FileOutputStream}
+import java.util.zip.{ZipEntry, ZipFile, ZipOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal OOXML spreadsheet writer/reader — the real `.xlsx` data plane
+  * for S19/S21 (the reference uses openpyxl; no POI in this sandbox, but an
+  * xlsx is just a ZIP of SpreadsheetML parts, so `java.util.zip` + the XML
+  * utilities already on the classpath suffice).
+  *
+  * Writer supports what the reference's exporter actually uses
+  * (`/root/reference/backend/src/exporters/excel_exporter.py:35-60`):
+  * multiple sheets, inline strings, a fixed style palette (header
+  * 366092/white-bold, zebra F2F2F2/FFFFFF, PII FFE6E6 + CC0000-bold font,
+  * null-% fills FFE6E6/FFFFCC, metadata-key E7E6E6), frozen header pane,
+  * auto-filter, column widths. Reader handles inline and shared strings —
+  * enough to rehydrate our own files and openpyxl-written ones.
+  */
+object Xlsx {
+
+  // style ids (index into cellXfs) — palette mirrors the reference
+  val StyleDefault = 0
+  val StyleHeader = 1
+  val StyleRowEven = 2
+  val StyleRowOdd = 3
+  val StylePii = 4
+  val StyleNullHigh = 5
+  val StyleNullMedium = 6
+  val StyleMetaKey = 7
+
+  final case class Cell(text: String, style: Int = StyleDefault)
+  final case class Sheet(name: String, rows: Seq[Seq[Cell]],
+      colWidths: Seq[Int] = Nil, freezeHeader: Boolean = false,
+      autoFilter: Boolean = false)
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' => ""
+      case c => c.toString
+    }
+
+  private def colRef(i: Int): String = {
+    var n = i
+    val sb = new StringBuilder
+    while (n >= 0) { sb.insert(0, ('A' + n % 26).toChar); n = n / 26 - 1 }
+    sb.toString
+  }
+
+  private def sheetXml(s: Sheet): String = {
+    val sb = new java.lang.StringBuilder
+    sb.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""")
+    if (s.freezeHeader)
+      sb.append("""<sheetViews><sheetView workbookViewId="0">""" +
+        """<pane ySplit="1" topLeftCell="A2" activePane="bottomLeft" state="frozen"/>""" +
+        """</sheetView></sheetViews>""")
+    if (s.colWidths.nonEmpty) {
+      sb.append("<cols>")
+      s.colWidths.zipWithIndex.foreach { case (w, i) =>
+        sb.append(s"""<col min="${i + 1}" max="${i + 1}" width="$w" customWidth="1"/>""")
+      }
+      sb.append("</cols>")
+    }
+    sb.append("<sheetData>")
+    s.rows.zipWithIndex.foreach { case (row, r) =>
+      sb.append(s"""<row r="${r + 1}">""")
+      row.zipWithIndex.foreach { case (c, i) =>
+        sb.append(s"""<c r="${colRef(i)}${r + 1}" s="${c.style}" t="inlineStr">""")
+        sb.append(s"<is><t xml:space=\"preserve\">${esc(c.text)}</t></is></c>")
+      }
+      sb.append("</row>")
+    }
+    sb.append("</sheetData>")
+    if (s.autoFilter && s.rows.nonEmpty)
+      sb.append(s"""<autoFilter ref="A1:${colRef(s.rows.head.size - 1)}1"/>""")
+    sb.append("</worksheet>")
+    sb.toString
+  }
+
+  /** styles.xml — fixed palette (fill/font ids line up with Style* above).
+    * Fills 0/1 are the two mandatory builtins (none, gray125).
+    */
+  private val stylesXml: String = {
+    val fonts = Seq(
+      """<font><sz val="11"/><name val="Calibri"/></font>""", // 0 default
+      """<font><b/><color rgb="FFFFFFFF"/><sz val="11"/><name val="Calibri"/></font>""", // 1 header
+      """<font><b/><color rgb="FFCC0000"/><sz val="11"/><name val="Calibri"/></font>""", // 2 pii
+      """<font><b/><sz val="11"/><name val="Calibri"/></font>""") // 3 bold
+    def solid(rgb: String) =
+      s"""<fill><patternFill patternType="solid"><fgColor rgb="FF$rgb"/><bgColor indexed="64"/></patternFill></fill>"""
+    val fills = Seq(
+      """<fill><patternFill patternType="none"/></fill>""",
+      """<fill><patternFill patternType="gray125"/></fill>""",
+      solid("366092"), // 2 header
+      solid("F2F2F2"), // 3 even
+      solid("FFFFFF"), // 4 odd
+      solid("FFE6E6"), // 5 pii / null-high
+      solid("FFFFCC"), // 6 null-medium
+      solid("E7E6E6")) // 7 meta key
+    // cellXfs rows: (fontId, fillId) per style id
+    val xfs = Seq((0, 0), (1, 2), (0, 3), (0, 4), (2, 5), (0, 5), (0, 6), (3, 7))
+      .map { case (fo, fi) =>
+        s"""<xf numFmtId="0" fontId="$fo" fillId="$fi" borderId="0" applyFont="1" applyFill="1"/>"""
+      }
+    s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+      s"""<fonts count="${fonts.size}">${fonts.mkString}</fonts>""" +
+      s"""<fills count="${fills.size}">${fills.mkString}</fills>""" +
+      """<borders count="1"><border><left/><right/><top/><bottom/><diagonal/></border></borders>""" +
+      """<cellStyleXfs count="1"><xf numFmtId="0" fontId="0" fillId="0" borderId="0"/></cellStyleXfs>""" +
+      s"""<cellXfs count="${xfs.size}">${xfs.mkString}</cellXfs>""" +
+      """</styleSheet>"""
+  }
+
+  def write(path: String, sheets: Seq[Sheet]): Unit = {
+    val zos = new ZipOutputStream(new FileOutputStream(path))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    val sheetDecls = sheets.zipWithIndex.map { case (s, i) =>
+      s"""<sheet name="${esc(s.name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+    }.mkString
+    val sheetRels = sheets.indices.map { i =>
+      s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>"""
+    }.mkString
+    val stylesRel =
+      s"""<Relationship Id="rId${sheets.size + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>"""
+    val overrides = sheets.indices.map { i =>
+      s"""<Override PartName="/xl/worksheets/sheet${i + 1}.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>"""
+    }.mkString
+
+    entry("[Content_Types].xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+        """<Default Extension="xml" ContentType="application/xml"/>""" +
+        """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+        """<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>""" +
+        overrides + "</Types>")
+    entry("_rels/.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+        """</Relationships>""")
+    entry("xl/workbook.xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+        s"<sheets>$sheetDecls</sheets></workbook>")
+    entry("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        sheetRels + stylesRel + "</Relationships>")
+    entry("xl/styles.xml", stylesXml)
+    sheets.zipWithIndex.foreach { case (s, i) =>
+      entry(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(s))
+    }
+    zos.close()
+  }
+
+  // ---- reader ----
+
+  private def dom(bytes: Array[Byte]): org.w3c.dom.Document = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setNamespaceAware(true)
+    f.newDocumentBuilder().parse(new ByteArrayInputStream(bytes))
+  }
+
+  private def zipEntryBytes(z: ZipFile, name: String): Option[Array[Byte]] =
+    Option(z.getEntry(name)).map(e => z.getInputStream(e).readAllBytes())
+
+  private def cellCol(ref: String): Int = {
+    var c = 0
+    ref.takeWhile(_.isLetter).foreach(ch => c = c * 26 + (ch - 'A' + 1))
+    c - 1
+  }
+
+  /** Read all sheets: name → rows of cell strings (missing cells = ""). */
+  def read(path: String): Seq[(String, Seq[Seq[String]])] = {
+    val z = new ZipFile(path)
+    try {
+      val wb = dom(zipEntryBytes(z, "xl/workbook.xml").get)
+      val rels = dom(zipEntryBytes(z, "xl/_rels/workbook.xml.rels").get)
+      val relMap = {
+        val nl = rels.getElementsByTagNameNS("*", "Relationship")
+        (0 until nl.getLength).map { i =>
+          val e = nl.item(i).asInstanceOf[org.w3c.dom.Element]
+          e.getAttribute("Id") -> e.getAttribute("Target")
+        }.toMap
+      }
+      val shared: IndexedSeq[String] =
+        zipEntryBytes(z, "xl/sharedStrings.xml").map { b =>
+          val nl = dom(b).getElementsByTagNameNS("*", "si")
+          (0 until nl.getLength).map(i => nl.item(i).getTextContent)
+        }.getOrElse(IndexedSeq.empty)
+
+      val sheets = wb.getElementsByTagNameNS("*", "sheet")
+      (0 until sheets.getLength).map { i =>
+        val e = sheets.item(i).asInstanceOf[org.w3c.dom.Element]
+        val name = e.getAttribute("name")
+        val rid = Option(e.getAttributeNS(
+          "http://schemas.openxmlformats.org/officeDocument/2006/relationships", "id"))
+          .filter(_.nonEmpty).getOrElse(e.getAttribute("r:id"))
+        val target = relMap(rid).stripPrefix("/xl/").stripPrefix("./")
+        val doc = dom(zipEntryBytes(z, s"xl/$target")
+          .orElse(zipEntryBytes(z, target)).get)
+        val rowsNl = doc.getElementsByTagNameNS("*", "row")
+        val rows = (0 until rowsNl.getLength).map { r =>
+          val rowE = rowsNl.item(r).asInstanceOf[org.w3c.dom.Element]
+          val cells = rowE.getElementsByTagNameNS("*", "c")
+          val out = new ArrayBuffer[String]()
+          (0 until cells.getLength).foreach { ci =>
+            val cE = cells.item(ci).asInstanceOf[org.w3c.dom.Element]
+            val col = cellCol(cE.getAttribute("r"))
+            while (out.size <= col) out += ""
+            val t = cE.getAttribute("t")
+            val text = t match {
+              case "inlineStr" => cE.getTextContent
+              case "s" =>
+                val v = cE.getElementsByTagNameNS("*", "v").item(0)
+                if (v == null) "" else shared(v.getTextContent.trim.toInt)
+              case _ =>
+                val v = cE.getElementsByTagNameNS("*", "v").item(0)
+                if (v == null) "" else v.getTextContent
+            }
+            out(col) = text
+          }
+          out.toSeq
+        }
+        (name, rows)
+      }
+    } finally z.close()
+  }
+}

@@ -1,0 +1,88 @@
+package graft.export
+
+import java.nio.file.Files
+import java.util.zip.ZipFile
+
+import graft.SparkSpec
+import graft.profile.Profiler
+
+/** Real `.xlsx` sink/source (S19/S21): write the two-sheet workbook with
+  * the reference's styling, read it back, and round-trip into the catalog
+  * import path. Also checks the OOXML package structure directly.
+  */
+class XlsxSpec extends SparkSpec {
+
+  private lazy val profiles = {
+    import spark.implicits._
+    val rows = Seq(
+      """{"user_id": "u-1", "email": "a@b.com", "age": 30, "opt": null}""",
+      """{"user_id": "u-2", "email": "c@d.com", "age": 41, "opt": "v"}""")
+    Profiler.profile(spark, rows.toDF("json"), "json")
+  }
+
+  private lazy val xlsxPath = {
+    val p = Files.createTempDirectory("graft_xlsx").resolve("dict.xlsx").toString
+    Exports.exportXlsx(profiles, "testdict", "deadbeef", p)
+    p
+  }
+
+  test("package structure is a valid OOXML workbook") {
+    val z = new ZipFile(xlsxPath)
+    try {
+      val names = {
+        val e = z.entries(); val b = Seq.newBuilder[String]
+        while (e.hasMoreElements) b += e.nextElement().getName
+        b.result()
+      }
+      assert(names.contains("[Content_Types].xml"))
+      assert(names.contains("xl/workbook.xml"))
+      assert(names.contains("xl/styles.xml"))
+      assert(names.contains("xl/worksheets/sheet1.xml"))
+      assert(names.contains("xl/worksheets/sheet2.xml"))
+      val sheet1 = new String(
+        z.getInputStream(z.getEntry("xl/worksheets/sheet1.xml")).readAllBytes,
+        "UTF-8")
+      // frozen header, auto-filter, styled header cells
+      assert(sheet1.contains("state=\"frozen\""))
+      assert(sheet1.contains("<autoFilter ref=\"A1:H1\"/>"))
+      assert(sheet1.contains(s"""s="${Xlsx.StyleHeader}""""))
+      // PII rows styled with the PII fill (email row)
+      assert(sheet1.contains(s"""s="${Xlsx.StylePii}""""))
+      val styles = new String(
+        z.getInputStream(z.getEntry("xl/styles.xml")).readAllBytes, "UTF-8")
+      // reference palette present (excel_exporter.py:35-45)
+      assert(styles.contains("FF366092") && styles.contains("FFFFE6E6") &&
+        styles.contains("FFFFFFCC") && styles.contains("FFCC0000"))
+    } finally z.close()
+  }
+
+  test("reader round-trips the written sheets exactly") {
+    val sheets = Xlsx.read(xlsxPath).toMap
+    assert(sheets.keySet == Set("Data Dictionary", "Metadata"))
+    val dd = sheets("Data Dictionary")
+    assert(dd.head == Seq("Field Path", "Data Type", "Semantic Type",
+      "Description", "Sample Values", "Null %", "Cardinality", "PII Flag"))
+    val expected = Exports.dataDictionarySheet(profiles).collect()
+      .map(_.toSeq.map(v => if (v == null) "" else v.toString))
+    assert(dd.tail.map(_.toList) == expected.map(_.toList).toSeq)
+    val meta = sheets("Metadata").map(r => r(0) -> r(1)).toMap
+    assert(meta("Dictionary Name") == "testdict")
+    assert(meta("Schema Hash") == "deadbeef")
+    assert(meta("Total Fields") == expected.length.toString)
+  }
+
+  test("xlsx import rehydrates field rows and lands in the catalog") {
+    val (fields, meta) = Imports.importXlsx(spark, xlsxPath)
+    assert(meta("Dictionary Name") == "testdict")
+    val byPath = fields.collect().map(r => r.getString(0) -> r).toMap
+    assert(byPath("email").getBoolean(7)) // isPii
+    assert(byPath("opt").getDouble(5) == 50.0) // null % parsed back
+    assert(byPath("user_id").getString(1) == "string")
+    val outDir = Files.createTempDirectory("graft_xlsx_cat").toString
+    assert(Imports.importInto(spark, outDir, "testdict", fields))
+    val landed = spark.read.parquet(s"$outDir/fields_imported")
+    assert(landed.count() == fields.count())
+    // conflict mode skip: second import is a no-op
+    assert(!Imports.importInto(spark, outDir, "testdict", fields))
+  }
+}
