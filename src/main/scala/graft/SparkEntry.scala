@@ -43,7 +43,8 @@ object SparkEntry {
     "q22_profile_json" -> (ProfileQueries.q22ProfileJson(_, _)),
     "q23_profile_xml" -> (ProfileQueries.q23ProfileXml(_, _)),
     "q24_pii_scrub" -> (ProfileQueries.q24PiiScrub(_, _)),
-    "q25_profile_mongo" -> (ProfileQueries.q25ProfileMongo(_, _))
+    "q25_profile_mongo" -> (ProfileQueries.q25ProfileMongo(_, _)),
+    "q26_event_rollup" -> (Queries.q26EventRollup(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -245,6 +246,11 @@ object SparkEntry {
                   CAST(0 AS INT) AS position FROM tot
            UNION ALL SELECT 'n', 'n', '', 0, 'integer', 95.0,
                   CAST(NULL AS VARCHAR), FALSE, n, 0, 0.0, FALSE, 1 FROM tot
-         ) ORDER BY field_path"""
+         ) ORDER BY field_path""",
+    "q26_event_rollup" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY ROLLUP(event_type, day)
+         ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST"""
   )
 }

@@ -188,6 +188,20 @@ object Queries {
           .as("custkey_cardinality_ratio"),
         countDistinct(col("o_orderpriority")).as("distinct_priority"))
 
+  /** q26 — multi-level rollup (beyond the reference's flat A4 rollups):
+    * ROLLUP(event_type, day) in ONE pass — Catalyst expands grouping sets
+    * and the partial aggregation still combines map-side, so this is one
+    * shuffle for all three grouping levels; at 100 TB this replaces three
+    * separate scans.
+    */
+  def q26EventRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .withColumn("day", to_date(col("ts")))
+      .rollup(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+
   /** q14 — semantic-pattern scan (P3/F1..F5): regex classification counts
     * over part names/types; rlike compiles once per literal pattern.
     */

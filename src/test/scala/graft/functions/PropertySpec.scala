@@ -93,4 +93,25 @@ class PropertySpec extends AnyFunSuite {
         graft.queries.TrainingOps.simhash64(scala.util.Random.shuffle(toks))
     })
   }
+
+  test("xlsx write/read round-trips arbitrary cell text (escaping)") {
+    import graft.export.Xlsx
+    // XML-hostile content: markup chars, quotes, whitespace runs, unicode
+    val cellGen: Gen[String] = Gen.listOfN(12, Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(5)),
+      Gen.oneOf("&", "<", ">", "\"", "'", "&amp;", "<t>", "]]>", "  ",
+        "\tx", "é", "漢字", "a,b", "line1\nline2"))).map(_.mkString)
+    val rowsGen = Gen.listOfN(4, Gen.listOfN(3, cellGen))
+    check(Prop.forAll(rowsGen) { rows =>
+      val dir = java.nio.file.Files.createTempDirectory("xlsx_prop")
+      val p = dir.resolve("t.xlsx").toString
+      Xlsx.write(p, Seq(Xlsx.Sheet("S",
+        rows.map(_.map(Xlsx.Cell(_))))))
+      val back = Xlsx.read(p).head._2.map(_.toList)
+      java.nio.file.Files.delete(dir.resolve("t.xlsx"))
+      java.nio.file.Files.delete(dir)
+      // CR normalization is the only allowed transform (XML line ends)
+      back == rows.map(_.map(_.replace("\r\n", "\n").replace("\r", "\n")))
+    })
+  }
 }
