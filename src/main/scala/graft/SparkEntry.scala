@@ -44,7 +44,8 @@ object SparkEntry {
     "q23_profile_xml" -> (ProfileQueries.q23ProfileXml(_, _)),
     "q24_pii_scrub" -> (ProfileQueries.q24PiiScrub(_, _)),
     "q25_profile_mongo" -> (ProfileQueries.q25ProfileMongo(_, _)),
-    "q26_event_rollup" -> (Queries.q26EventRollup(_, _))
+    "q26_event_rollup" -> (Queries.q26EventRollup(_, _)),
+    "q27_version_diff" -> (ProfileQueries.q27VersionDiff(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -251,6 +252,16 @@ object SparkEntry {
       """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY ROLLUP(event_type, day)
-         ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST"""
+         ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""",
+    // q27: the diff classification is pinned per field; the engine must
+    // reproduce the change strings, types and breaking rules exactly.
+    "q27_version_diff" ->
+      """SELECT * FROM (
+           SELECT 'balance' AS field_path, 'modified' AS change_type,
+                  TRUE AS is_breaking,
+                  'Type changed: float -> string; Semantic type changed: currency -> None' AS changes
+           UNION ALL SELECT 'legacy', 'removed', TRUE, ''
+           UNION ALL SELECT 'segment', 'added', FALSE, ''
+         ) ORDER BY field_path"""
   )
 }

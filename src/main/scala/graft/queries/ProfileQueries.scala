@@ -97,6 +97,33 @@ object ProfileQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** q27 — version diff E2E (J1/A5, §3.3): two schema versions derived
+    * from customer (type change on `balance`, removed `legacy`, added
+    * `segment`) profiled with the real engine, then diffed with the real
+    * full-outer classifier — change strings, breaking rules and all.
+    */
+  def q27VersionDiff(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val v1 = c.select(to_json(struct(
+      col("c_name").as("name"),
+      col("c_acctbal").as("balance"),
+      lit("x").as("legacy"))).as("doc"))
+    val v2 = c.select(to_json(struct(
+      col("c_name").as("name"),
+      col("c_acctbal").cast("string").as("balance"),
+      col("c_mktsegment").as("segment"))).as("doc"))
+    graft.profile.VersionDiff.diff(
+        Profiler.profile(spark, v1, "doc"),
+        Profiler.profile(spark, v2, "doc"))
+      .toDF()
+      .select(
+        col("fieldPath").as("field_path"),
+        col("changeType").as("change_type"),
+        col("isBreaking").as("is_breaking"),
+        array_join(col("changes"), "; ").as("changes"))
+      .orderBy(col("field_path"))
+  }
+
   /** q25 — MongoDB Extended JSON profile E2E (S4/S5, P1's fixed-95.0
     * confidences): `$oid` + `$numberLong` wrappers derived from events;
     * wrappers must be typed `objectid`/`integer` and never recursed.
