@@ -45,7 +45,8 @@ object SparkEntry {
     "q24_pii_scrub" -> (ProfileQueries.q24PiiScrub(_, _)),
     "q25_profile_mongo" -> (ProfileQueries.q25ProfileMongo(_, _)),
     "q26_event_rollup" -> (Queries.q26EventRollup(_, _)),
-    "q27_version_diff" -> (ProfileQueries.q27VersionDiff(_, _))
+    "q27_version_diff" -> (ProfileQueries.q27VersionDiff(_, _)),
+    "q28_embedding_neardup" -> (TrainingOps.q28EmbeddingNearDup(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -262,6 +263,17 @@ object SparkEntry {
                   'Type changed: float -> string; Semantic type changed: currency -> None' AS changes
            UNION ALL SELECT 'legacy', 'removed', TRUE, ''
            UNION ALL SELECT 'segment', 'added', FALSE, ''
-         ) ORDER BY field_path"""
+         ) ORDER BY field_path""",
+    "q28_embedding_neardup" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id < 1000),
+            uni AS (SELECT * FROM base
+                    UNION ALL
+                    SELECT vec_id + 100000, [x * 2 FOR x IN v] FROM base
+                    WHERE vec_id < 10)
+         SELECT a.vec_id AS vec_i, b.vec_id AS vec_j
+         FROM uni a JOIN uni b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+         ORDER BY vec_i, vec_j"""
   )
 }

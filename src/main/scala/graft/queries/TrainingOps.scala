@@ -326,6 +326,26 @@ object TrainingOps {
             size(col("toks"))) >= 0.3).as("keep"))
       .orderBy(col("doc_id"))
 
+  /** q28 — embedding-cosine near-dup pairs E2E (dedup family): the first
+    * 1000 vectors plus planted duplicates (ids 0-9 re-keyed +100000 and
+    * scaled ×2 — scaling preserves cosine exactly) through the
+    * LSH-candidates + exact-verify pipeline. At cos ≥ 0.95 the 16×4-bit
+    * LSH misses a true pair with p ≈ 4e-6, so the approximate pipeline's
+    * PAIR SET equals the oracle's exact pairwise scan; only pair identity
+    * is emitted (cosine floats stay engine-internal).
+    */
+  def q28EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 1000)
+    val planted = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), x => x * 2).as("embedding"))
+    embeddingNearDups(spark, base.unionByName(planted), 0.95)
+      .select(col("vec_i"), col("vec_j"))
+      .orderBy(col("vec_i"), col("vec_j"))
+  }
+
   // ---- IVF ANN: coarse k-means quantizer + inverted-list probing ----
   // The second scale path for similarity search (complementing q19's LSH):
   // train a small codebook on a driver-side sample (centroids are tiny and
