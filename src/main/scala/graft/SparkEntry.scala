@@ -266,7 +266,7 @@ object SparkEntry {
          ) ORDER BY field_path""",
     "q28_embedding_neardup" ->
       """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                       FROM embeddings WHERE vec_id < 1000),
+                       FROM embeddings WHERE vec_id < 500),
             uni AS (SELECT * FROM base
                     UNION ALL
                     SELECT vec_id + 100000, [x * 2 FOR x IN v] FROM base

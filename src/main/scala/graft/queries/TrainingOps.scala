@@ -327,7 +327,7 @@ object TrainingOps {
       .orderBy(col("doc_id"))
 
   /** q28 — embedding-cosine near-dup pairs E2E (dedup family): the first
-    * 1000 vectors plus planted duplicates (ids 0-9 re-keyed +100000 and
+    * 500 vectors plus planted duplicates (ids 0-9 re-keyed +100000 and
     * scaled ×2 — scaling preserves cosine exactly) through the
     * LSH-candidates + exact-verify pipeline. At cos ≥ 0.95 the 16×4-bit
     * LSH misses a true pair with p ≈ 4e-6, so the approximate pipeline's
@@ -337,7 +337,7 @@ object TrainingOps {
   def q28EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     val base = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-      .filter(col("vec_id") < 1000)
+      .filter(col("vec_id") < 500)
     val planted = base.filter(col("vec_id") < 10)
       .select((col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"), x => x * 2).as("embedding"))
