@@ -102,16 +102,27 @@ object LangId {
 
   /** Score one file: argmax language, normalized margin, softmax prob. */
   def score(m: Model, content: String): Score = {
+    val s = if (content.length > MaxChars) content.substring(0, MaxChars) else content
     val l = m.numLangs
     val logits = new Array[Double](l)
     System.arraycopy(m.priors, 0, logits, 0, l)
-    val bs = buckets(content)
-    var k = 0
-    while (k < bs.length) {
-      val off = bs(k) * l
+    // inline n-gram walk — same bucket order as [[buckets]] (all 2-grams
+    // then all 3-grams), so logits accumulate bit-identically, without
+    // materializing the per-file Int array (the scorer's main allocation)
+    var nb = 0
+    var j = 0
+    while (j + 2 <= s.length) {
+      val off = bucket(s, j, 2) * l
       var i = 0
       while (i < l) { logits(i) += m.weights(off + i); i += 1 }
-      k += 1
+      nb += 1; j += 1
+    }
+    j = 0
+    while (j + 3 <= s.length) {
+      val off = bucket(s, j, 3) * l
+      var i = 0
+      while (i < l) { logits(i) += m.weights(off + i); i += 1 }
+      nb += 1; j += 1
     }
     var best = 0; var second = -1
     var i = 1
@@ -120,7 +131,7 @@ object LangId {
       else if (second < 0 || logits(i) > logits(second)) second = i
       i += 1
     }
-    val n = math.max(1, bs.length)
+    val n = math.max(1, nb)
     val margin = (logits(best) - logits(second)) / n
     // softmax prob (reporting only)
     var z = 0.0
