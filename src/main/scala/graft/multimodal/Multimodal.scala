@@ -77,6 +77,59 @@ object Multimodal {
     }
   }
 
+  /** STUB resize — stands in for image resize: deterministic stride
+    * down-sample of the payload to `targetBytes` (a real implementation
+    * swaps in an image decode→scale→encode with the same one-batch-in,
+    * one-batch-out contract). No-op when already small enough.
+    */
+  def resizeBatchStub(batch: Seq[MediaRecord], targetBytes: Int): Seq[MediaRecord] =
+    batch.map { r =>
+      if (r.payload.length <= targetBytes) r
+      else {
+        val out = new Array[Byte](targetBytes)
+        val step = r.payload.length.toDouble / targetBytes
+        var i = 0
+        while (i < targetBytes) { out(i) = r.payload((i * step).toInt); i += 1 }
+        r.copy(payload = out,
+          meta = r.meta + ("resized_from" -> r.payload.length.toString))
+      }
+    }
+
+  /** Batched resize over the binary column (same executor shape as
+    * [[extractFeatures]]).
+    */
+  def resize(media: Dataset[MediaRecord], targetBytes: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(BatchSize)
+      .flatMap(b => resizeBatchStub(b.toSeq, targetBytes)))
+  }
+
+  /** STUB frame sampler — stands in for video frame extraction: the
+    * payload is cut into fixed-size "frames" and every `stride`-th frame
+    * is emitted as its own record (`media_id` preserved, frame index in
+    * the metadata). A row explodes into a bounded number of rows — the
+    * flatMap analogue of a Pandas-UDF iterator that yields multiple
+    * batches per input.
+    */
+  def frameSampleStub(r: MediaRecord, frameBytes: Int,
+      stride: Int): Seq[MediaRecord] = {
+    val nFrames = (r.payload.length + frameBytes - 1) / frameBytes
+    (0 until nFrames by stride).map { f =>
+      val from = f * frameBytes
+      val until = math.min(from + frameBytes, r.payload.length)
+      r.copy(
+        payload = java.util.Arrays.copyOfRange(r.payload, from, until),
+        media_type = "frame",
+        meta = r.meta + ("frame" -> f.toString))
+    }
+  }
+
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int,
+      stride: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.flatMap(frameSampleStub(_, frameBytes, stride))
+  }
+
   /** q21 — multimodal pipeline rollup: documents → binary media column →
     * batched stub decode → per-type integer aggregates. The emitted
     * columns are decode-independent exact integers (plus the constant

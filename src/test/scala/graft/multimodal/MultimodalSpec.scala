@@ -43,6 +43,37 @@ class MultimodalSpec extends SparkSpec {
     assert(f.feature(3) === 0.0f)
   }
 
+  test("resize caps payload size, preserves small payloads, keeps lineage") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val media = Multimodal.mediaFromDocuments(spark, docs)
+    val resized = Multimodal.resize(media, 64).collect()
+    assert(resized.length == media.count())
+    resized.foreach { m =>
+      assert(m.payload.length <= 64)
+      if (m.meta.contains("resized_from"))
+        assert(m.meta("resized_from").toInt > 64)
+    }
+    // deterministic stride sampling: same input → same bytes
+    val again = Multimodal.resize(media, 64).collect()
+    assert(resized.sortBy(_.media_id).map(_.payload.toSeq).toSeq ==
+      again.sortBy(_.media_id).map(_.payload.toSeq).toSeq)
+  }
+
+  test("frame sampling explodes video payloads into strided frame records") {
+    val rec = Multimodal.MediaRecord(7L, "video",
+      Array.tabulate[Byte](100)(_.toByte), Map("src" -> "t"))
+    val frames = Multimodal.frameSampleStub(rec, frameBytes = 16, stride = 2)
+    // 100 bytes → 7 frames (6×16 + 4); every 2nd → frames 0,2,4,6
+    assert(frames.map(_.meta("frame")) == Seq("0", "2", "4", "6"))
+    assert(frames.forall(_.media_type == "frame"))
+    assert(frames.head.payload.toSeq == (0 until 16).map(_.toByte))
+    assert(frames.last.payload.length == 4) // tail frame
+    // distributed path
+    import spark.implicits._
+    val ds = Multimodal.sampleFrames(Seq(rec).toDS(), 16, 2)
+    assert(ds.count() == 4)
+  }
+
   test("q21 rollup: per-type counts and byte totals are exact") {
     val rows = Multimodal.q21MultimodalFeatures(spark, dir).collect()
     assert(rows.map(_.getString(0)).toSeq === Seq("audio", "image", "video"))
