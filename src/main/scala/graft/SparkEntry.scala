@@ -85,7 +85,7 @@ object SparkEntry {
                FROM events) WHERE rn = 1 ORDER BY user_id""",
     "q06_event_null_metrics" ->
       """SELECT event_type, COUNT(*) AS total_count,
-         SUM(CASE WHEN CAST(props->>'$.k' AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS null_count,
+         CAST(SUM(CASE WHEN CAST(props->>'$.k' AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
          CAST(SUM(CASE WHEN CAST(props->>'$.k' AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 / COUNT(*) AS null_percentage,
          COUNT(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS distinct_count
          FROM events GROUP BY event_type ORDER BY event_type""",
@@ -101,7 +101,7 @@ object SparkEntry {
          FROM documents GROUP BY MD5(text) ORDER BY content_hash""",
     "q09_token_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
-         SUM(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) AS total_tokens,
+         CAST(SUM(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) AS BIGINT) AS total_tokens,
          CAST(SUM(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) AS DOUBLE) / COUNT(*) AS avg_tokens
          FROM documents GROUP BY lang ORDER BY lang""",
     "q10_doc_fingerprint" ->
@@ -126,13 +126,9 @@ object SparkEntry {
          FROM orders""",
     "q14_part_type_classes" ->
       """SELECT p_brand, COUNT(*) AS n_parts,
-         SUM(CASE WHEN REGEXP_MATCHES(p_type, '^[A-Z]+$') THEN 1 ELSE 0 END) AS n_alpha_type,
+         CAST(SUM(CASE WHEN REGEXP_MATCHES(p_type, '^[A-Z]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha_type,
          COUNT(DISTINCT p_type) AS distinct_types
          FROM part GROUP BY p_brand ORDER BY p_brand""",
-    // q16/q17/q19 are approximate (MinHash/SimHash/LSH) — not ANSI-SQL
-    // expressible, so they get the driver's rows-only check; their
-    // correctness gates are DedupSpec/LshAnnSpec (recall vs the exact
-    // queries q15/q18).
     "q15_ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
          sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS shingles
@@ -146,11 +142,63 @@ object SparkEntry {
          FROM inter JOIN sizes sa ON doc_i = sa.doc_id JOIN sizes sb ON doc_j = sb.doc_id
          WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5
          ORDER BY doc_i, doc_j""",
+    // q16: the MinHash+LSH banding is derived so a true >=0.9 pair is
+    // missed with p <= 8.6e-10 — the approximate pipeline's output
+    // provably equals this exact inverted-index scan at threshold 0.9.
+    "q16_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS shingles
+                FROM toks WHERE len(t) >= 3),
+         tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+         inter AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS n_inter
+                   FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT doc_i, doc_j, n_inter, sa.n + sb.n - n_inter AS n_union,
+                CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+         FROM inter JOIN sizes sa ON doc_i = sa.doc_id JOIN sizes sb ON doc_j = sb.doc_id
+         WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.9
+         ORDER BY doc_i, doc_j""",
+    // q17: simhash banding is pigeonhole-COMPLETE for Hamming <= 3, so
+    // the output is exactly {pairs : hamming(simhash_i, simhash_j) <= 3};
+    // the oracle recomputes simhash from scratch (token hash =
+    // md5_number_lower = lower 64 bits of MD5, bit-identical in both
+    // engines).
+    "q17_simhash" ->
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk FROM documents),
+         h AS (SELECT doc_id, md5_number_lower(tk) AS h FROM toks),
+         bits AS (SELECT doc_id, b AS bit,
+                  SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+                  FROM h, (SELECT unnest(range(64)) AS b) GROUP BY 1, 2),
+         sh AS (SELECT doc_id, CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS UBIGINT) << bit) ELSE 0 END) AS UBIGINT) AS simhash
+                FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         ORDER BY doc_i, doc_j""",
     "q18_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
          s AS (SELECT query_id, vec_id, list_cosine_similarity(qv, v) AS cos
                FROM q, e WHERE vec_id <> query_id),
+         r AS (SELECT query_id, vec_id AS neighbor_id,
+                      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS "rank"
+               FROM s)
+         SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 5
+         ORDER BY query_id, "rank"""",
+    // q19: each query's exact top-5 is its 5 planted companions (cosine
+    // >= 0.9987, adjacent rank gaps >= 1.4e-4; everything else sits at
+    // ~0.4), and LSH misses a companion with p ~ 5e-20 — so the
+    // approximate pipeline's ranked output equals this exact scan.
+    "q19_lsh_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 500),
+         q AS (SELECT vec_id, v FROM e WHERE vec_id < 20),
+         comp AS (SELECT q.vec_id * 10 + k + 100000 AS vec_id,
+                         [v[i] + CAST(0.01 AS DOUBLE) * (k + 1) * v[(i % len(v)) + 1] FOR i IN range(1, len(v) + 1)] AS v
+                  FROM q, (SELECT unnest(range(5)) AS k)),
+         uni AS (SELECT * FROM e UNION ALL SELECT * FROM comp),
+         s AS (SELECT q.vec_id AS query_id, u.vec_id, list_cosine_similarity(q.v, u.v) AS cos
+               FROM q JOIN uni u ON u.vec_id <> q.vec_id),
          r AS (SELECT query_id, vec_id AS neighbor_id,
                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS "rank"
                FROM s)
@@ -175,7 +223,7 @@ object SparkEntry {
       """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                 ELSE 'video' END AS media_type,
          COUNT(*) AS n_items,
-         SUM(octet_length(encode(text))) AS total_bytes,
+         CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
          CAST(8 AS INT) AS feature_dim
          FROM documents GROUP BY 1 ORDER BY media_type""",
     // q22-q25 run the real profiling engine / scrubber on columns derived
@@ -184,7 +232,7 @@ object SparkEntry {
     // classification contract (inferred type, semantic, PII, position).
     "q22_profile_json" ->
       """WITH tot AS (SELECT COUNT(*) AS n,
-           SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS nulls
+           CAST(SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nulls
            FROM customer)
          SELECT * FROM (
            SELECT 'balance' AS field_path, 'balance' AS field_name,

@@ -19,11 +19,22 @@ object TrainingOps {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Document-frequency cap on shingles: a shingle present in more than
+    * this many documents carries no near-dup signal (boilerplate headers,
+    * license blurbs) but generates O(df²) candidate rows in the inverted-
+    * index self-join — the one quadratic hot key in the dedup family at
+    * 100 TB. Capped shingles are dropped from the shingle SETS (not just
+    * the index), so the Jaccard metric stays well-defined and identical
+    * between the index path (q15) and the banded path (q16). Inactive at
+    * gate scale (sf0.01 has 500 docs < 1000), proven by DedupScaleSpec.
+    */
+  val ShingleDfCap = 1000
+
   /** Distinct 3-word shingles per doc. 0-based `toks[i]` indexing; docs
     * with <3 tokens have no shingles and drop out, same as the oracle's
     * `WHERE len(t) >= 3`.
     */
-  private def shingleSets(docs: DataFrame): DataFrame =
+  private[queries] def shingleSets(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .filter(size(col("toks")) >= 3)
@@ -32,19 +43,34 @@ object TrainingOps {
           "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))"))
       .select(col("doc_id"), col("shingles"))
 
+  /** Exploded distinct (doc_id, shingle) pairs with hot shingles
+    * (df > dfCap) removed via a broadcast anti-join. The hot set is small
+    * by construction (Zipf head; ≤ total-occurrences / dfCap entries for
+    * a pathological corpus), so it broadcasts; the anti-join keeps the
+    * big side shuffle-free.
+    */
+  private[queries] def shingleTokens(sets: DataFrame, dfCap: Int): DataFrame = {
+    val tok = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
+    val hot = tok.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("s"))
+    tok.join(broadcast(hot), Seq("s"), "left_anti")
+  }
+
   /** q15 — exact n-gram Jaccard near-dup pairs (dedup family, the exact
     * baseline MinHash approximates). Shingle-level inverted index:
-    * explode → self-join on shingle → count intersections; union from
-    * per-doc set sizes. jaccard ≥ 0.5 keeps the planted near-dups.
+    * explode → DF-cap hot shingles ([[ShingleDfCap]]) → self-join on
+    * shingle → count intersections; union from per-doc set sizes.
+    * jaccard ≥ 0.5 keeps the planted near-dups.
     *
-    * Scale: the shingle join shuffles on the shingle string — at 100 TB
-    * you band-limit it (that is exactly q16's MinHash+LSH); this exact
+    * Scale: the shingle join shuffles on the shingle string; the DF cap
+    * bounds any one key's candidate fan-out at dfCap² — at 100 TB you
+    * band-limit the rest (that is exactly q16's MinHash+LSH); this exact
     * variant is the correctness oracle for it.
     */
   def q15NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sets = shingleSets(t(spark, dir, "documents")).cache()
-    val tok = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val sizes = sets.select(col("doc_id"), size(col("shingles")).as("n"))
+    val tok = shingleTokens(sets, ShingleDfCap)
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = tok.as("a").join(tok.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
@@ -60,33 +86,53 @@ object TrainingOps {
       .orderBy(col("doc_i"), col("doc_j"))
   }
 
-  val MinHashPerms = 32
-  val MinHashBands = 8 // 4 rows per band
+  /** (rows-per-band, bands) such that a pair at exactly `threshold` is
+    * missed by banding with probability ≤ targetMiss — miss(t) =
+    * (1 - t^r)^b — using the most selective r (largest) whose band count
+    * fits the permutation budget. Larger r → fewer false candidates;
+    * larger b → buys back recall.
+    */
+  def minhashBanding(threshold: Double, targetMiss: Double,
+      maxPerms: Int = 64): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold=$threshold")
+    (8 to 1 by -1).iterator
+      .map { r =>
+        val miss1 = 1.0 - math.pow(threshold, r)
+        val b = math.max(1,
+          math.ceil(math.log(targetMiss) / math.log(miss1)).toInt)
+        (r, b)
+      }
+      .find { case (r, b) => r * b <= maxPerms }
+      .getOrElse((1, maxPerms))
+  }
 
-  /** q16 — MinHash + LSH near-dup detection (banding), verified exact.
+  /** MinHash + LSH near-dup pairs at `threshold`, verified exact.
     *
-    * Pipeline: shingle → 32 xxhash64 min-signatures (ONE groupBy shuffle,
-    * partial-aggregated map-side) → 8 bands of 4 → self-join on
-    * (band, band_hash) for candidates → exact Jaccard verify on the
-    * candidate set only. Same output contract as q15, so the spec can
-    * assert recall directly.
+    * Pipeline: shingle (DF-capped) → r·b xxhash64 min-signatures (ONE
+    * groupBy shuffle, partial-aggregated map-side) → b bands of r →
+    * self-join on (band, band_hash) for candidates → exact Jaccard
+    * verify on the candidate set only, keep ≥ threshold. Banding is
+    * derived from (threshold, targetMiss) by [[minhashBanding]], so the
+    * output pair set equals the exact q15-style scan at the same
+    * threshold up to probability ≤ targetMiss per true pair — which is
+    * what lets the driver oracle it with exact SQL.
     *
     * Scale: the candidate join touches only banded buckets — the 100 TB
     * path — while the exact verify join is proportional to candidates,
-    * not pairs. P(candidate | jac=0.5) with 8 bands of 4 rows
-    * = 1-(1-0.5^4)^8 ≈ 0.40 per band structure — for jac ≥ 0.8 it is
-    * ≈ 0.98; planted near-dups here sit at ≥ 0.5 so the spec checks
-    * recall against q15 rather than assuming 100%.
+    * not pairs; the DF cap bounds hot-shingle fan-out before banding.
     */
-  def q16MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sets = shingleSets(t(spark, dir, "documents")).cache()
-    val tok = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
-    val sigCols = (0 until MinHashPerms).map(i =>
+  def minhashLsh(spark: SparkSession, docs: DataFrame, threshold: Double,
+      targetMiss: Double = 1e-9, dfCap: Int = ShingleDfCap): DataFrame = {
+    val (r, b) = minhashBanding(threshold, targetMiss)
+    val sets = shingleSets(docs).cache()
+    val tok = shingleTokens(sets, dfCap).cache()
+    val sigCols = (0 until r * b).map(i =>
       min(xxhash64(lit(i), col("s"))).as(s"h$i"))
     val sigs = tok.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    val bandCols = (0 until MinHashBands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64((0 until 4).map(r => col(s"h${b * 4 + r}")): _*).as("bh"))
+    val bandCols = (0 until b).map { band =>
+      struct(lit(band).as("band"),
+        xxhash64((0 until r).map(row => col(s"h${band * r + row}")): _*)
+          .as("bh"))
     }
     val buckets = sigs
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
@@ -96,23 +142,43 @@ object TrainingOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
       .distinct()
-    // exact verify on candidates only
+    // exact verify on candidates only, over the same DF-capped sets
+    val fsets = tok.groupBy(col("doc_id"))
+      .agg(collect_set(col("s")).as("shingles"))
     candidates
-      .join(sets.select(col("doc_id").as("doc_i"), col("shingles").as("sa")), "doc_i")
-      .join(sets.select(col("doc_id").as("doc_j"), col("shingles").as("sb")), "doc_j")
-      .withColumn("n_inter", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("n_union", size(col("sa")) + size(col("sb")) - col("n_inter"))
+      .join(fsets.select(col("doc_id").as("doc_i"), col("shingles").as("sa")), "doc_i")
+      .join(fsets.select(col("doc_id").as("doc_j"), col("shingles").as("sb")), "doc_j")
+      .withColumn("n_inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("n_union",
+        size(col("sa")).cast("long") + size(col("sb")) - col("n_inter"))
       .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= threshold)
       .select(col("doc_i"), col("doc_j"), col("n_inter"), col("n_union"),
         col("jaccard"))
-      .orderBy(col("doc_i"), col("doc_j"))
   }
 
-  /** q17 — SimHash near-dup candidates. 64-bit simhash over token hashes
-    * (per-bit majority vote, term-frequency weighted), banded into 4×16-bit
-    * keys so any pair within Hamming distance 3 shares ≥1 exact band
-    * (pigeonhole); candidates are then filtered by true Hamming ≤ 3.
+  /** q16 — MinHash+LSH near-dups at jaccard ≥ 0.9 (the web-dedup
+    * operating point). Banding derived for miss ≤ 1e-9 at 0.9 → (3, 16):
+    * a true ≥0.9 pair escapes with p = (1-0.9³)¹⁶ ≈ 8.6e-10, so the
+    * output provably equals the exact inverted-index scan restricted to
+    * ≥0.9 — the DuckDB oracle recomputes exactly that. DedupSpec
+    * additionally asserts set-equality vs q15 at both 0.5 and 0.9.
+    */
+  def q16MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLsh(spark, t(spark, dir, "documents"), 0.9)
+      .orderBy(col("doc_i"), col("doc_j"))
+
+  /** q17 — SimHash near-dup pairs, EXACT by construction. 64-bit simhash
+    * over token hashes (per-bit majority vote, term-frequency weighted),
+    * banded into 4×16-bit keys: any pair within Hamming distance 3 can
+    * differ in at most 3 bands, so it shares ≥1 exact band (pigeonhole) —
+    * the candidate stage is COMPLETE for Hamming ≤ 3, and after the true
+    * Hamming filter the output is deterministically {pairs : hamming ≤ 3},
+    * which the DuckDB oracle recomputes from scratch (token hash = lower
+    * 64 bits of MD5, chosen precisely because both engines compute it
+    * bit-identically — DuckDB `md5_number_lower` = little-endian of MD5
+    * digest bytes 8..15).
     *
     * The bit-vote accumulation is a fold over 64 counters — genuinely
     * imperative per-row state, so it runs in one typed map (the documented
@@ -144,15 +210,26 @@ object TrainingOps {
       .orderBy(col("doc_i"), col("doc_j"))
   }
 
+  /** Lower 64 bits of MD5(s) — little-endian over digest bytes 8..15,
+    * matching DuckDB's `md5_number_lower` so the simhash oracle can
+    * recompute token hashes bit-identically.
+    */
+  def md5Lower64(md: java.security.MessageDigest, s: String): Long = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (d(i) & 0xFFL); i -= 1 }
+    h
+  }
+
   /** 64-bit SimHash: per-bit majority over token hashes (tf-weighted by
-    * repetition). Deterministic: MurmurHash3 of the token string.
+    * repetition). Deterministic: lower 64 bits of MD5 of the token.
     */
   def simhash64(tokens: Seq[String]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     val votes = new Array[Int](64)
     tokens.foreach { tk =>
-      val h1 = scala.util.hashing.MurmurHash3.stringHash(tk, 0x9747b28c).toLong
-      val h2 = scala.util.hashing.MurmurHash3.stringHash(tk, 0x85ebca6b).toLong
-      val h = (h1 << 32) | (h2 & 0xFFFFFFFFL)
+      val h = md5Lower64(md, tk)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -205,27 +282,53 @@ object TrainingOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  // 16 tables × 4 bits: tuned for uniform-random vectors (LSH's worst
-  // case — true neighbours sit at cosine ≈0.4, so per-bit agreement is
-  // only ~0.63; 4 bits/16 tables gives ~0.94 recall@5). At scale, bits
-  // grow with log(N / target-bucket-size) and tables buy back recall.
+  // Default LSH shape for the ANN query path on this corpus: uniform-
+  // random vectors are LSH's worst case (true neighbours sit at cosine
+  // ≈0.4, per-bit agreement ~0.63; 4 bits / 16 tables gives ~0.94
+  // recall@5 there). Where a recall CONTRACT is needed (q19's planted
+  // companions at cosine ≥ 0.9987: per-bit agreement 0.984, miss ≤
+  // (1-0.984⁴)¹⁶ ≈ 5e-20) the same shape is provably near-exhaustive.
+  // For data-dependent sizing use [[lshParams]] (embeddingNearDups).
   val LshTables = 16
   val LshBits = 4
   private val LshSeed = 42
 
-  /** Deterministic random hyperplanes: tables × bits planes of unit
-    * Gaussians (seeded — identical on driver and executors).
+  /** Derive (tables, bits) from corpus size and similarity threshold:
+    * bits grow with log2(N / targetBucket) so bucket occupancy — and with
+    * it the O(Σ bucketSize²) candidate join — stays bounded as N grows;
+    * tables then buy back recall to `targetMiss` at the threshold, using
+    * the random-hyperplane collision probability p = 1 - acos(t)/π.
     */
-  lazy val hyperplanes: Array[Array[Array[Double]]] = {
-    val rnd = new scala.util.Random(LshSeed)
-    Array.fill(LshTables)(Array.fill(LshBits)(Array.fill(64)(rnd.nextGaussian())))
+  def lshParams(n: Long, threshold: Double, targetMiss: Double = 1e-6,
+      targetBucket: Int = 512): (Int, Int) = {
+    val bits = math.max(4, math.min(16,
+      math.ceil(math.log(math.max(n, 1).toDouble / targetBucket) /
+        math.log(2.0)).toInt))
+    val p = 1.0 - math.acos(math.min(threshold, 1.0)) / math.Pi
+    val perTable = math.pow(p, bits)
+    val tables = math.max(1,
+      math.ceil(math.log(targetMiss) / math.log(1.0 - perTable)).toInt)
+    (tables, bits)
   }
 
-  def lshBucket(v: Seq[Double], table: Int): Int = {
-    val planes = hyperplanes(table)
+  /** Deterministic random hyperplanes for one table: seeded per (table,
+    * bits) so the same table index yields the same planes on driver and
+    * executors, and growing the table count never reshuffles existing
+    * tables.
+    */
+  def planesFor(table: Int, bits: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(
+      LshSeed.toLong * 0x9E3779B9L + table.toLong * 7919L + bits)
+    Array.fill(bits)(Array.fill(64)(rnd.nextGaussian()))
+  }
+
+  def allPlanes(tables: Int, bits: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(tables)(planesFor(_, bits))
+
+  def lshBucket(v: Seq[Double], planes: Array[Array[Double]]): Int = {
     var bucket = 0
     var b = 0
-    while (b < LshBits) {
+    while (b < planes.length) {
       val p = planes(b)
       var d = 0.0
       var i = 0
@@ -237,34 +340,35 @@ object TrainingOps {
     bucket
   }
 
-  /** q19 — LSH-bucketed approximate nearest neighbours (random-hyperplane
-    * cosine LSH, 8 tables × 8 bits, OR-amplified): candidates are pairs
+  /** LSH-bucketed approximate top-k cosine neighbours of `queries`
+    * (query_id, qv) within `uni` (vec_id, v): candidates are pairs
     * sharing a bucket in any table; exact cosine re-rank on candidates.
-    * Same output shape as q18 so recall is directly measurable
-    * (LshAnnSpec asserts it).
+    * Same output shape as q18 so recall is directly measurable.
     *
     * Scale: replaces q18's O(Q·N) scan with per-bucket joins — the
     * shuffle key is (table, bucket), load bounded by bucket occupancy;
-    * more tables buy recall, more bits buy selectivity.
+    * more tables buy recall, more bits buy selectivity ([[lshParams]]).
     */
-  def q19LshAnn(spark: SparkSession, dir: String): DataFrame = {
+  def lshAnnTopK(spark: SparkSession, uni: DataFrame,
+      queries: DataFrame): DataFrame = {
     import spark.implicits._
-    val emb = t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .as[(Long, Seq[Double])]
-    val buckets = emb.flatMap { case (id, v) =>
-      (0 until LshTables).iterator.map(t => (id, t, lshBucket(v, t)))
+    val pl = allPlanes(LshTables, LshBits)
+    val e = uni.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+    val buckets = e.flatMap { case (id, v) =>
+      pl.indices.iterator.map(t => (id, t, lshBucket(v, pl(t))))
     }.toDF("vec_id", "tbl", "bucket")
-    val vecs = emb.toDF("vec_id", "v")
-    val qb = buckets.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("query_id"), col("tbl"), col("bucket"))
-    val cand = broadcast(qb).join(buckets,
-        Seq("tbl", "bucket"))
+    val qe = queries.select(col("query_id"), col("qv"))
+      .as[(Long, Seq[Double])]
+    val qb = qe.flatMap { case (id, v) =>
+      pl.indices.iterator.map(t => (id, t, lshBucket(v, pl(t))))
+    }.toDF("query_id", "tbl", "bucket")
+    val cand = broadcast(qb).join(buckets, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
       .distinct()
+    val vecs = uni.select(col("vec_id"), col("v"))
     val scored = cand
-      .join(vecs.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
+      .join(queries.select(col("query_id"), col("qv")), "query_id")
       .join(vecs, "vec_id")
       .withColumn("cos", cosineCol(col("qv"), col("v")))
     val w = Window.partitionBy(col("query_id"))
@@ -276,18 +380,60 @@ object TrainingOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** LSH ANN over the natural corpus (first [[NQueries]] vectors as
+    * queries) — the recall-measured path (LshAnnSpec, vs exact q18).
+    */
+  def lshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    lshAnnTopK(spark, emb, queries)
+  }
+
+  val AnnCompanions = 5
+
+  /** q19 — LSH ANN E2E with a provable-recall contract (the q28 recipe):
+    * the first 500 vectors plus, for each of the 20 query vectors, 5
+    * planted companions at vec_id = q·10 + k + 100000 with
+    * v' = v + 0.01·(k+1)·rot(v) (rot = cyclic shift by one) — cosines
+    * ≥ 0.9987, pairwise rank gaps ≥ 1.4e-4. Each query's exact top-5 IS
+    * its companion set (everything else sits at cosine ≈ 0.4), and LSH
+    * misses a companion with p ≈ 5e-20, so the approximate pipeline's
+    * ranked output equals the oracle's exact brute-force scan.
+    */
+  def q19LshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val base = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") < 500)
+    val q = base.filter(col("vec_id") < NQueries)
+    val comps = q
+      .select(col("vec_id"), col("v"),
+        explode(sequence(lit(0), lit(AnnCompanions - 1))).as("k"))
+      .select((col("vec_id") * 10 + col("k") + 100000).as("vec_id"),
+        expr("transform(v, (x, i) -> x + (k + 1) * CAST(0.01 AS DOUBLE) * " +
+          "element_at(v, (CAST(i + 1 AS INT) % size(v)) + 1))").as("v"))
+    val uni = base.unionByName(comps)
+    lshAnnTopK(spark, uni,
+      q.select(col("vec_id").as("query_id"), col("v").as("qv")))
+  }
+
   /** Embedding-cosine near-duplicate pairs (dedup family): all pairs with
-    * cosine ≥ threshold, via the same LSH bucketing (candidates) + exact
-    * verify. Exposed as an API (this corpus has no near-dup vectors; the
-    * spec exercises it on synthetic ones).
+    * cosine ≥ threshold, via LSH bucketing (candidates) + exact verify.
+    * (tables, bits) are derived from the corpus size and threshold by
+    * [[lshParams]] — bits bound bucket occupancy as N grows, tables hold
+    * the per-pair miss probability ≤ 1e-6 — at the cost of one count()
+    * pass (at scale, reuse a catalog rowcount instead).
     */
   def embeddingNearDups(spark: SparkSession, emb: DataFrame,
       threshold: Double): DataFrame = {
     import spark.implicits._
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .as[(Long, Seq[Double])]
+    val (tables, bits) = lshParams(e.count(), threshold)
+    val pl = allPlanes(tables, bits)
     val buckets = e.flatMap { case (id, v) =>
-      (0 until LshTables).iterator.map(t => (id, t, lshBucket(v, t)))
+      pl.indices.iterator.map(t => (id, t, lshBucket(v, pl(t))))
     }.toDF("vec_id", "tbl", "bucket")
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&

@@ -25,23 +25,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("minhash+lsh verified pairs are a subset of the exact pairs") {
-    // exact verification on candidates means zero false positives by
-    // construction; this asserts the plumbing preserves that
-    assert(pairs(lsh).subsetOf(pairs(exact)))
+  test("minhash+lsh at 0.9 EQUALS the exact pairs at 0.9 (derived banding)") {
+    // banding from minhashBanding(0.9, 1e-9) = (3, 16): a true >=0.9 pair
+    // escapes with p <= 8.6e-10, so equality (not just recall) is the
+    // contract — this is what lets the driver oracle q16 with exact SQL
+    val exact09 = exact.filter(_.getDouble(4) >= 0.9)
+    assert(pairs(lsh) === pairs(exact09))
   }
 
-  test("minhash+lsh recall on planted near-dups >= 0.9") {
-    val recall = pairs(lsh).size.toDouble / pairs(exact).size
-    assert(recall >= 0.9, s"recall=$recall (${lsh.length}/${exact.length})")
+  test("minhash+lsh at 0.5 EQUALS the exact pairs at 0.5") {
+    // at t=0.5 the derived banding degrades to (1, 30) within the 64-perm
+    // budget — unselective but still miss <= 1e-9, so equality holds
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val lsh05 = TrainingOps.minhashLsh(spark, docs, 0.5).collect()
+    assert(pairs(lsh05) === pairs(exact))
   }
 
-  test("simhash candidates at hamming<=3 overlap the exact near-dups") {
+  test("banding derivation meets the miss bound within the perm budget") {
+    for (t <- Seq(0.5, 0.7, 0.8, 0.9); miss <- Seq(1e-6, 1e-9)) {
+      val (r, b) = TrainingOps.minhashBanding(t, miss)
+      assert(r * b <= 64, s"t=$t: $r*$b over budget")
+      val p = math.pow(1.0 - math.pow(t, r), b)
+      assert(p <= miss, s"t=$t target=$miss got=$p with (r=$r,b=$b)")
+    }
+  }
+
+  test("simhash pairs equal a brute-force recompute (banding is complete)") {
     val sh = TrainingOps.q17Simhash(spark, dir).collect()
-    assert(sh.nonEmpty)
-    val overlap = pairs(sh).intersect(pairs(exact))
-    assert(overlap.nonEmpty,
-      s"simhash found ${sh.length} pairs, none among the planted near-dups")
+    // exact contract: {pairs : hamming(simhash_i, simhash_j) <= 3}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        TrainingOps.simhash64(r.getString(1).trim.split("\\s+").toSeq))
+      .sortBy(_._1)
+    val brute = (for {
+      (i, hi) <- docs.iterator
+      (j, hj) <- docs.iterator if i < j
+      d = java.lang.Long.bitCount(hi ^ hj) if d <= 3
+    } yield (i, j, d)).toSet
+    val got = sh.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === brute)
   }
 
   test("embedding near-dup finds planted duplicate vectors via LSH") {

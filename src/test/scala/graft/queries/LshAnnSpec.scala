@@ -15,7 +15,7 @@ class LshAnnSpec extends SparkSpec {
       r.getLong(r.fieldIndex("neighbor_id")))).toSet
 
   private lazy val exact = TrainingOps.q18CosineTopK(spark, dir).collect()
-  private lazy val ann = TrainingOps.q19LshAnn(spark, dir).collect()
+  private lazy val ann = TrainingOps.lshAnn(spark, dir).collect()
 
   test("brute force returns a full top-5 per query, self excluded") {
     val byQ = exact.groupBy(_.getLong(0))
@@ -39,5 +39,17 @@ class LshAnnSpec extends SparkSpec {
     val a = top1(ann)
     val agree = e.count { case (q, n) => a.get(q).contains(n) }
     assert(agree >= TrainingOps.NQueries / 2, s"top1 agreement: $agree/${e.size}")
+  }
+
+  test("q19 planted-companion gate: every rank-1..5 hit is a companion") {
+    // the planted contract: each query's exact top-5 is its 5 companions
+    // (ids q*10 + k + 100000), so the LSH output must be exactly those
+    val rows = TrainingOps.q19LshAnn(spark, dir).collect()
+    assert(rows.length === TrainingOps.NQueries * TrainingOps.TopK)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val comps = (0 until TrainingOps.AnnCompanions)
+        .map(k => q * 10 + k + 100000).toSet
+      assert(rs.map(_.getLong(1)).toSet === comps, s"query $q")
+    }
   }
 }
