@@ -46,7 +46,9 @@ object SparkEntry {
     "q25_profile_mongo" -> (ProfileQueries.q25ProfileMongo(_, _)),
     "q26_event_rollup" -> (Queries.q26EventRollup(_, _)),
     "q27_version_diff" -> (ProfileQueries.q27VersionDiff(_, _)),
-    "q28_embedding_neardup" -> (TrainingOps.q28EmbeddingNearDup(_, _))
+    "q28_embedding_neardup" -> (TrainingOps.q28EmbeddingNearDup(_, _)),
+    "q29_annotated_fields" -> (ProfileQueries.q29AnnotatedFields(_, _)),
+    "q30_profile_sqlite" -> (ProfileQueries.q30ProfileSqlite(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -322,6 +324,60 @@ object SparkEntry {
          SELECT a.vec_id AS vec_i, b.vec_id AS vec_j
          FROM uni a JOIN uni b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.v, b.v) >= 0.95
-         ORDER BY vec_i, vec_j"""
+         ORDER BY vec_i, vec_j""",
+    // q29: annotation contract pinned (latest-per-field must pick the
+    // 2024-02-01 email generation; balance keeps its AI annotation; the
+    // three unannotated fields carry the deterministic fallback);
+    // total_count recomputed from the raw table.
+    "q29_annotated_fields" ->
+      """WITH tot AS (SELECT COUNT(*) AS n FROM customer)
+         SELECT * FROM (
+           SELECT 'balance' AS field_path, 'float' AS data_type,
+                  'Account balance in USD' AS description,
+                  'Account Balance' AS business_name,
+                  TRUE AS is_ai_generated, n AS total_count FROM tot
+           UNION ALL SELECT 'email', 'string', 'Primary contact e-mail',
+                  'Email Address', FALSE, n FROM tot
+           UNION ALL SELECT 'name', 'string', 'Name field of type name',
+                  'Name', FALSE, n FROM tot
+           UNION ALL SELECT 'profile', 'object',
+                  'Profile field of type object', 'Profile', FALSE, n FROM tot
+           UNION ALL SELECT 'profile.segment', 'string',
+                  'Segment field of type string', 'Segment', FALSE, n FROM tot
+         ) ORDER BY field_path""",
+    // q30: every count recomputed per region from the raw nation table
+    // (the .db files are serialized per region inside the query);
+    // data types pinned per the affinity/vote contract.
+    "q30_profile_sqlite" ->
+      """WITH per AS (
+           SELECT n_regionkey,
+             CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) AS d_key,
+             CAST(COUNT(DISTINCT n_name) AS BIGINT) AS d_name,
+             CAST(COUNT(DISTINCT n_nationkey * 1.5) AS BIGINT) AS d_bal,
+             CAST(COUNT(DISTINCT CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                  ELSE 'nation ' || n_name END) AS BIGINT) AS d_comment,
+             CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS null_comment
+           FROM nation GROUP BY n_regionkey)
+         SELECT * FROM (
+           SELECT 'nation.bal' AS field_path, 'float' AS data_type,
+                  CAST(COUNT(*) AS BIGINT) AS n_files,
+                  CAST(SUM(total) AS BIGINT) AS total_count,
+                  CAST(0 AS BIGINT) AS null_count,
+                  CAST(SUM(d_bal) AS BIGINT) AS distinct_sum FROM per
+           UNION ALL SELECT 'nation.comment', 'string',
+                  CAST(COUNT(*) AS BIGINT), CAST(SUM(total) AS BIGINT),
+                  CAST(SUM(null_comment) AS BIGINT),
+                  CAST(SUM(d_comment) AS BIGINT) FROM per
+           UNION ALL SELECT 'nation.name', 'string',
+                  CAST(COUNT(*) AS BIGINT), CAST(SUM(total) AS BIGINT),
+                  CAST(0 AS BIGINT), CAST(SUM(d_name) AS BIGINT) FROM per
+           UNION ALL SELECT 'nation.nationkey', 'integer',
+                  CAST(COUNT(*) AS BIGINT), CAST(SUM(total) AS BIGINT),
+                  CAST(0 AS BIGINT), CAST(SUM(d_key) AS BIGINT) FROM per
+           UNION ALL SELECT 'nation.regionkey', 'integer',
+                  CAST(COUNT(*) AS BIGINT), CAST(SUM(total) AS BIGINT),
+                  CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM per
+         ) ORDER BY field_path"""
   )
 }

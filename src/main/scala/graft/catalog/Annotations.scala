@@ -1,0 +1,103 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.export.Exports
+
+/** Annotations as a first-class catalog table — the reference's Annotation
+  * model (`/root/reference/backend/src/models/annotation.py:16-55`) keyed
+  * by (dictionary, version_number, field_path) instead of a field UUID.
+  *
+  * Three operators the reference builds on it:
+  *  - J3: field → annotation LEFT join for search responses and exports
+  *    (`repositories/field_repo.py:75-107`, `api/v1/search.py:108-110`)
+  *  - W2: latest-annotation-per-field pick — the reference's
+  *    `.order_by(Annotation.created_at.desc()).first()`
+  *    (`services/analysis_service.py:337-343`)
+  *  - the deterministic fallback annotation when no row exists
+  *    (`utils/ai_generator.py:525-533`), previously inlined in Exports.
+  *
+  * Scale shape: annotations are per-field metadata (≤ fields count), so
+  * the W2 window partitions by field key (never global) and the J3 join
+  * broadcasts the annotation side.
+  */
+object Annotations {
+
+  /** Column contract of the annotations table. */
+  val columns: Seq[String] = Seq(
+    "dictionary", "version_number", "field_path", "annotation_id",
+    "description", "business_name", "is_ai_generated", "ai_model_version",
+    "business_owner", "created_at", "created_by")
+
+  def path(outDir: String): String = s"$outDir/annotations"
+
+  /** Append annotation rows (immutable event log — "latest wins" is a
+    * read-side window, matching the reference's created_at ordering).
+    */
+  def append(spark: SparkSession, outDir: String, rows: DataFrame): Unit =
+    new ParquetCatalog(outDir).appendPartitions(
+      rows.select(columns.map(col): _*),
+      "annotations", Seq("dictionary", "version_number"))
+
+  /** Scoped read; partition pruning keeps this a single-directory scan. */
+  def readFor(spark: SparkSession, outDir: String, dict: String,
+      version: Int): DataFrame = {
+    val p = path(outDir)
+    if (!new java.io.File(p).exists()) empty(spark)
+    else spark.read.parquet(p)
+      .filter(col("dictionary") === dict && col("version_number") === version)
+      .drop("dictionary", "version_number")
+  }
+
+  /** An empty annotation set with the right schema (for unannotated
+    * catalogs — every field falls back).
+    */
+  def empty(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String, String, String, Boolean, String, String,
+        java.sql.Timestamp, String)]
+      .toDF("field_path", "annotation_id", "description", "business_name",
+        "is_ai_generated", "ai_model_version", "business_owner",
+        "created_at", "created_by")
+  }
+
+  /** W2 — latest annotation per field: created_at DESC with annotation_id
+    * DESC as the deterministic tie-break (the reference's `.first()` after
+    * `order_by(created_at.desc())`, `analysis_service.py:337-343`).
+    */
+  def latest(anns: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("field_path"))
+      .orderBy(col("created_at").desc, col("annotation_id").desc)
+    anns.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** J3 — left-join the latest annotations onto profile rows (keyed
+    * fieldPath), with the deterministic fallback for unannotated fields:
+    * businessName = python-title(fieldName), description =
+    * "<businessName> field of type <semantic|data type>"
+    * (`ai_generator.py:525-533`). Adds businessName / description /
+    * isAiGenerated columns.
+    */
+  def joinProfiles(profiles: DataFrame, latestAnns: DataFrame): DataFrame = {
+    val ann = latestAnns.select(
+      col("field_path").as("fieldPath"),
+      col("description").as("ann_description"),
+      col("business_name").as("ann_business_name"),
+      col("is_ai_generated").as("ann_is_ai_generated"))
+    val fallbackName =
+      Exports.pyTitleUdf(regexp_replace(col("fieldName"), "_", " "))
+    profiles.join(broadcast(ann), Seq("fieldPath"), "left")
+      .withColumn("businessName",
+        coalesce(col("ann_business_name"), fallbackName))
+      .withColumn("description",
+        coalesce(col("ann_description"),
+          concat(col("businessName"), lit(" field of type "),
+            coalesce(col("semanticType"), col("dataType")))))
+      .withColumn("isAiGenerated",
+        coalesce(col("ann_is_ai_generated"), lit(false)))
+      .drop("ann_description", "ann_business_name", "ann_is_ai_generated")
+  }
+}

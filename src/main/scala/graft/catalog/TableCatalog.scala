@@ -1,0 +1,60 @@
+package graft.catalog
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Minimal table-catalog seam (SURVEY.md §1.4/§7.1): the engine's jobs
+  * all use the same Iceberg-shaped commit protocol — write DATA first
+  * (idempotent, partition-scoped overwrite), then APPEND a commit-marker
+  * row to a marker table; readers treat marker rows as the source of
+  * truth, so a crashed run leaves no visible version/bucket and is simply
+  * redone. Round 1 inlined that protocol in three places (ProfileJob,
+  * QualityFilterJob, Imports); this trait is the one implementation, and
+  * the seam where a real Iceberg catalog slots in later
+  * (`newAppend()/commit()` snapshots replace the marker append; the
+  * call-site protocol is already snapshot-shaped).
+  */
+trait TableCatalog {
+
+  /** Idempotent partition-scoped data write: re-running a failed job
+    * overwrites exactly the partitions it re-computes, nothing else.
+    */
+  def overwritePartitions(df: DataFrame, table: String,
+      partitionCols: Seq[String]): Unit
+
+  /** Append partitioned data rows (event-log tables: annotations). */
+  def appendPartitions(df: DataFrame, table: String,
+      partitionCols: Seq[String]): Unit
+
+  /** Append commit-marker rows — call ONLY after the data landed. */
+  def appendMarker(df: DataFrame, table: String): Unit
+
+  /** Read a table if it exists (None = never committed). */
+  def read(spark: SparkSession, table: String): Option[DataFrame]
+}
+
+/** Plain-Parquet implementation rooted at a directory. */
+final class ParquetCatalog(baseDir: String) extends TableCatalog {
+
+  def path(table: String): String = s"$baseDir/$table"
+
+  override def overwritePartitions(df: DataFrame, table: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path(table))
+
+  override def appendPartitions(df: DataFrame, table: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Append)
+      .partitionBy(partitionCols: _*)
+      .parquet(path(table))
+
+  override def appendMarker(df: DataFrame, table: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path(table))
+
+  override def read(spark: SparkSession, table: String): Option[DataFrame] =
+    if (new java.io.File(path(table)).exists())
+      Some(spark.read.parquet(path(table)))
+    else None
+}

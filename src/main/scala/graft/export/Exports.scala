@@ -33,20 +33,22 @@ object Exports {
     sb.toString
   }
 
-  private val pyTitleUdf = udf(pyTitle _)
+  private[graft] val pyTitleUdf = udf(pyTitle _)
 
   /** Deterministic fallback business name + description
     * (`ai_generator.py:525-533`): the engine's network-free stand-in for
-    * the reference's AI annotation path.
+    * the reference's AI annotation path. Implemented as the J3 annotation
+    * join against an empty annotation set, so annotated and unannotated
+    * exports share one code path.
     */
-  def withFallbackAnnotation(profiles: DataFrame): DataFrame = {
-    val businessName =
-      pyTitleUdf(regexp_replace(col("fieldName"), "_", " "))
-    profiles
-      .withColumn("businessName", businessName)
-      .withColumn("description",
-        concat(col("businessName"), lit(" field of type "),
-          coalesce(col("semanticType"), col("dataType"))))
+  def withFallbackAnnotation(profiles: DataFrame): DataFrame =
+    annotated(profiles, None)
+
+  private def annotated(profiles: DataFrame,
+      anns: Option[DataFrame]): DataFrame = {
+    import graft.catalog.Annotations
+    Annotations.joinProfiles(profiles,
+      anns.getOrElse(Annotations.empty(profiles.sparkSession)))
   }
 
   /** E1 — the Excel "Data Dictionary" sheet projection, exact column
@@ -54,9 +56,12 @@ object Exports {
     * Data Type, Semantic Type, Description, Sample Values (first 5,
     * comma-joined), Null % (1 decimal + '%'), Cardinality
     * (= distinct_count), PII Flag Yes/No. Ordered by position.
+    * Description comes from the latest annotation when one exists
+    * (J3/W2), else the deterministic fallback.
     */
-  def dataDictionarySheet(profiles: Dataset[FieldProfile]): DataFrame =
-    withFallbackAnnotation(profiles.toDF())
+  def dataDictionarySheet(profiles: Dataset[FieldProfile],
+      annotations: Option[DataFrame] = None): DataFrame =
+    annotated(profiles.toDF(), annotations)
       .orderBy(col("position"))
       .select(
         col("fieldPath").as("Field Path"),
@@ -90,19 +95,19 @@ object Exports {
       .coalesce(1)
       .write.mode("overwrite").option("header", "true").csv(path)
 
-  /** S19/E1/E2 — the REAL `.xlsx` sink via [[Xlsx]]: "Data Dictionary" +
-    * "Metadata" sheets with the reference's styling rules
-    * (`excel_exporter.py:127-192, 277-332`): bold-white header on 366092,
-    * zebra rows, whole-row PII fill FFE6E6 with CC0000 bold font, Null %
-    * cell fills (>50 → FFE6E6, >20 → FFFFCC), frozen header pane,
-    * auto-filter, reference column widths. Driver-side writer over the
-    * ordered projection, like the reference.
+  /** One collected, styled "Data Dictionary" sheet — shared by the single
+    * export (E1) and the batch export (E5). Styling precedence mirrors
+    * `excel_exporter.py:175-192` exactly: the Null % cell fills (>50 →
+    * FFE6E6, >20 → FFFFCC) apply even on PII rows (the reference writes
+    * them after the PII fill), and the CC0000 bold font marks ONLY the
+    * PII Flag cell — other PII-row cells get the fill with default font.
     */
-  def exportXlsx(profiles: Dataset[FieldProfile], name: String,
-      schemaHash: String, path: String): Unit = {
+  private def dictionarySheet(profiles: Dataset[FieldProfile],
+      sheetName: String,
+      annotations: Option[DataFrame] = None): Xlsx.Sheet = {
     import Xlsx.{Cell, Sheet}
-    val proj = dataDictionarySheet(profiles)
-    val nullPcts = withFallbackAnnotation(profiles.toDF())
+    val proj = dataDictionarySheet(profiles, annotations)
+    val nullPcts = annotated(profiles.toDF(), annotations)
       .orderBy(col("position"))
       .select(col("nullPercentage")).collect().map(_.getDouble(0))
     val header = proj.columns.map(h => Cell(h, Xlsx.StyleHeader)).toSeq
@@ -112,21 +117,173 @@ object Exports {
       val zebra = if (idx % 2 == 0) Xlsx.StyleRowEven else Xlsx.StyleRowOdd
       vals.zipWithIndex.map { case (v, c) =>
         val style =
-          if (isPii) Xlsx.StylePii
-          else if (c == 5 && nullPcts(idx) > 50) Xlsx.StyleNullHigh
+          if (c == 5 && nullPcts(idx) > 50) Xlsx.StyleNullHigh
           else if (c == 5 && nullPcts(idx) > 20) Xlsx.StyleNullMedium
+          else if (isPii && c == 7) Xlsx.StylePii
+          else if (isPii) Xlsx.StylePiiFill
           else zebra
         Cell(v, style)
       }
     }.toSeq
-    val dict = Sheet("Data Dictionary", header +: dataRows,
+    Sheet(sheetName, header +: dataRows,
       colWidths = Seq(40, 15, 20, 50, 35, 12, 15, 12),
       freezeHeader = true, autoFilter = true)
-    val meta = Sheet("Metadata",
+  }
+
+  /** S19/E1/E2 — the REAL `.xlsx` sink via [[Xlsx]]: "Data Dictionary" +
+    * "Metadata" sheets with the reference's styling rules
+    * (`excel_exporter.py:127-192, 277-332`). Driver-side writer over the
+    * ordered projection, like the reference.
+    */
+  def exportXlsx(profiles: Dataset[FieldProfile], name: String,
+      schemaHash: String, path: String,
+      annotations: Option[DataFrame] = None): Unit = {
+    import Xlsx.Cell
+    val dict = dictionarySheet(profiles, "Data Dictionary", annotations)
+    val meta = Xlsx.Sheet("Metadata",
       metadataSheet(profiles, name, schemaHash).map { case (k, v) =>
         Seq(Cell(k, Xlsx.StyleMetaKey), Cell(v))
       })
     Xlsx.write(path, Seq(dict, meta))
+  }
+
+  /** Excel sheet-name rules (`excel_exporter.py:413-443`): strip
+    * `\\ / ? * [ ]`, truncate to 31 chars (28 + "_idx" when long),
+    * fall back to "Dictionary_idx" when empty.
+    */
+  def sanitizeSheetName(name: String, idx: Int): String = {
+    val cleaned = name.map(c => if ("\\/?*[]".contains(c)) '_' else c)
+    val sized =
+      if (cleaned.length > 31) cleaned.take(28) + s"_$idx" else cleaned
+    if (sized.isEmpty) s"Dictionary_$idx" else sized
+  }
+
+  /** One dictionary's worth of batch-export input (E5). */
+  final case class BatchEntry(name: String, versionNumber: Int,
+      createdAt: String, recordsAnalyzed: Option[Long],
+      profiles: Dataset[FieldProfile])
+
+  /** E5 — batch export: one workbook, a "Summary" sheet (title, export
+    * date, per-dictionary rows) + one data sheet per dictionary's latest
+    * version (`export_service.py:642-780`,
+    * `excel_exporter.py:363-411,445-520`). `exportedAt` is passed in so
+    * the artifact stays deterministic.
+    */
+  def batchExportXlsx(dicts: Seq[BatchEntry], path: String,
+      exportedAt: String): Unit = {
+    import Xlsx.{Cell, Sheet}
+    require(dicts.nonEmpty, "At least one dictionary is required")
+    val headers = Seq("Dictionary Name", "Version", "Total Fields",
+      "Records Analyzed", "Created At", "Sheet Name")
+    val summaryRows =
+      Seq(Seq(Cell("Batch Export Summary", Xlsx.StyleTitle)),
+        Seq(Cell(s"Export Date: $exportedAt")),
+        Seq(Cell(s"Total Dictionaries: ${dicts.size}", Xlsx.StyleBold)),
+        Seq.empty[Cell],
+        headers.map(h => Cell(h, Xlsx.StyleHeader))) ++
+        dicts.zipWithIndex.map { case (d, i) =>
+          val idx = i + 1
+          // reference zebra keys on the absolute sheet row (row 6 = first)
+          val zebra =
+            if ((5 + idx) % 2 == 0) Xlsx.StyleRowEven else Xlsx.StyleRowOdd
+          Seq(d.name, s"v${d.versionNumber}", d.profiles.count().toString,
+            d.recordsAnalyzed.map(_.toString).getOrElse("N/A"),
+            d.createdAt, sanitizeSheetName(d.name, idx))
+            .map(Cell(_, zebra))
+        }
+    val summary = Sheet("Summary", summaryRows,
+      colWidths = Seq(35, 10, 12, 18, 22, 31))
+    val dataSheets = dicts.zipWithIndex.map { case (d, i) =>
+      dictionarySheet(d.profiles, sanitizeSheetName(d.name, i + 1))
+    }
+    Xlsx.write(path, summary +: dataSheets)
+  }
+
+  /** E4 — version-comparison export (`export_service.py:378-531`): a
+    * "Comparison Summary" sheet (version info + change rollup, breaking
+    * count in red when non-zero) and a "Changes Detail" sheet (Change
+    * Type / Field Path / Breaking / Old Type / New Type / Changes, rows
+    * filled by change type, breaking flags in red bold). The diff rows
+    * and old/new types are computed by the real J1 engine
+    * ([[graft.profile.VersionDiff]]) + two broadcast-friendly type
+    * lookups.
+    */
+  def exportVersionComparison(v1: Dataset[FieldProfile],
+      v2: Dataset[FieldProfile], v1Number: Int, v2Number: Int,
+      v1Created: String, v2Created: String, path: String): Unit = {
+    import Xlsx.{Cell, Sheet}
+    val d = graft.profile.VersionDiff.diff(v1, v2).toDF().cache()
+    val t1 = v1.toDF().select(col("fieldPath"), col("dataType").as("t1"))
+    val t2 = v2.toDF().select(col("fieldPath"), col("dataType").as("t2"))
+    val detail = d
+      .join(t1, Seq("fieldPath"), "left")
+      .join(t2, Seq("fieldPath"), "left")
+      .orderBy(col("fieldPath"))
+      .select(col("changeType"), col("fieldPath"), col("isBreaking"),
+        coalesce(col("t1"), lit("N/A")).as("oldType"),
+        coalesce(col("t2"), lit("N/A")).as("newType"),
+        array_join(col("changes"), "; ").as("changeStr"))
+      .collect()
+
+    val counts = d.groupBy(col("changeType")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val breaking = d.filter(col("isBreaking")).count()
+    val stats = Seq(
+      "Fields Added" -> counts.getOrElse("added", 0L),
+      "Fields Removed" -> counts.getOrElse("removed", 0L),
+      "Fields Modified" -> counts.getOrElse("modified", 0L),
+      "Breaking Changes" -> breaking,
+      "Total Fields (v1)" -> v1.count(),
+      "Total Fields (v2)" -> v2.count())
+    val summaryRows =
+      Seq(Seq(Cell("Version Comparison Summary", Xlsx.StyleTitle)),
+        Seq.empty[Cell],
+        Seq(Cell("Version 1", Xlsx.StyleBold), Cell(s"v$v1Number")),
+        Seq(Cell("Created"), Cell(v1Created)),
+        Seq.empty[Cell],
+        Seq(Cell("Version 2", Xlsx.StyleBold), Cell(s"v$v2Number")),
+        Seq(Cell("Created"), Cell(v2Created)),
+        Seq.empty[Cell],
+        Seq(Cell("Change Summary", Xlsx.StyleBold))) ++
+        stats.map { case (label, value) =>
+          val valueStyle =
+            if (label == "Breaking Changes" && value > 0)
+              Xlsx.StyleBreakingText
+            else Xlsx.StyleDefault
+          Seq(Cell(label, Xlsx.StyleBold), Cell(value.toString, valueStyle))
+        }
+    val summary = Sheet("Comparison Summary", summaryRows,
+      colWidths = Seq(25, 30))
+
+    val detailHeader = Seq("Change Type", "Field Path", "Breaking",
+      "Old Type", "New Type", "Changes").map(Cell(_, Xlsx.StyleHeader))
+    val detailRows = detail.map { r =>
+      val ct = r.getString(0)
+      val isBreaking = r.getBoolean(2)
+      val rowFill = ct match {
+        case "added" => Xlsx.StyleAdded
+        case "removed" => Xlsx.StyleRemoved
+        case "modified" => Xlsx.StyleModified
+        case _ => Xlsx.StyleDefault
+      }
+      val breakingStyle =
+        if (!isBreaking) rowFill
+        else ct match {
+          case "added" => Xlsx.StyleBreakingAdded
+          case "removed" => Xlsx.StyleBreakingRemoved
+          case "modified" => Xlsx.StyleBreakingModified
+          case _ => Xlsx.StyleBreakingText
+        }
+      Seq(Cell(ct.toUpperCase, rowFill), Cell(r.getString(1), rowFill),
+        Cell(if (isBreaking) "Yes" else "No", breakingStyle),
+        Cell(r.getString(3), rowFill), Cell(r.getString(4), rowFill),
+        Cell(r.getString(5), rowFill))
+    }.toSeq
+    val changes = Sheet("Changes Detail", detailHeader +: detailRows,
+      colWidths = Seq(15, 40, 12, 15, 15, 50),
+      freezeHeader = true, autoFilter = true)
+    d.unpersist()
+    Xlsx.write(path, Seq(summary, changes))
   }
 
   /** S20/E3 — JSON export with include_* toggles
@@ -136,7 +293,8 @@ object Exports {
   def exportJson(profiles: Dataset[FieldProfile],
       includeStatistics: Boolean = true,
       includePii: Boolean = true,
-      includeAnnotations: Boolean = true): DataFrame = {
+      includeAnnotations: Boolean = true,
+      annotations: Option[DataFrame] = None): DataFrame = {
     val base: Seq[Column] = Seq(
       col("fieldPath").as("field_path"),
       col("fieldName").as("field_name"),
@@ -163,9 +321,9 @@ object Exports {
       if (includeAnnotations) Seq(struct(
         col("description"),
         col("businessName").as("business_name"),
-        lit(false).as("is_ai_generated")).as("annotation"))
+        col("isAiGenerated").as("is_ai_generated")).as("annotation"))
       else Nil
-    withFallbackAnnotation(profiles.toDF())
+    annotated(profiles.toDF(), annotations)
       .orderBy(col("position"))
       .select(to_json(struct(base ++ stats ++ pii ++ ann: _*)).as("field_json"))
   }

@@ -70,9 +70,59 @@ object Imports {
     (fields, meta)
   }
 
+  /** Conform parsed sheet rows to the full [[graft.model.FieldProfile]]
+    * column set, so imported versions land in the SAME `fields/` table the
+    * profiler writes and `ProfileJob.readFields` sees them (the r1 split
+    * `fields_imported` table left imported versions invisible). Structural
+    * columns (fieldName/parentPath/nestingLevel) are derived from the
+    * path; run-only statistics the sheet doesn't carry (counts, numeric
+    * stats) are zero/null, like the reference's re-imported Field rows
+    * (`import_service.py:234-280` populates only the sheet columns).
+    * `position` preserves sheet order: sheets are driver-scale (≤10k
+    * rows), so a coalesce(1) makes the monotonic id dense in row order.
+    */
+  def conformToProfile(fields: DataFrame): DataFrame =
+    fields.coalesce(1).select(
+      col("fieldPath"),
+      element_at(split(col("fieldPath"), "\\."), -1).as("fieldName"),
+      when(col("fieldPath").contains("."),
+        regexp_replace(col("fieldPath"), "\\.[^.]+$", ""))
+        .otherwise("").as("parentPath"),
+      (size(split(col("fieldPath"), "\\.")) - 1).as("nestingLevel"),
+      col("dataType"),
+      lit(100.0).as("confidenceScore"),
+      map(col("dataType"), lit(0L)).as("typesSeen"),
+      (col("dataType") === "array").as("isArray"),
+      lit(null).cast("string").as("arrayItemType"),
+      col("sampleValues"),
+      lit(0L).as("totalCount"),
+      lit(0L).as("nullCount"),
+      coalesce(col("nullPercentage"), lit(0.0)).as("nullPercentage"),
+      coalesce(col("distinctCount"), lit(0L)).as("distinctCount"),
+      lit(0.0).as("cardinalityRatio"),
+      (coalesce(col("nullPercentage"), lit(0.0)) > 0.0).as("isNullable"),
+      col("semanticType"),
+      col("isPii"),
+      lit(null).cast("string").as("piiType"),
+      lit(null).cast("double").as("minValue"),
+      lit(null).cast("double").as("maxValue"),
+      lit(null).cast("double").as("meanValue"),
+      lit(null).cast("double").as("medianValue"),
+      lit(null).cast("double").as("stdDev"),
+      lit(null).cast("double").as("percentile25"),
+      lit(null).cast("double").as("percentile75"),
+      monotonically_increasing_id().cast("int").as("position"))
+
   /** Land imported field rows into the catalog tables under
     * `conflictMode` ∈ {skip, overwrite, fail}. Returns true if a write
     * happened.
+    *
+    * Writes go to the SHARED `fields/` table (same partitioning as
+    * `ProfileJob.run`) so the imported version is first-class, and any
+    * imported descriptions become annotation rows — the reference creates
+    * an Annotation per described field on import
+    * (`import_service.py:204-216`). Commit protocol: fields + annotations
+    * land first, the version row is the commit marker.
     */
   def importInto(spark: SparkSession, outDir: String, dict: String,
       fields: DataFrame, conflictMode: String = "skip"): Boolean = {
@@ -89,23 +139,46 @@ object Imports {
       case m => throw new IllegalArgumentException(s"unknown conflict mode: $m")
     }
 
+    val cat = new graft.catalog.ParquetCatalog(outDir)
     val version =
       graft.jobs.ProfileJob.latestVersion(spark, outDir, dict) + 1
-    fields
-      .withColumn("dictionary", lit(dict))
-      .withColumn("version_number", lit(version))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("dictionary", "version_number")
-      .parquet(s"$outDir/fields_imported")
+    cat.overwritePartitions(
+      conformToProfile(fields)
+        .withColumn("dictionary", lit(dict))
+        .withColumn("version_number", lit(version)),
+      "fields", Seq("dictionary", "version_number"))
+
+    val described = fields.filter(
+      col("description").isNotNull && col("description") =!= "")
+    if (!described.isEmpty) {
+      graft.catalog.Annotations.append(spark, outDir, described.select(
+        lit(dict).as("dictionary"),
+        lit(version).as("version_number"),
+        col("fieldPath").as("field_path"),
+        concat(lit(s"import-v$version-"), col("fieldPath"))
+          .as("annotation_id"),
+        col("description"),
+        lit(null).cast("string").as("business_name"),
+        lit(false).as("is_ai_generated"),
+        lit(null).cast("string").as("ai_model_version"),
+        lit(null).cast("string").as("business_owner"),
+        // fixed import epoch keeps the artifact deterministic (the
+        // reference stamps wall-clock now(); versions disambiguate here)
+        lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))
+          .as("created_at"),
+        lit("import").as("created_by")))
+    }
+
     val spark2 = spark
     import spark2.implicits._
-    Seq((dict, version, "imported", fields.count()))
-      .toDF("dictionary", "version_number", "schema_hash", "n_fields")
-      .write.mode(SaveMode.Append).parquet(s"$outDir/versions")
+    cat.appendMarker(
+      Seq((dict, version, "imported", fields.count()))
+        .toDF("dictionary", "version_number", "schema_hash", "n_fields"),
+      "versions")
     if (!exists) {
-      Seq((dict, version)).toDF("dictionary", "created_version")
-        .write.mode(SaveMode.Append).parquet(dictsPath)
+      cat.appendMarker(
+        Seq((dict, version)).toDF("dictionary", "created_version"),
+        "dictionaries")
     }
     true
   }

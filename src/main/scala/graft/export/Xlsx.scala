@@ -25,10 +25,25 @@ object Xlsx {
   val StyleHeader = 1
   val StyleRowEven = 2
   val StyleRowOdd = 3
-  val StylePii = 4
+  val StylePii = 4 // PII fill + red bold font: the PII Flag CELL only
   val StyleNullHigh = 5
   val StyleNullMedium = 6
   val StyleMetaKey = 7
+  // PII row fill with the DEFAULT font (excel_exporter.py:180-183 applies
+  // the red bold font only to the flag column); same rendering as
+  // StyleNullHigh (both FFE6E6/default) but kept distinct for intent
+  val StylePiiFill = 8
+  // version-comparison palette (export_service.py:560-565)
+  val StyleAdded = 9 // C6EFCE
+  val StyleRemoved = 10 // FFC7CE
+  val StyleModified = 11 // FFEB9C
+  val StyleBreakingText = 12 // CC0000 bold, no fill
+  val StyleTitle = 13 // size-14 bold 366092
+  val StyleBold = 14 // bold, no fill
+  // breaking flag cell inside a change-type-filled row: red bold + fill
+  val StyleBreakingAdded = 15
+  val StyleBreakingRemoved = 16
+  val StyleBreakingModified = 17
 
   final case class Cell(text: String, style: Int = StyleDefault)
   final case class Sheet(name: String, rows: Seq[Seq[Cell]],
@@ -90,8 +105,9 @@ object Xlsx {
     val fonts = Seq(
       """<font><sz val="11"/><name val="Calibri"/></font>""", // 0 default
       """<font><b/><color rgb="FFFFFFFF"/><sz val="11"/><name val="Calibri"/></font>""", // 1 header
-      """<font><b/><color rgb="FFCC0000"/><sz val="11"/><name val="Calibri"/></font>""", // 2 pii
-      """<font><b/><sz val="11"/><name val="Calibri"/></font>""") // 3 bold
+      """<font><b/><color rgb="FFCC0000"/><sz val="11"/><name val="Calibri"/></font>""", // 2 pii/breaking
+      """<font><b/><sz val="11"/><name val="Calibri"/></font>""", // 3 bold
+      """<font><b/><color rgb="FF366092"/><sz val="14"/><name val="Calibri"/></font>""") // 4 title
     def solid(rgb: String) =
       s"""<fill><patternFill patternType="solid"><fgColor rgb="FF$rgb"/><bgColor indexed="64"/></patternFill></fill>"""
     val fills = Seq(
@@ -102,9 +118,14 @@ object Xlsx {
       solid("FFFFFF"), // 4 odd
       solid("FFE6E6"), // 5 pii / null-high
       solid("FFFFCC"), // 6 null-medium
-      solid("E7E6E6")) // 7 meta key
+      solid("E7E6E6"), // 7 meta key
+      solid("C6EFCE"), // 8 added
+      solid("FFC7CE"), // 9 removed
+      solid("FFEB9C")) // 10 modified
     // cellXfs rows: (fontId, fillId) per style id
-    val xfs = Seq((0, 0), (1, 2), (0, 3), (0, 4), (2, 5), (0, 5), (0, 6), (3, 7))
+    val xfs = Seq((0, 0), (1, 2), (0, 3), (0, 4), (2, 5), (0, 5), (0, 6),
+      (3, 7), (0, 5), (0, 8), (0, 9), (0, 10), (2, 0), (4, 0), (3, 0),
+      (2, 8), (2, 9), (2, 10))
       .map { case (fo, fi) =>
         s"""<xf numFmtId="0" fontId="$fo" fillId="$fi" borderId="0" applyFont="1" applyFill="1"/>"""
       }

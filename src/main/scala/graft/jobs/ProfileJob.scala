@@ -29,17 +29,14 @@ object ProfileJob {
     */
   val MaxContentBytes: Long = 500L * 1024 * 1024
 
-  def latestVersion(spark: SparkSession, outDir: String, dict: String): Int = {
-    val p = s"$outDir/versions"
-    if (!new java.io.File(p).exists()) 0
-    else {
-      // W1: max version per dictionary
-      val row = spark.read.parquet(p)
-        .filter(col("dictionary") === dict)
-        .agg(coalesce(max(col("version_number")), lit(0))).head()
-      row.getInt(0)
+  def latestVersion(spark: SparkSession, outDir: String, dict: String): Int =
+    new graft.catalog.ParquetCatalog(outDir).read(spark, "versions") match {
+      case None => 0
+      case Some(versions) =>
+        // W1: max version per dictionary
+        versions.filter(col("dictionary") === dict)
+          .agg(coalesce(max(col("version_number")), lit(0))).head().getInt(0)
     }
-  }
 
   /** Profile `jsonCol` of `input` into version latest+1 of `dict`.
     * Returns (versionNumber, schemaHash, fields).
@@ -54,24 +51,24 @@ object ProfileJob {
     val hash = Profiler.schemaHash(profiles)
     val version = latestVersion(spark, outDir, dict) + 1
 
-    profiles.toDF()
-      .withColumn("dictionary", lit(dict))
-      .withColumn("version_number", lit(version))
-      .write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("dictionary", "version_number")
-      .parquet(s"$outDir/fields")
+    val cat = new graft.catalog.ParquetCatalog(outDir)
+    cat.overwritePartitions(
+      profiles.toDF()
+        .withColumn("dictionary", lit(dict))
+        .withColumn("version_number", lit(version)),
+      "fields", Seq("dictionary", "version_number"))
 
     val spark2 = spark
     import spark2.implicits._
     val nFields = profiles.count()
     // commit marker: version row appended only after fields landed
-    Seq((dict, version, hash, nFields))
-      .toDF("dictionary", "version_number", "schema_hash", "n_fields")
-      .write.mode(SaveMode.Append).parquet(s"$outDir/versions")
+    cat.appendMarker(
+      Seq((dict, version, hash, nFields))
+        .toDF("dictionary", "version_number", "schema_hash", "n_fields"),
+      "versions")
     if (version == 1) {
-      Seq((dict, 1)).toDF("dictionary", "created_version")
-        .write.mode(SaveMode.Append).parquet(s"$outDir/dictionaries")
+      cat.appendMarker(
+        Seq((dict, 1)).toDF("dictionary", "created_version"), "dictionaries")
     }
     val out = (version, hash, profiles)
     out

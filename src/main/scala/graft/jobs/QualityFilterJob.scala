@@ -48,18 +48,15 @@ object QualityFilterJob {
   /** Returns (kept, dropped, alreadyDoneBuckets). */
   def run(spark: SparkSession, input: String, outDir: String): (Long, Long, Int) = {
     import spark.implicits._
-    val verdictsPath = s"$outDir/verdicts"
-    val metricsPath = s"$outDir/metrics"
+    val cat = new graft.catalog.ParquetCatalog(outDir)
 
     val lm = spark.sparkContext.broadcast(LangId.load(BuildFixtures.LangIdModelPath))
     val km = spark.sparkContext.broadcast(KnLm.load(BuildFixtures.KnLmModelPath))
 
     // 1-2. resume: skip buckets whose metrics are committed
-    val done: Set[Int] =
-      if (new java.io.File(metricsPath).exists())
-        spark.read.parquet(metricsPath).select("bucket")
-          .distinct().as[Int].collect().toSet
-      else Set.empty
+    val done: Set[Int] = cat.read(spark, "metrics")
+      .map(_.select("bucket").distinct().as[Int].collect().toSet)
+      .getOrElse(Set.empty)
     val all = spark.read.parquet(input).as[FileRecord]
     val todo =
       if (done.isEmpty) all
@@ -68,18 +65,17 @@ object QualityFilterJob {
           .isin(done.toSeq: _*))
 
     if (todo.isEmpty) {
-      val m = spark.read.parquet(metricsPath)
+      val m = cat.read(spark, "metrics").get
         .agg(sum("rows_kept"), sum("rows_dropped")).head()
       return (m.getLong(0), m.getLong(1), done.size)
     }
 
     // 3. pipeline + verdict write (idempotent per bucket)
     val v = QualityFilter.verdicts(spark, todo, lm, km).cache()
-    v.write.mode(SaveMode.Overwrite).partitionBy("bucket").parquet(verdictsPath)
+    cat.overwritePartitions(v.toDF(), "verdicts", Seq("bucket"))
 
     // 4. commit marker: append metrics for the buckets just completed
-    QualityFilter.metrics(v)
-      .write.mode(SaveMode.Append).parquet(metricsPath)
+    cat.appendMarker(QualityFilter.metrics(v).toDF(), "metrics")
 
     val agg = v.agg(
       sum(when(col("keep"), 1L).otherwise(0L)),

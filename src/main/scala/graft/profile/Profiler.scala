@@ -287,13 +287,19 @@ object Profiler {
     val analyzed = aggregated.map { case (path, buf) =>
       (buf.minRec, buf.minSeq, analyze(path, buf))
     }.toDF("minRec", "minSeq", "p")
-    // Unpartitioned window is deliberate: operates on the aggregated field
-    // rows (≤ thousands; reference caps schemas at 10k fields), not data.
-    val w = Window.orderBy(col("minRec"), col("minSeq"), col("p.fieldPath"))
+    // position = first-seen enumeration: the rows here are aggregated FIELD
+    // rows (≤ thousands; the reference caps schemas at 10k fields), so a
+    // single sorted partition + zip assigns it without a global
+    // Window.orderBy — same single-partition execution WindowExec would
+    // pick, minus its per-run performance-warning storm.
     analyzed
-      .withColumn("p", col("p").withField("position", row_number().over(w) - 1))
+      .coalesce(1)
+      .sortWithinPartitions(col("minRec"), col("minSeq"), col("p.fieldPath"))
       .select(col("p.*"))
       .as[FieldProfile]
+      .mapPartitions(_.zipWithIndex.map { case (p, i) =>
+        p.copy(position = i)
+      })
   }
 
   /** Schema hash (A7; `dictionary_service.py:454-474`): sha256 over

@@ -34,6 +34,26 @@ object FieldSearch {
     df.orderBy(col("fieldPath")).offset(offsetN).limit(limitN)
   }
 
+  /** P8 + J3/W2 — search with the latest annotation joined onto each hit
+    * (`api/v1/search.py:108-110`: the response carries the field's first
+    * annotation). The join runs on the paged result — same order as the
+    * reference's selectinload-after-pagination — and unannotated fields
+    * carry the deterministic fallback.
+    */
+  def searchAnnotated(profiles: Dataset[FieldProfile],
+      annotations: DataFrame,
+      query: Option[String] = None,
+      dataType: Option[String] = None,
+      semanticType: Option[String] = None,
+      isPii: Option[Boolean] = None,
+      offsetN: Int = 0, limitN: Int = 50): DataFrame = {
+    import graft.catalog.Annotations
+    val page =
+      search(profiles, query, dataType, semanticType, isPii, offsetN, limitN)
+    Annotations.joinProfiles(page, Annotations.latest(annotations))
+      .orderBy(col("fieldPath"))
+  }
+
   /** P9 — high-cardinality fields (`field_repo.py:435-472`). */
   def highCardinality(profiles: Dataset[FieldProfile],
       threshold: Double = 0.9): DataFrame =

@@ -124,6 +124,94 @@ object ProfileQueries {
       .orderBy(col("field_path"))
   }
 
+  /** q29 — annotated field catalog E2E (J3 + W2 + fallback): the q22
+    * JSON profile set left-joined with a deterministic two-generation
+    * annotation stream through the real latest-per-field window
+    * ([[graft.catalog.Annotations.latest]]) and annotation join
+    * ([[graft.catalog.Annotations.joinProfiles]]). The window must pick
+    * generation 2 for `email` (created_at DESC), keep the AI annotation
+    * on `balance`, and fall back to the deterministic generated
+    * annotation for the three unannotated fields. The oracle pins the
+    * annotation contract and recomputes total_count from the raw table.
+    */
+  def q29AnnotatedFields(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, dir, "customer").select(
+      to_json(
+        struct(
+          col("c_name").as("name"),
+          col("c_acctbal").as("balance"),
+          struct(col("c_mktsegment").as("segment")).as("profile"),
+          when(col("c_custkey") % 10 === 0, lit(null).cast("string"))
+            .otherwise(concat(lower(regexp_replace(col("c_name"), "#", "")),
+              lit("@example.com"))).as("email")),
+        Map("ignoreNullFields" -> "false")).as("doc"))
+    val profiles = Profiler.profile(spark, docs, "doc")
+    val anns = Seq(
+      ("email", "a1", "Legacy email note", "EmailOld", true,
+        "2024-01-01 00:00:00"),
+      ("email", "a2", "Primary contact e-mail", "Email Address", false,
+        "2024-02-01 00:00:00"),
+      ("balance", "a3", "Account balance in USD", "Account Balance", true,
+        "2024-01-15 00:00:00"))
+      .toDF("field_path", "annotation_id", "description", "business_name",
+        "is_ai_generated", "ts")
+      .withColumn("created_at", to_timestamp(col("ts"))).drop("ts")
+      .withColumn("ai_model_version", lit(null).cast("string"))
+      .withColumn("business_owner", lit(null).cast("string"))
+      .withColumn("created_by", lit("gate"))
+    import graft.catalog.Annotations
+    Annotations.joinProfiles(profiles.toDF(), Annotations.latest(anns))
+      .select(
+        col("fieldPath").as("field_path"),
+        col("dataType").as("data_type"),
+        col("description"),
+        col("businessName").as("business_name"),
+        col("isAiGenerated").as("is_ai_generated"),
+        col("totalCount").as("total_count"))
+      .orderBy(col("field_path"))
+  }
+
+  /** q30 — SQLite data plane E2E (S14/S15): one `.db` file per region is
+    * SERIALIZED from nation rows with the from-scratch writer
+    * ([[graft.sources.SqliteWrite]]) inside the query, then profiled as a
+    * binary column through [[graft.sources.SqliteScan.fieldProfiles]] —
+    * the distributed "millions of small .db files" shape. The writer and
+    * the reader are independent implementations of the public file format
+    * (the reader is pinned against sqlite3-written fixtures), and the
+    * oracle recomputes every count per region from the raw table — a
+    * compensating writer/reader bug would surface as a count mismatch.
+    * Covers rowid aliasing (nationkey is the INTEGER PRIMARY KEY),
+    * TEXT/REAL/INT columns, planted NULLs, and per-file distinct caps.
+    */
+  def q30ProfileSqlite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.{SqliteScan, SqliteWrite}
+    val nation = t(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .as[(Long, String, Long)]
+    val ddl = "CREATE TABLE nation (nationkey INTEGER PRIMARY KEY, " +
+      "name TEXT, regionkey INT, bal REAL, comment TEXT)"
+    val dbs = nation.groupByKey(_._3).mapGroups { (_, it) =>
+      val rows = it.toSeq.sortBy(_._1).map { case (key, nm, region) =>
+        val comment: Any = if (key % 5 == 0) null else s"nation $nm"
+        // null at position 0: the INTEGER PRIMARY KEY rides the rowid
+        (key, Seq[Any](null, nm, region, key * 1.5, comment))
+      }
+      SqliteWrite.database("nation", ddl, rows)
+    }.toDF("db")
+    SqliteScan.fieldProfiles(spark, dbs, "db")
+      .groupBy(col("fieldPath").as("field_path"))
+      .agg(
+        max(col("dataType")).as("data_type"),
+        count(lit(1)).as("n_files"),
+        sum(col("totalCount")).as("total_count"),
+        sum(col("nullCount")).as("null_count"),
+        sum(col("distinctCount")).as("distinct_sum"))
+      .orderBy(col("field_path"))
+  }
+
   /** q25 — MongoDB Extended JSON profile E2E (S4/S5, P1's fixed-95.0
     * confidences): `$oid` + `$numberLong` wrappers derived from events;
     * wrappers must be typed `objectid`/`integer` and never recursed.

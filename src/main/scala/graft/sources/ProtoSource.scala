@@ -74,12 +74,20 @@ object ProtoSource {
     def skipStatement(): Unit = { // up to and including ';' or a balanced block
       var depth = 0
       var done = false
+      var closedBlock = false
       while (!done && pos < toks.length) {
         val t = next()
         if (t == "{") depth += 1
-        else if (t == "}") { depth -= 1; if (depth == 0) done = true }
+        else if (t == "}") {
+          depth -= 1
+          if (depth == 0) { done = true; closedBlock = true }
+        }
         else if (t == ";" && depth == 0) done = true
       }
+      // aggregate options — 'option (x) = { k: 1 };' — terminate with a
+      // ';' AFTER the block; consume it so the next token isn't parsed
+      // as a field
+      if (closedBlock && pos < toks.length && peek == ";") next()
     }
 
     def parseEnum(): PEnum = { // 'enum' consumed by caller

@@ -53,7 +53,13 @@ object SqliteFile {
     }
     val reserved: Int = bytes(20) & 0xff
     val usable: Int = pageSize - reserved
-    val textEncoding: Int = u32(56).toInt // 1 = UTF-8 (only one supported)
+    // 1 = UTF-8 (the only supported encoding; 0 = unset on empty files).
+    // UTF-16 files are rejected explicitly rather than silently decoding
+    // garbage strings (sqlite_parser.py degrades via sqlite3.Error; we
+    // surface the same condition as a typed failure the scan can contain).
+    val textEncoding: Int = u32(56).toInt
+    require(textEncoding == 0 || textEncoding == 1,
+      s"unsupported SQLite text encoding $textEncoding (only UTF-8)")
 
     private[SqliteFile] def u32(off: Int): Long =
       ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
@@ -228,6 +234,28 @@ object SqliteFile {
     else t
   }
 
+  /** Leading identifier token, quote-aware: a `"..."`, `` `...` ``,
+    * `'...'` or `[...]` identifier (spaces allowed inside) is consumed
+    * whole before any whitespace split. Returns (token, rest).
+    */
+  private def leadingIdent(s: String): (String, String) = {
+    val t = s.trim
+    if (t.isEmpty) ("", "")
+    else t.head match {
+      case q @ ('"' | '`' | '\'') =>
+        val end = t.indexOf(q, 1)
+        if (end < 0) (t, "")
+        else (t.substring(0, end + 1), t.substring(end + 1))
+      case '[' =>
+        val end = t.indexOf(']', 1)
+        if (end < 0) (t, "")
+        else (t.substring(0, end + 1), t.substring(end + 1))
+      case _ =>
+        val end = t.indexWhere(_.isWhitespace)
+        if (end < 0) (t, "") else (t.substring(0, end), t.substring(end))
+    }
+  }
+
   /** Split on top-level commas (parens + quotes tracked). */
   private def splitTopLevel(s: String): Seq[String] = {
     val out = new ArrayBuffer[String]()
@@ -259,7 +287,7 @@ object SqliteFile {
     var tablePk: Seq[String] = Nil
     var tableUnique: Set[String] = Set.empty
     defs.foreach { d =>
-      val firstTok = d.split("\\s+", 2)(0)
+      val (firstTok, restRaw) = leadingIdent(d)
       if (ConstraintStarters.contains(unquote(firstTok).toUpperCase)) {
         val up = d.toUpperCase
         def colList: Seq[String] = {
@@ -288,7 +316,7 @@ object SqliteFile {
         }
       } else {
         val nameTok = unquote(firstTok)
-        val rest = d.substring(d.indexOf(firstTok) + firstTok.length).trim
+        val rest = restRaw.trim
         val up = rest.toUpperCase
         // declared type = tokens before the first constraint keyword
         val stops = Seq("PRIMARY KEY", "NOT NULL", "UNIQUE", "DEFAULT",
@@ -333,7 +361,7 @@ object SqliteFile {
     val cols =
       if (o >= 0 && c > o)
         splitTopLevel(sql.substring(o + 1, c))
-          .map(d => unquote(d.split("\\s+")(0)))
+          .map(d => unquote(leadingIdent(d)._1))
       else Nil
     Index(name, tbl, unique, cols)
   }

@@ -79,18 +79,29 @@ object SqliteScan {
       val distinctSeen = Array.fill(nCols)(
         scala.collection.mutable.LinkedHashSet.empty[(String, String)])
       // one pass = COUNT(*), per-column null counts, and the DISTINCT
-      // sample (first-seen order == rowid order, like SELECT DISTINCT)
-      SqliteFile.rows(db, t).foreach { r =>
-        rowCount += 1
-        var i = 0
-        while (i < nCols) {
-          if (r(i) == null) nullCounts(i) += 1
-          else {
-            val ds = distinctSeen(i)
-            if (ds.size < MaxSamples) ds += ((typeTag(r(i)), render(r(i))))
+      // sample (first-seen order == rowid order, like SELECT DISTINCT).
+      // Per-table containment mirrors the reference's try/except
+      // sqlite3.Error (sqlite_parser.py:223-232): a corrupt/truncated
+      // page or overflow chain degrades THAT table to DDL-only metadata
+      // with zero counts instead of failing the whole Spark task.
+      try {
+        SqliteFile.rows(db, t).foreach { r =>
+          rowCount += 1
+          var i = 0
+          while (i < nCols) {
+            if (r(i) == null) nullCounts(i) += 1
+            else {
+              val ds = distinctSeen(i)
+              if (ds.size < MaxSamples) ds += ((typeTag(r(i)), render(r(i))))
+            }
+            i += 1
           }
-          i += 1
         }
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          rowCount = 0
+          java.util.Arrays.fill(nullCounts, 0L)
+          distinctSeen.foreach(_.clear())
       }
       t.columns.zipWithIndex.foreach { case (c, i) =>
         val observed = distinctSeen(i).toSeq
@@ -101,14 +112,15 @@ object SqliteScan {
           if (tags.nonEmpty) tags.map(_ -> 1L).toMap
           else Map(JdbcCatalog.mapSqliteType(c.declType) -> 1L)
         val declared = c.declType.trim
+        // observed values always vote through the uniform inference path
+        // (analysis_service.py:127 infer_type over types_seen) — including
+        // typeless columns, which SQLite legitimately allows; the declared
+        // affinity / observed-tag fallbacks apply only with no observations
         val (dataType, confidence) =
-          if (declared.isEmpty) // empty affinity: observed-type fallback
+          if (observed.nonEmpty) TypeInference.inferType(typesSeen)
+          else if (declared.isEmpty)
             (JdbcCatalog.inferFromObserved(observed.map(_._1).toSet), 100.0)
-          else {
-            val mapped = JdbcCatalog.mapSqliteType(declared)
-            if (observed.isEmpty) (mapped, 100.0)
-            else TypeInference.inferType(typesSeen)
-          }
+          else (JdbcCatalog.mapSqliteType(declared), 100.0)
         val samples = observed.filter(_._2 != null).take(KeepSamples)
         val sampleValues = samples.map(_._2)
         val semanticType = SemanticDetector.detect(c.name, samples, dataType)

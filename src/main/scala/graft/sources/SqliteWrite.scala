@@ -1,0 +1,157 @@
+package graft.sources
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal from-scratch SQLite main-database-file WRITER
+  * (sqlite.org/fileformat2.html) — the inverse of [[SqliteFile]], just
+  * enough to serialize one rowid table into a valid single-file database:
+  * 100-byte header, page-1 sqlite_master leaf, and a 1- or 2-level table
+  * B-tree (leaf pages + one interior root when rows spill). No overflow
+  * chains (records must fit a page), UTF-8 only, schema format 1.
+  *
+  * Purpose: lets a gate query build `.db` binary columns deterministically
+  * from testdata rows, putting the [[SqliteScan]] data plane under the
+  * driver's DuckDB-oracle gate (the reader is independently validated
+  * against sqlite3-written fixtures, so writer and reader cannot share a
+  * compensating bug without the oracle counts diverging).
+  */
+object SqliteWrite {
+
+  val PageSize = 4096
+  private val Usable = PageSize // reserved byte = 0
+
+  private def varint(v: Long): Array[Byte] = {
+    if (v >= 0 && v < 128) return Array(v.toByte)
+    val out = new ArrayBuffer[Byte](9)
+    var x = v
+    var i = 0
+    val tmp = new Array[Byte](9)
+    while (i < 8 && (x != 0 || i == 0)) { tmp(i) = (x & 0x7f).toByte; x >>>= 7; i += 1 }
+    var j = i - 1
+    while (j >= 0) {
+      out += (if (j == 0) tmp(j) else (tmp(j) | 0x80).toByte)
+      j -= 1
+    }
+    out.toArray
+  }
+
+  private def be(v: Long, len: Int): Array[Byte] =
+    Array.tabulate(len)(i => ((v >>> (8 * (len - 1 - i))) & 0xff).toByte)
+
+  /** (serialType, body) for one value: null / sized int / float / text. */
+  private def ser(v: Any): (Long, Array[Byte]) = v match {
+    case null => (0L, Array.emptyByteArray)
+    case l: Long =>
+      if (l >= -128 && l <= 127) (1L, be(l, 1))
+      else if (l >= -32768 && l <= 32767) (2L, be(l, 2))
+      else if (l >= Int.MinValue && l <= Int.MaxValue) (4L, be(l, 4))
+      else (6L, be(l, 8))
+    case i: Int => ser(i.toLong)
+    case d: Double => (7L, be(java.lang.Double.doubleToLongBits(d), 8))
+    case s: String =>
+      val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      (13L + 2L * b.length, b)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported value: $other")
+  }
+
+  /** SQLite record: header (self-inclusive length varint + serial types)
+    * followed by the value bodies.
+    */
+  private def record(values: Seq[Any]): Array[Byte] = {
+    val parts = values.map(ser)
+    val typeBytes = parts.flatMap(p => varint(p._1)).toArray
+    // header length includes its own varint; sizes here stay < 128
+    var hdrLen = typeBytes.length + 1
+    if (varint(hdrLen).length > 1) hdrLen = typeBytes.length + varint(hdrLen).length
+    varint(hdrLen) ++ typeBytes ++ parts.flatMap(_._2)
+  }
+
+  /** Table-leaf cell: payload length, rowid, record (no overflow). */
+  private def leafCell(rowid: Long, values: Seq[Any]): Array[Byte] = {
+    val rec = record(values)
+    require(rec.length <= Usable - 35,
+      s"record of ${rec.length} bytes needs an overflow chain (unsupported)")
+    varint(rec.length) ++ varint(rowid) ++ rec
+  }
+
+  /** Assemble one b-tree page: cells packed from the page end, pointer
+    * array after the page header. `headerAt` is 100 on page 1, else 0.
+    */
+  private def page(pageType: Int, cells: Seq[Array[Byte]],
+      rightMost: Int = 0, headerAt: Int = 0): Array[Byte] = {
+    val p = new Array[Byte](PageSize)
+    val interior = pageType == 5
+    val hdrSize = if (interior) 12 else 8
+    p(headerAt) = pageType.toByte
+    System.arraycopy(be(cells.size, 2), 0, p, headerAt + 3, 2)
+    if (interior) System.arraycopy(be(rightMost, 4), 0, p, headerAt + 8, 4)
+    var content = PageSize
+    cells.zipWithIndex.foreach { case (cell, i) =>
+      content -= cell.length
+      System.arraycopy(cell, 0, p, content, cell.length)
+      System.arraycopy(be(content, 2), 0, p, headerAt + hdrSize + 2 * i, 2)
+    }
+    System.arraycopy(be(content, 2), 0, p, headerAt + 5, 2)
+    p
+  }
+
+  /** Serialize `rows` (rowid, values) as table `name` with `ddl` as its
+    * CREATE TABLE statement. Values: null, Long/Int, Double, String. If a
+    * column is the INTEGER PRIMARY KEY, pass null at its position and the
+    * rowid carries the value (SQLite's rowid aliasing).
+    */
+  def database(name: String, ddl: String,
+      rows: Seq[(Long, Seq[Any])]): Array[Byte] = {
+    val cells = rows.map { case (rowid, vals) => leafCell(rowid, vals) }
+    // greedy fill: leaf capacity = usable - header(8) - 2 bytes/pointer
+    val leaves = new ArrayBuffer[Seq[Array[Byte]]]()
+    var cur = new ArrayBuffer[Array[Byte]]()
+    var used = 8
+    cells.foreach { c =>
+      if (used + c.length + 2 > Usable && cur.nonEmpty) {
+        leaves += cur.toSeq; cur = new ArrayBuffer[Array[Byte]](); used = 8
+      }
+      cur += c; used += c.length + 2
+    }
+    leaves += cur.toSeq
+
+    val lastRowids = {
+      var idx = -1
+      leaves.map { l => idx += l.size; rows(idx)._1 }
+    }
+    // page numbering: 1 = master, then table pages
+    val (rootPage, tablePages: Seq[Array[Byte]]) =
+      if (leaves.size == 1) (2, Seq(page(13, leaves.head)))
+      else {
+        // interior root at page 2, leaves at 3..
+        val leafPages = leaves.map(l => page(13, l)).toSeq
+        val interiorCells = leaves.indices.dropRight(1).map { i =>
+          be(3 + i, 4) ++ varint(lastRowids(i))
+        }
+        val root = page(5, interiorCells, rightMost = 3 + leaves.size - 1)
+        (2, root +: leafPages)
+      }
+
+    val masterCell = leafCell(1L,
+      Seq("table", name, name, rootPage.toLong, ddl))
+    val page1 = page(13, Seq(masterCell), headerAt = 100)
+    writeHeader(page1, nPages = 1 + tablePages.size)
+    page1 ++ tablePages.flatten
+  }
+
+  private def writeHeader(page1: Array[Byte], nPages: Int): Unit = {
+    val magic = "SQLite format 3".getBytes("US-ASCII") :+ 0.toByte
+    System.arraycopy(magic, 0, page1, 0, 16)
+    System.arraycopy(be(PageSize, 2), 0, page1, 16, 2)
+    page1(18) = 1; page1(19) = 1 // file format write/read versions
+    page1(20) = 0 // reserved space
+    page1(21) = 64; page1(22) = 32; page1(23) = 32 // payload fractions
+    System.arraycopy(be(1L, 4), 0, page1, 24, 4) // change counter
+    System.arraycopy(be(nPages, 4), 0, page1, 28, 4) // db size in pages
+    System.arraycopy(be(1L, 4), 0, page1, 40, 4) // schema cookie
+    System.arraycopy(be(1L, 4), 0, page1, 44, 4) // schema format 1
+    System.arraycopy(be(1L, 4), 0, page1, 56, 4) // text encoding UTF-8
+    System.arraycopy(be(3045000L, 4), 0, page1, 96, 4) // library version
+  }
+}

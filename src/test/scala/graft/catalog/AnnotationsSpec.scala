@@ -1,0 +1,99 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.profile.Profiler
+import graft.queries.FieldSearch
+
+/** Annotations as data (J3 + W2): latest-per-field pick, profile join
+  * with fallback, catalog append/read round trip, annotated search.
+  */
+class AnnotationsSpec extends SparkSpec {
+
+  private def ann(fieldPath: String, id: String, desc: String,
+      bn: String, ai: Boolean, ts: String) =
+    (fieldPath, id, desc, bn, ai, ts)
+
+  private def annsDf(rows: Seq[(String, String, String, String, Boolean,
+      String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("field_path", "annotation_id", "description", "business_name",
+        "is_ai_generated", "ts")
+      .withColumn("created_at", to_timestamp(col("ts"))).drop("ts")
+      .withColumn("ai_model_version", lit(null).cast("string"))
+      .withColumn("business_owner", lit(null).cast("string"))
+      .withColumn("created_by", lit("spec"))
+  }
+
+  private lazy val profiles = {
+    import spark.implicits._
+    Profiler.profile(spark, Seq(
+      """{"user_id": "u-1", "email": "a@b.com", "age": 30}""",
+      """{"user_id": "u-2", "email": "c@d.com", "age": 41}""").toDF("json"),
+      "json")
+  }
+
+  test("latest picks newest created_at, annotation_id breaks ties") {
+    val anns = annsDf(Seq(
+      ann("email", "a1", "old", "Old", false, "2024-01-01 00:00:00"),
+      ann("email", "a2", "new", "New", false, "2024-02-01 00:00:00"),
+      ann("age", "b1", "tie-lo", "T1", false, "2024-01-01 00:00:00"),
+      ann("age", "b2", "tie-hi", "T2", false, "2024-01-01 00:00:00")))
+    val latest = Annotations.latest(anns).collect()
+      .map(r => r.getAs[String]("field_path") ->
+        r.getAs[String]("description")).toMap
+    assert(latest === Map("email" -> "new", "age" -> "tie-hi"))
+  }
+
+  test("joinProfiles: annotation wins, unannotated fields fall back") {
+    val anns = annsDf(Seq(
+      ann("email", "a1", "Contact mail", "Email Address", true,
+        "2024-01-01 00:00:00")))
+    val joined = Annotations.joinProfiles(profiles.toDF(),
+        Annotations.latest(anns)).collect()
+      .map(r => r.getAs[String]("fieldPath") -> r).toMap
+    assert(joined("email").getAs[String]("description") === "Contact mail")
+    assert(joined("email").getAs[String]("businessName") === "Email Address")
+    assert(joined("email").getAs[Boolean]("isAiGenerated"))
+    assert(joined("user_id").getAs[String]("businessName") === "User Id")
+    assert(joined("user_id").getAs[String]("description") ===
+      "User Id field of type identifier")
+    assert(!joined("user_id").getAs[Boolean]("isAiGenerated"))
+  }
+
+  test("append/readFor round trip with version scoping") {
+    val outDir = Files.createTempDirectory("graft_ann").toString
+    val v1 = annsDf(Seq(
+      ann("email", "a1", "v1 note", "E", false, "2024-01-01 00:00:00")))
+      .withColumn("dictionary", lit("d1")).withColumn("version_number", lit(1))
+    val v2 = annsDf(Seq(
+      ann("email", "a2", "v2 note", "E", false, "2024-02-01 00:00:00"),
+      ann("age", "a3", "age note", "A", true, "2024-02-01 00:00:00")))
+      .withColumn("dictionary", lit("d1")).withColumn("version_number", lit(2))
+    Annotations.append(spark, outDir, v1)
+    Annotations.append(spark, outDir, v2)
+    val got1 = Annotations.readFor(spark, outDir, "d1", 1).collect()
+    assert(got1.map(_.getAs[String]("description")).toSeq === Seq("v1 note"))
+    val got2 = Annotations.readFor(spark, outDir, "d1", 2)
+      .collect().map(_.getAs[String]("description")).toSet
+    assert(got2 === Set("v2 note", "age note"))
+    assert(Annotations.readFor(spark, outDir, "nope", 1).isEmpty)
+  }
+
+  test("searchAnnotated carries the latest annotation per hit") {
+    val anns = annsDf(Seq(
+      ann("email", "a1", "old mail", "M1", false, "2024-01-01 00:00:00"),
+      ann("email", "a2", "the mail", "M2", true, "2024-03-01 00:00:00")))
+    val hits = FieldSearch.searchAnnotated(profiles, anns,
+      isPii = Some(true)).collect()
+    assert(hits.length === 1)
+    assert(hits.head.getAs[String]("fieldPath") === "email")
+    assert(hits.head.getAs[String]("description") === "the mail")
+    assert(hits.head.getAs[String]("businessName") === "M2")
+    assert(hits.head.getAs[Boolean]("isAiGenerated"))
+  }
+}

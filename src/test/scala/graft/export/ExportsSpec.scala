@@ -63,6 +63,120 @@ class ExportsSpec extends SparkSpec {
     assert(page.length === 2)
   }
 
+  private def latestAnns(rows: Seq[(String, String, String, String, Boolean,
+      String)]) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.catalog.Annotations.latest(
+      rows.toDF("field_path", "annotation_id", "description",
+          "business_name", "is_ai_generated", "ts")
+        .withColumn("created_at", to_timestamp(col("ts"))).drop("ts")
+        .withColumn("ai_model_version", lit(null).cast("string"))
+        .withColumn("business_owner", lit(null).cast("string"))
+        .withColumn("created_by", lit("spec")))
+  }
+
+  test("exports surface real annotations over the fallback (J3)") {
+    import spark.implicits._
+    val anns = latestAnns(Seq(
+      ("email", "a1", "Customer mail", "Mail BN", true,
+        "2024-01-01 00:00:00")))
+    val sheet = Exports.dataDictionarySheet(profiles, Some(anns)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(sheet("email").getString(3) === "Customer mail")
+    // unannotated fields keep the deterministic fallback
+    assert(sheet("user_id").getString(3) ===
+      "User Id field of type identifier")
+    val js = Exports.exportJson(profiles, annotations = Some(anns))
+      .as[String].collect()
+    val emailJs = js.find(_.contains("\"field_path\":\"email\"")).get
+    assert(emailJs.contains("\"description\":\"Customer mail\""))
+    assert(emailJs.contains("\"business_name\":\"Mail BN\""))
+    assert(emailJs.contains("\"is_ai_generated\":true"))
+  }
+
+  test("E4: version-comparison workbook has summary stats + detail rows") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val v1 = Profiler.profile(spark, Seq(
+      """{"name": "a", "balance": 1.5, "legacy": "x"}""").toDF("json"), "json")
+    val v2 = Profiler.profile(spark, Seq(
+      """{"name": "a", "balance": "1.5", "segment": "s"}""").toDF("json"),
+      "json")
+    val path =
+      Files.createTempDirectory("graft_e4").resolve("cmp.xlsx").toString
+    Exports.exportVersionComparison(v1, v2, 1, 2,
+      "2024-01-01 00:00:00", "2024-02-01 00:00:00", path)
+    val sheets = Xlsx.read(path).toMap
+    assert(sheets.keySet === Set("Comparison Summary", "Changes Detail"))
+
+    val sum = sheets("Comparison Summary")
+    assert(sum(0)(0) === "Version Comparison Summary")
+    assert(sum(2).toSeq === Seq("Version 1", "v1"))
+    assert(sum(5).toSeq === Seq("Version 2", "v2"))
+    val stats = sum.drop(9).collect {
+      case row if row.size >= 2 => row(0) -> row(1)
+    }.toMap
+    assert(stats("Fields Added") === "1") // segment
+    assert(stats("Fields Removed") === "1") // legacy
+    assert(stats("Fields Modified") === "1") // balance type change
+    assert(stats("Breaking Changes") === "2")
+    assert(stats("Total Fields (v1)") === "3")
+    assert(stats("Total Fields (v2)") === "3")
+
+    val det = sheets("Changes Detail")
+    assert(det.head.toSeq === Seq("Change Type", "Field Path", "Breaking",
+      "Old Type", "New Type", "Changes"))
+    val byPath = det.tail.map(r => r(1) -> r).toMap
+    assert(byPath("balance")(0) === "MODIFIED")
+    assert(byPath("balance")(2) === "Yes")
+    assert(byPath("balance")(3) === "float")
+    assert(byPath("balance")(4) === "string")
+    assert(byPath("balance")(5).contains("Type changed: float -> string"))
+    assert(byPath("legacy")(0) === "REMOVED")
+    assert(byPath("legacy")(2) === "Yes")
+    assert(byPath("legacy")(4) === "N/A")
+    assert(byPath("segment")(0) === "ADDED")
+    assert(byPath("segment")(2) === "No")
+    assert(byPath("segment")(3) === "N/A")
+  }
+
+  test("E5: batch export = summary sheet + one data sheet per dictionary") {
+    import java.nio.file.Files
+    val longName = "a/very[long]*name?" + "x" * 30
+    val path =
+      Files.createTempDirectory("graft_e5").resolve("batch.xlsx").toString
+    Exports.batchExportXlsx(Seq(
+      Exports.BatchEntry("users", 1, "2024-01-01", Some(2L), profiles),
+      Exports.BatchEntry(longName, 2, "2024-02-02", None, profiles)),
+      path, "2024-03-01 00:00:00")
+    val sheets = Xlsx.read(path)
+    assert(sheets.map(_._1).head === "Summary")
+    assert(sheets.size === 3)
+    val sanitized = Exports.sanitizeSheetName(longName, 2)
+    assert(sheets.map(_._1).toSet ===
+      Set("Summary", "users", sanitized))
+    assert(sanitized.length <= 31 && !sanitized.exists("\\/?*[]".contains(_)))
+
+    val sum = sheets.head._2
+    assert(sum(0)(0) === "Batch Export Summary")
+    assert(sum(1)(0) === "Export Date: 2024-03-01 00:00:00")
+    assert(sum(2)(0) === "Total Dictionaries: 2")
+    assert(sum(4).toSeq === Seq("Dictionary Name", "Version", "Total Fields",
+      "Records Analyzed", "Created At", "Sheet Name"))
+    assert(sum(5).toSeq === Seq("users", "v1", "5", "2", "2024-01-01",
+      "users"))
+    assert(sum(6)(3) === "N/A")
+    assert(sum(6)(5) === sanitized)
+
+    // each data sheet carries the 8-column dictionary contract
+    val users = sheets.find(_._1 == "users").get._2
+    assert(users.head.toSeq === Seq("Field Path", "Data Type",
+      "Semantic Type", "Description", "Sample Values", "Null %",
+      "Cardinality", "PII Flag"))
+    assert(users.size === 6) // header + 5 fields
+  }
+
   test("category filters: pii / nullable / array / high-cardinality") {
     assert(FieldSearch.piiFields(profiles).collect()
       .map(_.getAs[String]("fieldPath")).toSeq === Seq("email"))

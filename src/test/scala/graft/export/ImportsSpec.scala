@@ -46,4 +46,41 @@ class ImportsSpec extends SparkSpec {
     val versions = spark.read.parquet(s"$outDir/versions")
     assert(versions.count() === 2)
   }
+
+  test("import lands a first-class version: readFields round-trips it") {
+    val csvPath = s"$base/sheet3"
+    Exports.exportCsv(profiles, csvPath)
+    val outDir = s"$base/catalog_rt"
+    assert(Imports.importInto(spark, outDir, "rt",
+      Imports.importCsv(spark, csvPath)))
+    assert(graft.jobs.ProfileJob.latestVersion(spark, outDir, "rt") === 1)
+
+    val back = graft.jobs.ProfileJob.readFields(spark, outDir, "rt", 1)
+      .collect().map(f => f.fieldPath -> f).toMap
+    val orig = profiles.collect().map(f => f.fieldPath -> f).toMap
+    assert(back.keySet === orig.keySet)
+    orig.foreach { case (p, o) =>
+      val b = back(p)
+      assert(b.dataType === o.dataType, p)
+      assert(b.semanticType === o.semanticType, p)
+      assert(b.isPii === o.isPii, p)
+      assert(b.distinctCount === o.distinctCount, p)
+      // null % round-trips through the sheet's 1-decimal rendering
+      assert(math.abs(b.nullPercentage - o.nullPercentage) < 0.05, p)
+      assert(b.fieldName === o.fieldName, p)
+      assert(b.parentPath === o.parentPath, p)
+    }
+    // sheet order (= position order) survives the round trip
+    val origOrder = profiles.collect().sortBy(_.position).map(_.fieldPath)
+    val backOrder = back.values.toSeq.sortBy(_.position).map(_.fieldPath)
+    assert(backOrder.toSeq === origOrder.toSeq)
+
+    // imported descriptions became annotation rows (import_service.py:204)
+    val anns = graft.catalog.Annotations.readFor(spark, outDir, "rt", 1)
+    assert(anns.count() === orig.size)
+    val latest = graft.catalog.Annotations.latest(anns).collect()
+      .map(r => r.getAs[String]("field_path") ->
+        r.getAs[String]("description")).toMap
+    assert(latest("user_id") === "User Id field of type identifier")
+  }
 }

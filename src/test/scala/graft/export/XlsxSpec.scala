@@ -80,7 +80,7 @@ class XlsxSpec extends SparkSpec {
     assert(byPath("user_id").getString(1) == "string")
     val outDir = Files.createTempDirectory("graft_xlsx_cat").toString
     assert(Imports.importInto(spark, outDir, "testdict", fields))
-    val landed = spark.read.parquet(s"$outDir/fields_imported")
+    val landed = spark.read.parquet(s"$outDir/fields")
     assert(landed.count() == fields.count())
     // conflict mode skip: second import is a no-op
     assert(!Imports.importInto(spark, outDir, "testdict", fields))

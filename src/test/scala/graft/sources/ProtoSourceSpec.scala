@@ -97,4 +97,27 @@ class ProtoSourceSpec extends AnyFunSuite {
     assert(profiles("tutorial.Contacts.Lookup").dataType == "string")
     assert(!profiles.contains("tutorial.Person.Inner.x")) // nested: no rows
   }
+
+  test("aggregate options ('option (x) = { ... };') skip cleanly") {
+    val src =
+      """syntax = "proto3";
+        |package agg;
+        |message M {
+        |  option (my.msg_opt) = { key: 1 str: "v" };
+        |  int32 a = 1;
+        |  option (other.opt) = { nested { x: 2 } };
+        |  string b = 2;
+        |}
+        |enum E {
+        |  option (my.enum_opt) = { tag: 3 };
+        |  ZERO = 0;
+        |  ONE = 1;
+        |}
+        |""".stripMargin
+    val f = ProtoSource.parse(src, "agg.proto")
+    val m = f.messages.find(_.fullName == "agg.M").get
+    assert(m.fields.map(_.name) == Seq("a", "b"))
+    val e = f.enums.find(_.fullName == "agg.E").get
+    assert(e.values.map(_._1) == Seq("ZERO", "ONE"))
+  }
 }

@@ -1,0 +1,63 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Robustness/parity edges of the from-scratch SQLite reader (ADVICE r1):
+  * typeless columns vote through the uniform inference path, quoted
+  * identifiers with spaces parse, UTF-16 files are rejected explicitly,
+  * and a corrupt table degrades to DDL-only metadata instead of failing
+  * the task.
+  */
+class SqliteRobustnessSpec extends AnyFunSuite {
+
+  private def bytes(p: String): Array[Byte] = Files.readAllBytes(Paths.get(p))
+  private lazy val edge = bytes("fixtures/sqlite/edge.db")
+
+  test("typeless columns infer over observed tags (reference vote)") {
+    val byPath = SqliteScan.profileBytes(edge)
+      .map(cp => cp.profile.fieldPath -> cp.profile).toMap
+    // {integer, float} observed -> float with combined confidence
+    assert(byPath("edge.mixed_if").dataType === "float")
+    assert(byPath("edge.mixed_if").confidenceScore === 100.0)
+    // {integer, string} observed -> tie broken to string, 50% confidence
+    assert(byPath("edge.mixed_is").dataType === "string")
+    assert(byPath("edge.mixed_is").confidenceScore === 50.0)
+  }
+
+  test("quoted identifiers with spaces parse as one column name") {
+    val t = SqliteFile.tables(SqliteFile.open(edge)).head
+    assert(t.columns.map(_.name) ===
+      Seq("id", "mixed_if", "mixed_is", "user id"))
+    assert(t.columns.last.declType.toUpperCase === "TEXT")
+    // and the data plane aligns values with that column
+    val r1 = SqliteFile.rows(SqliteFile.open(edge), t).next()
+    assert(r1(3) === "u-1")
+  }
+
+  test("UTF-16 databases are rejected explicitly, not silently garbled") {
+    val b = edge.clone()
+    b(59) = 2 // header offset 56-59 big-endian text encoding -> 2 (UTF-16le)
+    val e = intercept[IllegalArgumentException](SqliteFile.open(b))
+    assert(e.getMessage.contains("text encoding"))
+  }
+
+  test("corrupt table pages degrade to DDL-only metadata, zero counts") {
+    // truncate after the first page: the catalog (page 1) survives, table
+    // B-trees point past the end -> per-table containment kicks in
+    val full = bytes("fixtures/sqlite/sample.db")
+    val truncated = java.util.Arrays.copyOfRange(full, 0, 4096)
+    val profiles = SqliteScan.profileBytes(truncated)
+    assert(profiles.nonEmpty) // DDL metadata still emitted per column
+    profiles.foreach { cp =>
+      assert(cp.profile.totalCount === 0L, cp.profile.fieldPath)
+      assert(cp.profile.nullCount === 0L)
+      assert(cp.profile.sampleValues.isEmpty)
+    }
+    // declared types still map through the affinity path
+    val byPath = profiles.map(cp => cp.profile.fieldPath -> cp.profile).toMap
+    assert(byPath("users.email").dataType === "string")
+    assert(byPath("users.balance").dataType === "float")
+  }
+}

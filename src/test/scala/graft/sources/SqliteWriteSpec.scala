@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The from-scratch writer round-trips through the from-scratch reader
+  * (which is itself pinned against sqlite3-written fixtures in
+  * SqliteScanSpec — so the two cannot share a compensating format bug
+  * without those fixtures failing).
+  */
+class SqliteWriteSpec extends AnyFunSuite {
+
+  private val ddl = "CREATE TABLE t (id INTEGER PRIMARY KEY, name TEXT, " +
+    "score REAL, n INT, note TEXT)"
+
+  private def mkRows(n: Int): Seq[(Long, Seq[Any])] =
+    (1 to n).map { i =>
+      val note: Any = if (i % 7 == 0) null else s"note-$i-" + "y" * (i % 40)
+      (i.toLong,
+        Seq[Any](null, s"name $i", i * 0.25, i.toLong * 1000003L, note))
+    }
+
+  test("single-leaf database round-trips values, types and rowid alias") {
+    val bytes = SqliteWrite.database("t", ddl, mkRows(20))
+    val db = SqliteFile.open(bytes)
+    val t = SqliteFile.tables(db).head
+    assert(t.name === "t")
+    assert(t.columns.map(_.name) === Seq("id", "name", "score", "n", "note"))
+    assert(t.ipkIndex.contains(0))
+    val rows = SqliteFile.rows(db, t).toVector
+    assert(rows.size === 20)
+    assert(rows(0)(0) === 1L) // rowid alias
+    assert(rows(0)(1) === "name 1")
+    assert(rows(0)(2) === 0.25)
+    assert(rows(0)(3) === 1000003L)
+    assert(rows(6)(4) === null) // i=7: planted null
+    assert(rows(19)(3) === 20L * 1000003L)
+  }
+
+  test("multi-leaf database builds an interior root and keeps rowid order") {
+    val n = 600 // ~80-byte cells -> several leaves under one interior page
+    val bytes = SqliteWrite.database("t", ddl, mkRows(n))
+    val db = SqliteFile.open(bytes)
+    val t = SqliteFile.tables(db).head
+    val rows = SqliteFile.rows(db, t).toVector
+    assert(rows.size === n)
+    assert(rows.map(_(0).asInstanceOf[Long]) === (1L to n.toLong))
+    (1 to n).foreach { i =>
+      val r = rows(i - 1)
+      assert(r(1) === s"name $i")
+      assert(r(2) === i * 0.25)
+      if (i % 7 == 0) assert(r(4) === null)
+      else assert(r(4) === s"note-$i-" + "y" * (i % 40))
+    }
+    // the file declares more than 2 pages (interior + leaves)
+    assert(bytes.length > 3 * SqliteWrite.PageSize)
+  }
+
+  test("written files profile through the standard scan") {
+    val bytes = SqliteWrite.database("t", ddl, mkRows(50))
+    val byPath = SqliteScan.profileBytes(bytes)
+      .map(cp => cp.profile.fieldPath -> cp.profile).toMap
+    assert(byPath("t.id").dataType === "integer")
+    assert(byPath("t.name").dataType === "string")
+    assert(byPath("t.score").dataType === "float")
+    assert(byPath("t.id").totalCount === 50L)
+    assert(byPath("t.note").nullCount === 7L) // 7,14,...,49
+  }
+}

@@ -136,7 +136,30 @@ def build_sample_gpkg(path: Path):
     conn.close()
 
 
+def build_edge_db(path: Path):
+    """Edge cases: typeless columns with mixed observed types (SQLite
+    allows declaring no type at all) and a quoted identifier containing a
+    space."""
+    path.unlink(missing_ok=True)
+    conn = sqlite3.connect(path)
+    c = conn.cursor()
+    c.execute('CREATE TABLE edge ('
+              ' id INTEGER PRIMARY KEY,'
+              ' mixed_if,'          # observes integers AND floats
+              ' mixed_is,'          # observes integers AND strings
+              ' "user id" TEXT)')   # quoted identifier with a space
+    rows = []
+    for i in range(1, 21):
+        mixed_if = i if i % 2 == 0 else i * 1.5
+        mixed_is = i if i % 2 == 0 else f"s{i}"
+        rows.append((i, mixed_if, mixed_is, f"u-{i}"))
+    c.executemany("INSERT INTO edge VALUES (?,?,?,?)", rows)
+    conn.commit()
+    conn.close()
+
+
 if __name__ == "__main__":
     build_sample_db(OUT / "sample.db")
     build_sample_gpkg(OUT / "sample.gpkg")
+    build_edge_db(OUT / "edge.db")
     print(f"fixtures -> {OUT}")
