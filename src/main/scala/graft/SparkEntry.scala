@@ -48,7 +48,8 @@ object SparkEntry {
     "q27_version_diff" -> (ProfileQueries.q27VersionDiff(_, _)),
     "q28_embedding_neardup" -> (TrainingOps.q28EmbeddingNearDup(_, _)),
     "q29_annotated_fields" -> (ProfileQueries.q29AnnotatedFields(_, _)),
-    "q30_profile_sqlite" -> (ProfileQueries.q30ProfileSqlite(_, _))
+    "q30_profile_sqlite" -> (ProfileQueries.q30ProfileSqlite(_, _)),
+    "q31_ivf_ann" -> (TrainingOps.q31IvfAnn(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -378,6 +379,23 @@ object SparkEntry {
            UNION ALL SELECT 'nation.regionkey', 'integer',
                   CAST(COUNT(*) AS BIGINT), CAST(SUM(total) AS BIGINT),
                   CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM per
-         ) ORDER BY field_path"""
+         ) ORDER BY field_path""",
+    // q31: same planted-companion exact oracle as q19 — the IVF path
+    // (deterministic codebook + 6/16-list probe + exact re-rank) must
+    // reproduce the brute-force top-5.
+    "q31_ivf_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 500),
+         q AS (SELECT vec_id, v FROM e WHERE vec_id < 20),
+         comp AS (SELECT q.vec_id * 10 + k + 100000 AS vec_id,
+                         [v[i] + CAST(0.01 AS DOUBLE) * (k + 1) * v[(i % len(v)) + 1] FOR i IN range(1, len(v) + 1)] AS v
+                  FROM q, (SELECT unnest(range(5)) AS k)),
+         uni AS (SELECT * FROM e UNION ALL SELECT * FROM comp),
+         s AS (SELECT q.vec_id AS query_id, u.vec_id, list_cosine_similarity(q.v, u.v) AS cos
+               FROM q JOIN uni u ON u.vec_id <> q.vec_id),
+         r AS (SELECT query_id, vec_id AS neighbor_id,
+                      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS "rank"
+               FROM s)
+         SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 5
+         ORDER BY query_id, "rank""""
   )
 }

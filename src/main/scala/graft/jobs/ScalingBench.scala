@@ -153,7 +153,8 @@ object ScalingBench {
     println(json)
 
     val md =
-      f"""## Measured scaling (quality-filter pipeline, ${rows} synthetic files)
+      f"""
+         |## Measured scaling (quality-filter pipeline, ${rows} synthetic files)
          |
          |Generated by `graft.jobs.ScalingBench`: identical job + input at
          |local[$nLow] vs local[$nHigh] (sandbox stand-in for N vs 4N executors),
@@ -183,8 +184,10 @@ object ScalingBench {
          |$json
          |```
          |""".stripMargin
+    // APPEND a dated section — earlier measurements are history worth
+    // keeping (steal variance is part of the evidence), never clobbered
     Files.write(Paths.get("BENCH.md"), md.getBytes("UTF-8"),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    System.err.println("[scaling] wrote BENCH.md")
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+    System.err.println("[scaling] appended to BENCH.md")
   }
 }

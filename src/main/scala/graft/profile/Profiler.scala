@@ -290,10 +290,12 @@ object Profiler {
     // position = first-seen enumeration: the rows here are aggregated FIELD
     // rows (≤ thousands; the reference caps schemas at 10k fields), so a
     // single sorted partition + zip assigns it without a global
-    // Window.orderBy — same single-partition execution WindowExec would
-    // pick, minus its per-run performance-warning storm.
+    // Window.orderBy — same shuffle-to-one execution WindowExec would
+    // pick, minus its per-run performance-warning storm. repartition (a
+    // real exchange), NOT coalesce: coalesce would narrow the upstream
+    // aggregation itself into one task.
     analyzed
-      .coalesce(1)
+      .repartition(1)
       .sortWithinPartitions(col("minRec"), col("minSeq"), col("p.fieldPath"))
       .select(col("p.*"))
       .as[FieldProfile]

@@ -349,10 +349,11 @@ object TrainingOps {
     * shuffle key is (table, bucket), load bounded by bucket occupancy;
     * more tables buy recall, more bits buy selectivity ([[lshParams]]).
     */
-  def lshAnnTopK(spark: SparkSession, uni: DataFrame,
+  def lshAnnTopK(spark: SparkSession, uniIn: DataFrame,
       queries: DataFrame): DataFrame = {
     import spark.implicits._
     val pl = allPlanes(LshTables, LshBits)
+    val uni = uniIn.cache() // reused: bucketing pass + verify join
     val e = uni.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
     val buckets = e.flatMap { case (id, v) =>
       pl.indices.iterator.map(t => (id, t, lshBucket(v, pl(t))))
@@ -393,16 +394,15 @@ object TrainingOps {
 
   val AnnCompanions = 5
 
-  /** q19 — LSH ANN E2E with a provable-recall contract (the q28 recipe):
-    * the first 500 vectors plus, for each of the 20 query vectors, 5
-    * planted companions at vec_id = q·10 + k + 100000 with
-    * v' = v + 0.01·(k+1)·rot(v) (rot = cyclic shift by one) — cosines
-    * ≥ 0.9987, pairwise rank gaps ≥ 1.4e-4. Each query's exact top-5 IS
-    * its companion set (everything else sits at cosine ≈ 0.4), and LSH
-    * misses a companion with p ≈ 5e-20, so the approximate pipeline's
-    * ranked output equals the oracle's exact brute-force scan.
+  /** The planted ANN gate universe (q19/q31): the first 500 vectors plus,
+    * for each of the 20 query vectors, 5 companions at vec_id =
+    * q·10 + k + 100000 with v' = v + 0.01·(k+1)·rot(v) (rot = cyclic
+    * shift by one) — cosines ≥ 0.9987, pairwise rank gaps ≥ 1.4e-4. Each
+    * query's exact top-5 IS its companion set (everything else sits at
+    * cosine ≈ 0.4). Returns (universe(vec_id, v), queries(query_id, qv)).
     */
-  def q19LshAnn(spark: SparkSession, dir: String): DataFrame = {
+  def annPlantedUniverse(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val base = t(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .filter(col("vec_id") < 500)
@@ -413,9 +413,18 @@ object TrainingOps {
       .select((col("vec_id") * 10 + col("k") + 100000).as("vec_id"),
         expr("transform(v, (x, i) -> x + (k + 1) * CAST(0.01 AS DOUBLE) * " +
           "element_at(v, (CAST(i + 1 AS INT) % size(v)) + 1))").as("v"))
-    val uni = base.unionByName(comps)
-    lshAnnTopK(spark, uni,
+    (base.unionByName(comps),
       q.select(col("vec_id").as("query_id"), col("v").as("qv")))
+  }
+
+  /** q19 — LSH ANN E2E with a provable-recall contract (the q28 recipe)
+    * over [[annPlantedUniverse]]: LSH misses a companion with p ≈ 5e-20,
+    * so the approximate pipeline's ranked output equals the oracle's
+    * exact brute-force scan.
+    */
+  def q19LshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val (uni, queries) = annPlantedUniverse(spark, dir)
+    lshAnnTopK(spark, uni, queries)
   }
 
   /** Embedding-cosine near-duplicate pairs (dedup family): all pairs with
@@ -425,12 +434,19 @@ object TrainingOps {
     * the per-pair miss probability ≤ 1e-6 — at the cost of one count()
     * pass (at scale, reuse a catalog rowcount instead).
     */
+  /** `nHint`: corpus size for LSH sizing — pass the catalog rowcount when
+    * known (it only steers log2 bucket sizing, so a coarse value is
+    * fine); None falls back to a count() pass.
+    */
   def embeddingNearDups(spark: SparkSession, emb: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, nHint: Option[Long] = None): DataFrame = {
     import spark.implicits._
+    // cached: reused by the bucketing pass and both sides of the verify
+    // join (and the sizing count when no hint is given)
     val e = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .as[(Long, Seq[Double])]
-    val (tables, bits) = lshParams(e.count(), threshold)
+      .cache()
+    val (tables, bits) = lshParams(nHint.getOrElse(e.count()), threshold)
     val pl = allPlanes(tables, bits)
     val buckets = e.flatMap { case (id, v) =>
       pl.indices.iterator.map(t => (id, t, lshBucket(v, pl(t))))
@@ -487,7 +503,7 @@ object TrainingOps {
     val planted = base.filter(col("vec_id") < 10)
       .select((col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"), x => x * 2).as("embedding"))
-    embeddingNearDups(spark, base.unionByName(planted), 0.95)
+    embeddingNearDups(spark, base.unionByName(planted), 0.95, Some(510L))
       .select(col("vec_i"), col("vec_j"))
       .orderBy(col("vec_i"), col("vec_j"))
   }
@@ -544,15 +560,15 @@ object TrainingOps {
     cents
   }
 
-  /** IVF approximate top-k cosine neighbours for the first [[NQueries]]
-    * vectors — same output contract as q18/q19 (query_id, neighbor_id,
-    * rank), recall measured against exact q18 in IvfAnnSpec.
+  /** IVF approximate top-k cosine neighbours of `queries` (query_id, qv)
+    * within `uni` (vec_id, v) — same output contract as q18/q19
+    * (query_id, neighbor_id, rank).
     */
-  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+  def ivfAnnTopK(spark: SparkSession, uniIn: DataFrame,
+      queries: DataFrame): DataFrame = {
     import spark.implicits._
-    val e = t(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .as[(Long, Seq[Double])]
+    val uni = uniIn.cache() // reused: codebook sample, assign, verify join
+    val e = uni.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
     // codebook from a deterministic sample (vec_id order, capped)
     val sample = e.sort(col("vec_id")).limit(IvfTrainCap)
       .collect().map(_._2.toArray)
@@ -562,17 +578,18 @@ object TrainingOps {
     val assigned = e.map { case (id, v) =>
       (id, nearestLists(v.toArray, bc.value, 1)(0))
     }.toDF("vec_id", "list_id")
-    val vecs = e.toDF("vec_id", "v")
+    val vecs = uni.select(col("vec_id"), col("v"))
 
-    val probes = e.filter(col("vec_id") < NQueries).flatMap { case (id, v) =>
-      nearestLists(v.toArray, bc.value, IvfProbe).iterator.map(l => (id, l))
-    }.toDF("query_id", "list_id")
+    val probes = queries.select(col("query_id"), col("qv"))
+      .as[(Long, Seq[Double])].flatMap { case (id, v) =>
+        nearestLists(v.toArray, bc.value, IvfProbe).iterator.map(l => (id, l))
+      }.toDF("query_id", "list_id")
 
     val cand = broadcast(probes).join(assigned, Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
     val scored = cand
-      .join(vecs.select(col("vec_id").as("query_id"), col("v").as("qv")), "query_id")
+      .join(queries.select(col("query_id"), col("qv")), "query_id")
       .join(vecs, "vec_id")
       .withColumn("cos", cosineCol(col("qv"), col("v")))
     val w = Window.partitionBy(col("query_id"))
@@ -582,5 +599,31 @@ object TrainingOps {
       .filter(col("rank") <= TopK)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF ANN over the natural corpus (first [[NQueries]] vectors as
+    * queries) — the recall-measured path (IvfAnnSpec, vs exact q18).
+    */
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    ivfAnnTopK(spark, emb, queries)
+  }
+
+  /** q31 — IVF ANN E2E under the same planted-companion contract as q19:
+    * each query's exact top-5 is its 5 companions (cosine ≥ 0.9987), and
+    * the whole IVF path — deterministic k-means codebook (first-k init on
+    * the vec_id-ordered sample), nearest-list assignment, 6-of-16-list
+    * probing, exact re-rank — must reproduce it. Unlike LSH there is no
+    * closed-form miss bound, but every stage is DETERMINISTIC on the gate
+    * data (same sample → same codebook → same probes), so the oracle
+    * match is stable run-to-run; a companion shares its query's Voronoi
+    * cell at angle ≤ 0.1 rad, which the gate itself proves held.
+    */
+  def q31IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val (uni, queries) = annPlantedUniverse(spark, dir)
+    ivfAnnTopK(spark, uni, queries)
   }
 }

@@ -36,4 +36,14 @@ class IvfAnnSpec extends SparkSpec {
     val again = TrainingOps.ivfAnn(spark, dir).collect()
     assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
+
+  test("q31 planted-companion gate: every rank-1..5 hit is a companion") {
+    val rows = TrainingOps.q31IvfAnn(spark, dir).collect()
+    assert(rows.length === TrainingOps.NQueries * TrainingOps.TopK)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val comps = (0 until TrainingOps.AnnCompanions)
+        .map(k => q * 10 + k + 100000).toSet
+      assert(rs.map(_.getLong(1)).toSet === comps, s"query $q")
+    }
+  }
 }
