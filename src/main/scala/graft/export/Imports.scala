@@ -70,6 +70,67 @@ object Imports {
     (fields, meta)
   }
 
+  /** Parse one data-dictionary sheet (header + rows, as written by
+    * [[Exports.dataDictionarySheet]]) into field rows.
+    */
+  private def parseSheet(spark: SparkSession,
+      rows: Seq[Seq[String]]): DataFrame = {
+    import spark.implicits._
+    val header = rows.head
+    val padded = rows.tail.map(_.padTo(header.size, ""))
+    val df = padded.map {
+      case Seq(fp, dt, st, desc, sv, np, card, pii, _*) =>
+        (fp, dt, st, desc, sv, np, card, pii)
+    }.toDF(header: _*)
+    df.select(
+      col("Field Path").as("fieldPath"),
+      col("Data Type").as("dataType"),
+      when(col("Semantic Type") === "", null)
+        .otherwise(col("Semantic Type")).as("semanticType"),
+      col("Description").as("description"),
+      when(col("Sample Values") === "", array().cast("array<string>"))
+        .otherwise(split(col("Sample Values"), ", ")).as("sampleValues"),
+      regexp_replace(col("Null %"), "%$", "").cast("double")
+        .as("nullPercentage"),
+      col("Cardinality").cast("long").as("distinctCount"),
+      (col("PII Flag") === "Yes").as("isPii"))
+  }
+
+  /** One imported dictionary's outcome. */
+  final case class ImportResult(dictionary: String, fieldsImported: Long,
+      imported: Boolean)
+
+  /** S21 — workbook-format dispatch (`import_service.py:96-110`): a
+    * workbook with a "Summary" sheet is a batch export — every other
+    * sheet imports as one dictionary named by its sheet; a workbook with
+    * "Data Dictionary" + "Metadata" sheets is a single export. Anything
+    * else is invalid. The reference stubs the batch branch with a
+    * warning per sheet (`import_service.py:395-400` "not fully
+    * implemented yet"); since our batch sheets are the standard
+    * data-dictionary projection, the engine completes the round trip.
+    */
+  def importWorkbook(spark: SparkSession, path: String, outDir: String,
+      conflictMode: String = "skip"): Seq[ImportResult] = {
+    val sheets = Xlsx.read(path)
+    val names = sheets.map(_._1)
+    if (names.contains("Summary")) {
+      sheets.filter(_._1 != "Summary").map { case (name, rows) =>
+        val fields = parseSheet(spark, rows)
+        val ok = importInto(spark, outDir, name, fields, conflictMode)
+        ImportResult(name, if (ok) fields.count() else 0L, ok)
+      }
+    } else if (names.contains("Data Dictionary") && names.contains("Metadata")) {
+      val (fields, meta) = importXlsx(spark, path)
+      val dict = meta.getOrElse("Dictionary Name", "Imported Dictionary")
+      val ok = importInto(spark, outDir, dict, fields, conflictMode)
+      Seq(ImportResult(dict, if (ok) fields.count() else 0L, ok))
+    } else {
+      throw new IllegalArgumentException(
+        "Invalid export file format. Expected 'Data Dictionary' and " +
+          "'Metadata' sheets or a 'Summary' sheet for batch exports.")
+    }
+  }
+
   /** Conform parsed sheet rows to the full [[graft.model.FieldProfile]]
     * column set, so imported versions land in the SAME `fields/` table the
     * profiler writes and `ProfileJob.readFields` sees them (the r1 split

@@ -177,6 +177,36 @@ class ExportsSpec extends SparkSpec {
     assert(users.size === 6) // header + 5 fields
   }
 
+  test("batch export -> importWorkbook round-trips every dictionary") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_batchrt")
+    val path = base.resolve("batch.xlsx").toString
+    Exports.batchExportXlsx(Seq(
+      Exports.BatchEntry("alpha", 1, "2024-01-01", Some(2L), profiles),
+      Exports.BatchEntry("beta", 1, "2024-01-02", None, profiles)),
+      path, "2024-03-01 00:00:00")
+    val outDir = base.resolve("catalog").toString
+    val results = Imports.importWorkbook(spark, path, outDir)
+    assert(results.map(_.dictionary).toSet === Set("alpha", "beta"))
+    assert(results.forall(_.imported))
+    assert(results.forall(_.fieldsImported === 5L))
+    Seq("alpha", "beta").foreach { d =>
+      val back = graft.jobs.ProfileJob.readFields(spark, outDir, d, 1)
+      assert(back.count() === 5L, d)
+    }
+    // single-dictionary workbooks dispatch through the other branch
+    val single = base.resolve("single.xlsx").toString
+    Exports.exportXlsx(profiles, "gamma", "hash", single)
+    val r2 = Imports.importWorkbook(spark, single, outDir)
+    assert(r2.map(_.dictionary) === Seq("gamma") && r2.head.imported)
+    // invalid workbooks are rejected like the reference
+    val bad = base.resolve("bad.xlsx").toString
+    Xlsx.write(bad, Seq(Xlsx.Sheet("Whatever", Seq(Seq(Xlsx.Cell("x"))))))
+    intercept[IllegalArgumentException] {
+      Imports.importWorkbook(spark, bad, outDir)
+    }
+  }
+
   test("category filters: pii / nullable / array / high-cardinality") {
     assert(FieldSearch.piiFields(profiles).collect()
       .map(_.getAs[String]("fieldPath")).toSeq === Seq("email"))
