@@ -16,12 +16,9 @@ object FieldSearch {
     * case-insensitive substring on name/path, optional equality filters,
     * ordered by field_path with offset/limit pagination (O1/O2).
     */
-  def search(profiles: Dataset[FieldProfile],
-      query: Option[String] = None,
-      dataType: Option[String] = None,
-      semanticType: Option[String] = None,
-      isPii: Option[Boolean] = None,
-      offsetN: Int = 0, limitN: Int = 50): DataFrame = {
+  private def filtered(profiles: Dataset[FieldProfile],
+      query: Option[String], dataType: Option[String],
+      semanticType: Option[String], isPii: Option[Boolean]): DataFrame = {
     var df = profiles.toDF()
     query.foreach { q =>
       val needle = lit(q.toLowerCase)
@@ -31,8 +28,28 @@ object FieldSearch {
     dataType.foreach(v => df = df.filter(col("dataType") === v))
     semanticType.foreach(v => df = df.filter(col("semanticType") === v))
     isPii.foreach(v => df = df.filter(col("isPii") === v))
-    df.orderBy(col("fieldPath")).offset(offsetN).limit(limitN)
+    df
   }
+
+  def search(profiles: Dataset[FieldProfile],
+      query: Option[String] = None,
+      dataType: Option[String] = None,
+      semanticType: Option[String] = None,
+      isPii: Option[Boolean] = None,
+      offsetN: Int = 0, limitN: Int = 50): DataFrame =
+    filtered(profiles, query, dataType, semanticType, isPii)
+      .orderBy(col("fieldPath")).offset(offsetN).limit(limitN)
+
+  /** Total matches BEFORE pagination — the reference's search responses
+    * return (items, total) (`field_repo.py:597-600` count over the
+    * unpaginated subquery).
+    */
+  def searchTotal(profiles: Dataset[FieldProfile],
+      query: Option[String] = None,
+      dataType: Option[String] = None,
+      semanticType: Option[String] = None,
+      isPii: Option[Boolean] = None): Long =
+    filtered(profiles, query, dataType, semanticType, isPii).count()
 
   /** P8 + J3/W2 — search with the latest annotation joined onto each hit
     * (`api/v1/search.py:108-110`: the response carries the field's first

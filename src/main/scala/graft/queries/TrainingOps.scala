@@ -69,7 +69,8 @@ object TrainingOps {
     */
   def q15NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sets = shingleSets(t(spark, dir, "documents")).cache()
-    val tok = shingleTokens(sets, ShingleDfCap)
+    // cached: feeds the sizes aggregate and both sides of the self-join
+    val tok = shingleTokens(sets, ShingleDfCap).cache()
     val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = tok.as("a").join(tok.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

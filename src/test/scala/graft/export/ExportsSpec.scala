@@ -61,6 +61,9 @@ class ExportsSpec extends SparkSpec {
     assert(pii.map(_.getAs[String]("fieldPath")).toSeq === Seq("email"))
     val page = FieldSearch.search(profiles, offsetN = 1, limitN = 2).collect()
     assert(page.length === 2)
+    // total is computed before pagination (field_repo.py:597-600)
+    assert(FieldSearch.searchTotal(profiles) === 5L)
+    assert(FieldSearch.searchTotal(profiles, isPii = Some(true)) === 1L)
   }
 
   private def latestAnns(rows: Seq[(String, String, String, String, Boolean,
