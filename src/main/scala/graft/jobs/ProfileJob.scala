@@ -74,6 +74,37 @@ object ProfileJob {
     out
   }
 
+  /** Recalculate quality metrics for the LATEST version of `dict` from
+    * its stored sample values (`analysis_service.py:496-630` — "when the
+    * quality analyzer has been updated") and commit the result as version
+    * N+1. The reference updates rows in place; versions here are
+    * immutable appends (same documented divergence as imports), so the
+    * recalculation is itself an auditable version. Returns the new
+    * version number.
+    */
+  def recalculate(spark: SparkSession, outDir: String, dict: String): Int = {
+    val latest = latestVersion(spark, outDir, dict)
+    require(latest > 0, s"dictionary '$dict' has no committed version")
+    val recalced =
+      Analysis.recalculateQualityMetrics(readFields(spark, outDir, dict, latest))
+        .cache()
+    val hash = Profiler.schemaHash(recalced)
+    val version = latest + 1
+    val cat = new graft.catalog.ParquetCatalog(outDir)
+    cat.overwritePartitions(
+      recalced.toDF()
+        .withColumn("dictionary", lit(dict))
+        .withColumn("version_number", lit(version)),
+      "fields", Seq("dictionary", "version_number"))
+    val spark2 = spark
+    import spark2.implicits._
+    cat.appendMarker(
+      Seq((dict, version, hash, recalced.count()))
+        .toDF("dictionary", "version_number", "schema_hash", "n_fields"),
+      "versions")
+    version
+  }
+
   /** Read one version's fields back as typed profiles (J2-shaped scoped
     * read; partition pruning keeps this a single-directory scan).
     */

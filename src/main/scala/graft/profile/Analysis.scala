@@ -36,6 +36,46 @@ object Analysis {
       sum(when(col("isArray"), 1L).otherwise(0L)).as("array_fields"),
       max(col("nestingLevel")).as("max_nesting_level"))
 
+  /** A1/A6 — recalculate quality metrics for every field FROM ITS STORED
+    * SAMPLE VALUES (`analysis_service.py:496-630` →
+    * `quality_analyzer.analyze_field`): counts/distinct/cardinality over
+    * the samples, numeric stats through the pandas-parity analyzer
+    * (to_numeric-coerce semantics), fields with no samples left
+    * untouched (the reference's empty-metrics early return). Used when
+    * the analyzer changes after ingest — a narrow map, no shuffle.
+    */
+  def recalculateQualityMetrics(
+      profiles: Dataset[FieldProfile]): Dataset[FieldProfile] = {
+    val spark = profiles.sparkSession
+    import spark.implicits._
+    profiles.map { p =>
+      val samples = p.sampleValues
+      if (samples == null || samples.isEmpty) p
+      else {
+        val total = samples.size.toLong
+        val nulls = samples.count(_ == null).toLong
+        val distinct = samples.distinct.size.toLong
+        val stats =
+          if (p.dataType == "integer" || p.dataType == "float")
+            PandasStats.numericStats(samples)
+          else None
+        p.copy(
+          totalCount = total,
+          nullCount = nulls,
+          nullPercentage = nulls.toDouble / total * 100.0,
+          distinctCount = distinct,
+          cardinalityRatio = distinct.toDouble / total,
+          minValue = stats.map(_.min),
+          maxValue = stats.map(_.max),
+          meanValue = stats.map(_.mean),
+          medianValue = stats.map(_.median),
+          stdDev = stats.flatMap(_.stdDev),
+          percentile25 = stats.map(_.p25),
+          percentile75 = stats.map(_.p75))
+      }
+    }
+  }
+
   /** S5 — MongoDB Extended JSON format sniff
     * (`services/dictionary_service.py:476-505`): any Mongo type marker in
     * the first 8KB of content ⇒ route to the Mongo walker.

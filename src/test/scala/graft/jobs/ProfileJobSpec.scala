@@ -72,4 +72,31 @@ class ProfileJobSpec extends SparkSpec {
     assert(stats.getAs[Long]("total_fields") === 2L)
     assert(stats.getAs[Long]("pii_fields") === 0L)
   }
+
+  test("recalculate quality metrics from samples commits a new version") {
+    val dir = Files.createTempDirectory("graft_recalc").toString
+    val (v1, _, _) = ProfileJob.run(spark,
+      df("""{"score": 10, "tag": "x"}""", """{"score": 20, "tag": "x"}""",
+        """{"score": 30, "tag": "y"}"""),
+      "json", dir, "d")
+    assert(v1 === 1)
+    val v2 = ProfileJob.recalculate(spark, dir, "d")
+    assert(v2 === 2)
+    assert(ProfileJob.latestVersion(spark, dir, "d") === 2)
+    val back = ProfileJob.readFields(spark, dir, "d", 2)
+      .collect().map(p => p.fieldPath -> p).toMap
+    // sample-derived metrics (quality_analyzer.analyze_field semantics):
+    // counts/distinct over the STORED samples, pandas-parity numeric stats
+    val score = back("score")
+    assert(score.totalCount === 3L) // 3 unique samples retained
+    assert(score.distinctCount === 3L)
+    assert(score.cardinalityRatio === 1.0)
+    assert(score.minValue.contains(10.0) && score.maxValue.contains(30.0))
+    assert(score.meanValue.contains(20.0) && score.medianValue.contains(20.0))
+    assert(score.stdDev.exists(s => math.abs(s - 10.0) < 1e-9)) // ddof=1
+    val tag = back("tag")
+    assert(tag.totalCount === 2L) // samples are first-seen UNIQUE values
+    assert(tag.distinctCount === 2L)
+    assert(tag.minValue.isEmpty) // string field: no numeric stats
+  }
 }

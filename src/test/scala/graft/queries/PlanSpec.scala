@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Physical-plan regression gates — the `.explain`-and-iterate discipline
+  * as assertions, so a future change that silently drops a pushdown,
+  * broadcast or codegen span fails CI instead of shipping a slow plan.
+  * Plans are inspected AFTER execution (AQE final plan, `*(n)` codegen
+  * markers); the "== Initial Plan ==" tail that AQE repeats is cut so
+  * exchange counts are not double-counted.
+  */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  private def scanLine(p: String, table: String): String =
+    p.linesIterator
+      .find(l => l.contains("FileScan parquet") && l.contains(table))
+      .getOrElse(fail(s"no parquet scan of $table in:\n$p"))
+
+  test("q01: lineitem scan prunes to the five needed columns") {
+    val scan = scanLine(finalPlan(Queries.q01PricingSummary(spark, dir)),
+      "lineitem")
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_returnflag",
+      "l_linestatus").foreach(c => assert(scan.contains(c), c))
+    assert(!scan.contains("l_orderkey"), "unused column read")
+  }
+
+  test("q02: every dimension join broadcasts; fact scan pruned and pushed") {
+    val p = finalPlan(Queries.q02RevenueByNation(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "dimension join fell back to SMJ")
+    val fact = scanLine(p, "lineitem")
+    assert(fact.contains("PushedFilters: [IsNotNull(l_orderkey)]"))
+    assert(!fact.contains("l_quantity"), "unused column read")
+  }
+
+  test("q22 profiler: ONE wide shuffle (the fieldPath agg), join-free") {
+    val p = finalPlan(ProfileQueries.q22ProfileJson(spark, dir))
+    val hashExchanges = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 1,
+      s"profiler should shuffle once (the fieldPath agg), saw $hashExchanges")
+    assert(!p.contains("Join"), "profiler plan must be join-free")
+  }
+
+  test("q24 scrubber: the custom Expression runs inside whole-stage codegen") {
+    val p = finalPlan(ProfileQueries.q24PiiScrub(spark, dir))
+    val scrubLine = p.linesIterator.find(_.contains("scrub_pii("))
+      .getOrElse(fail("scrub_pii not in plan"))
+    assert(scrubLine.contains("*("),
+      s"scrub projection not codegen'd: $scrubLine")
+    assert(!p.contains("EvalPython") && !p.contains("BatchEval"))
+  }
+
+  test("q15's hot-shingle filter stage is a broadcast anti-join") {
+    // inspected on the uncached stage (inside q15 it sits behind a cache,
+    // whose InMemoryRelation hides the subtree from the outer plan string)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val tok = TrainingOps.shingleTokens(TrainingOps.shingleSets(docs),
+      TrainingOps.ShingleDfCap)
+    // static plan: at this SF no shingle is hot, so AQE's
+    // propagate-empty-relation rewrite ELIMINATES the anti-join at
+    // runtime (zero cost when the cap never fires — itself the desired
+    // adaptive behavior, asserted below)
+    val static = tok.queryExecution.executedPlan.toString
+    assert(static.contains("LeftAnti"), "DF cap should be an anti-join")
+    assert(static.linesIterator.filter(_.contains("LeftAnti"))
+      .forall(_.contains("Broadcast")), "anti-join should broadcast")
+    val runtime = finalPlan(tok)
+    assert(!runtime.contains("LeftAnti"),
+      "empty hot set should be adaptively eliminated")
+  }
+
+  test("q29: annotation join broadcasts the annotation side") {
+    val p = finalPlan(ProfileQueries.q29AnnotatedFields(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("LeftOuter, BuildRight"),
+      "annotation side should be the broadcast build side")
+    assert(!p.contains("SortMergeJoin"))
+  }
+}
