@@ -1,0 +1,33 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed quality metrics with a watermark — the streaming
+  * rollup over a verdict stream (SURVEY.md §2.10). The watermark is what
+  * makes this run forever at ingest scale: windows older than
+  * (max event time − delay) close, emit exactly once in append mode, and
+  * their aggregation state is EVICTED — without it a per-window groupBy
+  * on an unbounded stream grows state monotonically. Late rows behind
+  * the watermark are dropped, matching at-most-once lateness semantics.
+  */
+object StreamingWindowedMetrics {
+
+  /** Per (event-time window, lang) keep/drop counts over a (possibly
+    * streaming) verdict frame carrying `eventCol` (timestamp), `lang`
+    * and `keep` columns.
+    */
+  def windowedMetrics(verdicts: DataFrame, eventCol: String,
+      watermarkDelay: String, windowLen: String): DataFrame =
+    verdicts
+      .withWatermark(eventCol, watermarkDelay)
+      .groupBy(window(col(eventCol), windowLen), col("lang"))
+      .agg(
+        count(lit(1)).as("rows_in"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("rows_kept"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("rows_dropped"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("lang"), col("rows_in"), col("rows_kept"), col("rows_dropped"))
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** Watermarked windowed aggregation semantics: windows close and emit
+  * once the watermark passes their end; rows later than the watermark
+  * are dropped; state does not accumulate for closed windows.
+  */
+class StreamingWindowedMetricsSpec extends SparkSpec {
+
+  private def ts(minute: Int) = Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("windows emit on watermark passage; late rows are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Boolean)]
+    val verdicts = in.toDF().toDF("event_ts", "lang", "keep")
+
+    val agg = StreamingWindowedMetrics.windowedMetrics(
+      verdicts, "event_ts", "10 minutes", "5 minutes")
+    val q = agg.writeStream
+      .format("memory").queryName("wm_out")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // batch 1: two windows' worth of events, nothing can emit yet
+      in.addData(
+        (ts(0), "scala", true), (ts(1), "scala", false),
+        (ts(2), "python", true), (ts(6), "scala", true))
+      q.processAllAvailable()
+      assert(spark.table("wm_out").count() === 0,
+        "no window may close before the watermark passes it")
+
+      // batch 2: event at 10:30 → watermark 10:20 → windows [10:00,10:05)
+      // and [10:05,10:10) close and emit
+      in.addData((ts(30), "scala", true))
+      q.processAllAvailable()
+      val out1 = spark.table("wm_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(out1 === Set(
+        ("2024-01-01 10:00:00.0", "scala", 2L, 1L, 1L),
+        ("2024-01-01 10:00:00.0", "python", 1L, 1L, 0L),
+        ("2024-01-01 10:05:00.0", "scala", 1L, 1L, 0L)))
+
+      // batch 3: a row at 10:01 is 19 minutes behind the watermark —
+      // dropped, its closed window is NOT re-emitted or updated
+      in.addData((ts(1), "scala", true))
+      q.processAllAvailable()
+      assert(spark.table("wm_out").count() === out1.size,
+        "late row behind the watermark must be dropped")
+    } finally q.stop()
+  }
+}
