@@ -1,0 +1,110 @@
+package graft.multimodal
+
+import java.io.ByteArrayInputStream
+
+/** Real media decoding on the pure JDK — `javax.imageio` (PNG/BMP/GIF/
+  * JPEG) and `javax.sound.sampled` (WAV/PCM) ship with Java 17, so image
+  * and audio decode need no external libraries. Video remains the one
+  * genuinely stubbed modality (the JDK has no video codec).
+  *
+  * All entry points are total: malformed/unknown bytes return None and
+  * the caller falls back to the deterministic byte-level path, so a
+  * corrupt payload can never fail a task (same containment philosophy as
+  * the SQLite scan).
+  */
+object MediaCodec {
+
+  final case class DecodedImage(width: Int, height: Int,
+      meanR: Double, meanG: Double, meanB: Double)
+
+  final case class DecodedAudio(channels: Int, sampleRate: Double,
+      nFrames: Long, rms: Double, meanAbs: Double)
+
+  /** Cheap container sniff from magic bytes (dispatch before the heavier
+    * decode; mirrors the reference's format-sniff pattern).
+    */
+  def sniff(bytes: Array[Byte]): Option[String] = {
+    def at(i: Int) = if (i < bytes.length) bytes(i) & 0xFF else -1
+    if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G')
+      Some("png")
+    else if (at(0) == 'B' && at(1) == 'M') Some("bmp")
+    else if (at(0) == 0xFF && at(1) == 0xD8) Some("jpeg")
+    else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F') Some("gif")
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+      at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E')
+      Some("wav")
+    else None
+  }
+
+  /** Decode an image payload to dimensions + per-channel means. */
+  def decodeImage(bytes: Array[Byte]): Option[DecodedImage] =
+    try {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (r, g, b) = (0.0, 0.0, 0.0)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; b += p & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble
+        Some(DecodedImage(w, h, r / n, g / n, b / n))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decode a WAV payload to stream stats (PCM 8/16-bit). */
+  def decodeAudio(bytes: Array[Byte]): Option[DecodedAudio] =
+    try {
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      val data = in.readAllBytes()
+      val bps = fmt.getSampleSizeInBits
+      val n = data.length / (bps / 8)
+      var (sumSq, sumAbs) = (0.0, 0.0)
+      var i = 0
+      while (i < n) {
+        val v =
+          if (bps == 16) {
+            val lo = data(2 * i) & 0xFF
+            val hi = data(2 * i + 1).toInt
+            val s = if (fmt.isBigEndian) (data(2 * i).toInt << 8) | (data(2 * i + 1) & 0xFF)
+                    else (hi << 8) | lo
+            s.toShort.toDouble / 32768.0
+          } else (data(i) & 0xFF).toDouble / 255.0 * 2 - 1 // 8-bit unsigned
+        sumSq += v * v; sumAbs += math.abs(v)
+        i += 1
+      }
+      val frames = n.toLong / math.max(fmt.getChannels, 1)
+      Some(DecodedAudio(fmt.getChannels, fmt.getSampleRate.toDouble, frames,
+        if (n > 0) math.sqrt(sumSq / n) else 0.0,
+        if (n > 0) sumAbs / n else 0.0))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Real image resize (nearest-neighbour via Graphics2D) re-encoded as
+    * PNG. None when the payload is not a decodable image.
+    */
+  def resizeImage(bytes: Array[Byte], targetW: Int,
+      targetH: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(targetW, targetH,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.drawImage(img, 0, 0, targetW, targetH, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+}

@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * inside `mapPartitions` (the Scala analogue of `mapInPandas` — same
   * batch shape, same schema contract).
   *
-  * The actual media decoder is STUBBED ([[FakeDecoder]]): no image/audio
-  * libraries exist in this sandbox, so the decode step is a deterministic
-  * byte-level fake. Everything around it — schema, batching, partitioning,
-  * feature shape — is the real plumbing a production decoder drops into.
+  * Decoding is REAL for images (PNG/BMP/GIF/JPEG via the JDK's
+  * `javax.imageio`) and audio (WAV/PCM via `javax.sound.sampled`) — see
+  * [[MediaCodec]]; unknown or undecodable payloads fall back to a
+  * deterministic byte-level feature ([[decodeBatchStub]]), so a corrupt
+  * payload never fails a task. Video decode remains the one honest stub
+  * (the JDK ships no video codec); its frame-sampling plumbing is real.
   */
 object Multimodal {
 
@@ -32,12 +34,9 @@ object Multimodal {
   val FeatureDim = 8
   val BatchSize = 64
 
-  /** STUB decoder — stands in for the real image/audio decode +
-    * feature-extract. Deterministic: features are scaled sums over
-    * byte stripes, so tests are reproducible. A real implementation
-    * replaces only this function (signature: one batch in, one batch of
-    * fixed-dim features out — exactly the Arrow-batch contract of
-    * `mapInPandas`).
+  /** Byte-stripe fallback feature — deterministic, total, format-blind;
+    * used when a payload is neither a decodable image nor audio (videos,
+    * corrupt bytes, and the synthetic text payloads of q21).
     */
   def decodeBatchStub(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { r =>
@@ -48,6 +47,36 @@ object Multimodal {
         i += 1
       }
       MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong, f)
+    }
+
+  /** REAL batched decode + feature-extract: images → [w, h, meanR, meanG,
+    * meanB, aspect, 1, 0] (channel means 0-1); audio → [channels,
+    * kHz, frames, rms, meanAbs, 2, 0, 0]; everything else → the
+    * byte-stripe fallback. One batch in, one fixed-dim batch out — the
+    * Arrow-batch contract of `mapInPandas`.
+    */
+  def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
+    batch.map { r =>
+      val decoded = MediaCodec.sniff(r.payload) match {
+        case Some("wav") =>
+          MediaCodec.decodeAudio(r.payload).map { a =>
+            Array[Float](a.channels.toFloat, (a.sampleRate / 1000.0).toFloat,
+              a.nFrames.toFloat, a.rms.toFloat, a.meanAbs.toFloat, 2f, 0f, 0f)
+          }
+        case Some(_) =>
+          MediaCodec.decodeImage(r.payload).map { im =>
+            Array[Float](im.width.toFloat, im.height.toFloat,
+              (im.meanR / 255.0).toFloat, (im.meanG / 255.0).toFloat,
+              (im.meanB / 255.0).toFloat,
+              im.width.toFloat / im.height.toFloat, 1f, 0f)
+          }
+        case None => None
+      }
+      decoded match {
+        case Some(f) =>
+          MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong, f)
+        case None => decodeBatchStub(Seq(r)).head
+      }
     }
 
   /** Wrap the documents table as a media table: deterministic fake
@@ -73,14 +102,31 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      it.grouped(BatchSize).flatMap(b => decodeBatchStub(b.toSeq))
+      it.grouped(BatchSize).flatMap(b => decodeBatch(b.toSeq))
     }
   }
 
-  /** STUB resize — stands in for image resize: deterministic stride
-    * down-sample of the payload to `targetBytes` (a real implementation
-    * swaps in an image decode→scale→encode with the same one-batch-in,
-    * one-batch-out contract). No-op when already small enough.
+  /** Real image resize over the binary column: decodable images go
+    * through decode→scale→re-encode ([[MediaCodec.resizeImage]]); other
+    * payloads keep their bytes. Metadata records the transformation.
+    */
+  def resizeImages(media: Dataset[MediaRecord], targetW: Int,
+      targetH: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(BatchSize).flatMap(_.map { r =>
+      MediaCodec.resizeImage(r.payload, targetW, targetH) match {
+        case Some(resized) =>
+          r.copy(payload = resized,
+            meta = r.meta + ("resized_to" -> s"${targetW}x$targetH"))
+        case None => r
+      }
+    }))
+  }
+
+  /** STUB resize — byte-level stride down-sample to `targetBytes` for
+    * non-image payloads (a video implementation swaps in decode→scale→
+    * encode with the same one-batch-in, one-batch-out contract). No-op
+    * when already small enough.
     */
   def resizeBatchStub(batch: Seq[MediaRecord], targetBytes: Int): Seq[MediaRecord] =
     batch.map { r =>

@@ -1,0 +1,100 @@
+package graft.multimodal
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import graft.SparkSpec
+
+/** Real media decode on real payloads: PNG/BMP images and PCM WAV
+  * generated with the JDK's own encoders, pushed through the binary
+  * column → batched decode → features pipeline, plus the real image
+  * resize. Junk payloads fall back to the byte-stripe feature.
+  */
+class MediaCodecSpec extends SparkSpec {
+
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def bmp(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  private def wav(nFrames: Int, rate: Float, amplitude: Short): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val data = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val v: Short = if (i % 2 == 0) amplitude else (-amplitude).toShort
+      data(2 * i) = (v & 0xFF).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("sniff recognizes the JDK-written containers") {
+    assert(MediaCodec.sniff(png(2, 2, 0xFF0000)).contains("png"))
+    assert(MediaCodec.sniff(bmp(2, 2, 0x00FF00)).contains("bmp"))
+    assert(MediaCodec.sniff(wav(4, 8000f, 1000)).contains("wav"))
+    assert(MediaCodec.sniff("just text".getBytes).isEmpty)
+  }
+
+  test("image decode recovers dimensions and channel means (png + bmp)") {
+    for (bytes <- Seq(png(8, 4, 0xFF0000), bmp(8, 4, 0xFF0000))) {
+      val im = MediaCodec.decodeImage(bytes).get
+      assert(im.width === 8 && im.height === 4)
+      assert(im.meanR === 255.0 && im.meanG === 0.0 && im.meanB === 0.0)
+    }
+  }
+
+  test("audio decode recovers format and signal stats") {
+    val a = MediaCodec.decodeAudio(wav(1000, 16000f, 16384)).get
+    assert(a.channels === 1)
+    assert(a.sampleRate === 16000.0)
+    assert(a.nFrames === 1000L)
+    // square wave at |16384|/32768 = 0.5 → rms = meanAbs = 0.5
+    assert(math.abs(a.rms - 0.5) < 1e-3, a.rms)
+    assert(math.abs(a.meanAbs - 0.5) < 1e-3)
+  }
+
+  test("real image resize re-encodes at the target dimensions") {
+    val out = MediaCodec.resizeImage(png(16, 16, 0x0000FF), 4, 2).get
+    val back = MediaCodec.decodeImage(out).get
+    assert(back.width === 4 && back.height === 2)
+    assert(back.meanB === 255.0) // solid color survives the scale
+  }
+
+  test("the Spark pipeline mixes real and fallback decodes per payload") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", png(8, 4, 0x00FF00), Map()),
+      Multimodal.MediaRecord(2L, "audio", wav(500, 8000f, 16384), Map()),
+      Multimodal.MediaRecord(3L, "video", "not media".getBytes, Map()))
+      .toDS()
+    val f = Multimodal.extractFeatures(media).collect()
+      .map(x => x.media_id -> x.feature).toMap
+    assert(f(1L)(0) === 8f && f(1L)(1) === 4f) // real dims
+    assert(f(1L)(3) === 1f && f(1L)(2) === 0f) // mean G channel
+    assert(f(2L)(0) === 1f && f(2L)(1) === 8f) // 1 channel, 8 kHz
+    assert(math.abs(f(2L)(3) - 0.5f) < 1e-3) // real rms
+    assert(f(3L).sum > 0f) // fallback stripe feature fired
+
+    val resized = Multimodal.resizeImages(media, 4, 2).collect()
+      .map(r => r.media_id -> r).toMap
+    assert(MediaCodec.decodeImage(resized(1L).payload).get.width === 4)
+    assert(resized(1L).meta("resized_to") === "4x2")
+    assert(resized(3L).meta.get("resized_to").isEmpty) // non-image untouched
+  }
+}
