@@ -40,7 +40,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // queries that cache intermediates (dedup/ANN family) must not
+      // accumulate blocks across the suite — each query starts cold
+      spark.catalog.clearCache()
+      name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -59,19 +59,22 @@ object Exports {
     * Description comes from the latest annotation when one exists
     * (J3/W2), else the deterministic fallback.
     */
+  /** The exact 8-column sheet projection (`excel_exporter.py:58-67`). */
+  private val sheetColumns: Seq[Column] = Seq(
+    col("fieldPath").as("Field Path"),
+    col("dataType").as("Data Type"),
+    coalesce(col("semanticType"), lit("")).as("Semantic Type"),
+    col("description").as("Description"),
+    concat_ws(", ", slice(col("sampleValues"), 1, 5)).as("Sample Values"),
+    concat(format_number(col("nullPercentage"), 1), lit("%")).as("Null %"),
+    col("distinctCount").as("Cardinality"),
+    when(col("isPii"), "Yes").otherwise("No").as("PII Flag"))
+
   def dataDictionarySheet(profiles: Dataset[FieldProfile],
       annotations: Option[DataFrame] = None): DataFrame =
     annotated(profiles.toDF(), annotations)
       .orderBy(col("position"))
-      .select(
-        col("fieldPath").as("Field Path"),
-        col("dataType").as("Data Type"),
-        coalesce(col("semanticType"), lit("")).as("Semantic Type"),
-        col("description").as("Description"),
-        concat_ws(", ", slice(col("sampleValues"), 1, 5)).as("Sample Values"),
-        concat(format_number(col("nullPercentage"), 1), lit("%")).as("Null %"),
-        col("distinctCount").as("Cardinality"),
-        when(col("isPii"), "Yes").otherwise("No").as("PII Flag"))
+      .select(sheetColumns: _*)
 
   /** E2 — the "Metadata" sheet key-values (`excel_exporter.py:277-310`):
     * a small summary map computed from the profile set.
@@ -106,13 +109,17 @@ object Exports {
       sheetName: String,
       annotations: Option[DataFrame] = None): Xlsx.Sheet = {
     import Xlsx.{Cell, Sheet}
-    val proj = dataDictionarySheet(profiles, annotations)
-    val nullPcts = annotated(profiles.toDF(), annotations)
+    // one pass: the raw null % rides along as a 9th column (needed for
+    // the fill rule, dropped from the rendered cells)
+    val projWithNull = annotated(profiles.toDF(), annotations)
       .orderBy(col("position"))
-      .select(col("nullPercentage")).collect().map(_.getDouble(0))
-    val header = proj.columns.map(h => Cell(h, Xlsx.StyleHeader)).toSeq
-    val dataRows = proj.collect().zipWithIndex.map { case (row, idx) =>
-      val vals = row.toSeq.map(v => if (v == null) "" else v.toString)
+      .select(sheetColumns :+ col("nullPercentage"): _*)
+    val collected = projWithNull.collect()
+    val nullPcts = collected.map(_.getDouble(8))
+    val header = projWithNull.columns.dropRight(1)
+      .map(h => Cell(h, Xlsx.StyleHeader)).toSeq
+    val dataRows = collected.zipWithIndex.map { case (row, idx) =>
+      val vals = row.toSeq.dropRight(1).map(v => if (v == null) "" else v.toString)
       val isPii = vals.last == "Yes"
       val zebra = if (idx % 2 == 0) Xlsx.StyleRowEven else Xlsx.StyleRowOdd
       vals.zipWithIndex.map { case (v, c) =>
@@ -148,14 +155,37 @@ object Exports {
   }
 
   /** Excel sheet-name rules (`excel_exporter.py:413-443`): strip
-    * `\\ / ? * [ ]`, truncate to 31 chars (28 + "_idx" when long),
-    * fall back to "Dictionary_idx" when empty.
+    * `\\ / ? * [ ]`, truncate to 31 chars (suffixing "_idx", sized so the
+    * cap holds at any idx), fall back to "Dictionary_idx" when empty.
     */
   def sanitizeSheetName(name: String, idx: Int): String = {
     val cleaned = name.map(c => if ("\\/?*[]".contains(c)) '_' else c)
+    val suffix = s"_$idx"
     val sized =
-      if (cleaned.length > 31) cleaned.take(28) + s"_$idx" else cleaned
+      if (cleaned.length > 31) cleaned.take(31 - suffix.length) + suffix
+      else cleaned
     if (sized.isEmpty) s"Dictionary_$idx" else sized
+  }
+
+  /** Sanitized AND unique sheet names for a batch (Excel rejects
+    * duplicate sheet names): collisions get the "_idx" suffix, re-capped
+    * at 31 chars.
+    */
+  def sanitizeSheetNames(names: Seq[String]): Seq[String] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    names.zipWithIndex.map { case (n, i) =>
+      val idx = i + 1
+      val base = sanitizeSheetName(n, idx)
+      var k = idx
+      var unique = base
+      while (used.contains(unique)) {
+        val suffix = s"_$k"
+        unique = base.take(31 - suffix.length) + suffix
+        k += 1
+      }
+      used += unique
+      unique
+    }
   }
 
   /** One dictionary's worth of batch-export input (E5). */
@@ -175,26 +205,26 @@ object Exports {
     require(dicts.nonEmpty, "At least one dictionary is required")
     val headers = Seq("Dictionary Name", "Version", "Total Fields",
       "Records Analyzed", "Created At", "Sheet Name")
+    val sheetNames = sanitizeSheetNames(dicts.map(_.name))
     val summaryRows =
       Seq(Seq(Cell("Batch Export Summary", Xlsx.StyleTitle)),
         Seq(Cell(s"Export Date: $exportedAt")),
         Seq(Cell(s"Total Dictionaries: ${dicts.size}", Xlsx.StyleBold)),
         Seq.empty[Cell],
         headers.map(h => Cell(h, Xlsx.StyleHeader))) ++
-        dicts.zipWithIndex.map { case (d, i) =>
-          val idx = i + 1
+        dicts.zip(sheetNames).zipWithIndex.map { case ((d, nm), i) =>
           // reference zebra keys on the absolute sheet row (row 6 = first)
           val zebra =
-            if ((5 + idx) % 2 == 0) Xlsx.StyleRowEven else Xlsx.StyleRowOdd
+            if ((6 + i) % 2 == 0) Xlsx.StyleRowEven else Xlsx.StyleRowOdd
           Seq(d.name, s"v${d.versionNumber}", d.profiles.count().toString,
             d.recordsAnalyzed.map(_.toString).getOrElse("N/A"),
-            d.createdAt, sanitizeSheetName(d.name, idx))
+            d.createdAt, nm)
             .map(Cell(_, zebra))
         }
     val summary = Sheet("Summary", summaryRows,
       colWidths = Seq(35, 10, 12, 18, 22, 31))
-    val dataSheets = dicts.zipWithIndex.map { case (d, i) =>
-      dictionarySheet(d.profiles, sanitizeSheetName(d.name, i + 1))
+    val dataSheets = dicts.zip(sheetNames).map { case (d, nm) =>
+      dictionarySheet(d.profiles, nm)
     }
     Xlsx.write(path, summary +: dataSheets)
   }

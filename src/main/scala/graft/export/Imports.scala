@@ -43,31 +43,12 @@ object Imports {
     */
   def importXlsx(spark: SparkSession,
       path: String): (DataFrame, Map[String, String]) = {
-    import spark.implicits._
     val sheets = Xlsx.read(path).toMap
     val dd = sheets.getOrElse("Data Dictionary",
       throw new IllegalArgumentException("no 'Data Dictionary' sheet"))
-    val header = dd.head
-    val rows = dd.tail.map(r => r.padTo(header.size, ""))
-    val df = rows.map {
-      case Seq(fp, dt, st, desc, sv, np, card, pii, _*) =>
-        (fp, dt, st, desc, sv, np, card, pii)
-    }.toDF(header: _*)
-    val fields = df.select(
-      col("Field Path").as("fieldPath"),
-      col("Data Type").as("dataType"),
-      when(col("Semantic Type") === "", null)
-        .otherwise(col("Semantic Type")).as("semanticType"),
-      col("Description").as("description"),
-      when(col("Sample Values") === "", array().cast("array<string>"))
-        .otherwise(split(col("Sample Values"), ", ")).as("sampleValues"),
-      regexp_replace(col("Null %"), "%$", "").cast("double")
-        .as("nullPercentage"),
-      col("Cardinality").cast("long").as("distinctCount"),
-      (col("PII Flag") === "Yes").as("isPii"))
     val meta = sheets.getOrElse("Metadata", Nil)
       .collect { case row if row.size >= 2 => row(0) -> row(1) }.toMap
-    (fields, meta)
+    (parseSheet(spark, dd), meta)
   }
 
   /** Parse one data-dictionary sheet (header + rows, as written by

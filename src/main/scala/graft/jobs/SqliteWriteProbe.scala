@@ -1,0 +1,41 @@
+package graft.jobs
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.SqliteWrite
+
+/** Writes probe databases with [[SqliteWrite]] for external validation by
+  * the REAL sqlite3 (`tools/check_sqlite_write.py`: PRAGMA
+  * integrity_check + exact content compare). This is what backs the
+  * claim that the writer emits genuinely valid SQLite files — the
+  * in-repo SqliteWriteSpec round-trips through our own reader, which
+  * alone could hide a compensating format bug.
+  *
+  * Run: sbt -batch "runMain graft.jobs.SqliteWriteProbe <outDir>"
+  *      python3 tools/check_sqlite_write.py <outDir>
+  */
+object SqliteWriteProbe {
+
+  val Ddl = "CREATE TABLE t (id INTEGER PRIMARY KEY, name TEXT, " +
+    "score REAL, n INT, note TEXT)"
+
+  def rows(n: Int): Seq[(Long, Seq[Any])] =
+    (1 to n).map { i =>
+      val note: Any = if (i % 7 == 0) null else s"note-$i-" + "y" * (i % 40)
+      (i.toLong,
+        Seq[Any](null, s"name $i", i * 0.25, i.toLong * 1000003L, note))
+    }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = if (args.nonEmpty) args(0) else "/tmp/graft_sqlite_probe"
+    Files.createDirectories(Paths.get(outDir))
+    // single leaf, multi-leaf (interior root), and an empty table
+    Files.write(Paths.get(s"$outDir/single.db"),
+      SqliteWrite.database("t", Ddl, rows(20)))
+    Files.write(Paths.get(s"$outDir/multi.db"),
+      SqliteWrite.database("t", Ddl, rows(600)))
+    Files.write(Paths.get(s"$outDir/empty.db"),
+      SqliteWrite.database("t", Ddl, Seq.empty))
+    println(s"""{"probe_dir":"$outDir","files":["single.db","multi.db","empty.db"]}""")
+  }
+}

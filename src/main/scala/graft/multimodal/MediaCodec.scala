@@ -59,12 +59,23 @@ object MediaCodec {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Decode a WAV payload to stream stats (PCM 8/16-bit). */
+  /** Decode a WAV payload to stream stats. ONLY 16-bit signed and 8-bit
+    * unsigned PCM are interpreted; any other depth/encoding (24/32-bit,
+    * float, A-law…) returns None so the caller's deterministic fallback
+    * fires — never misread bytes as samples.
+    */
   def decodeAudio(bytes: Array[Byte]): Option[DecodedAudio] =
     try {
+      import javax.sound.sampled.AudioFormat.Encoding
       val in = javax.sound.sampled.AudioSystem
         .getAudioInputStream(new ByteArrayInputStream(bytes))
       val fmt = in.getFormat
+      val supported =
+        (fmt.getSampleSizeInBits == 16 &&
+          fmt.getEncoding == Encoding.PCM_SIGNED) ||
+        (fmt.getSampleSizeInBits == 8 &&
+          fmt.getEncoding == Encoding.PCM_UNSIGNED)
+      if (!supported) return None
       val data = in.readAllBytes()
       val bps = fmt.getSampleSizeInBits
       val n = data.length / (bps / 8)

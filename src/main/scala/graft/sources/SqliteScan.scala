@@ -179,12 +179,21 @@ object SqliteScan {
     out.result()
   }
 
-  /** Distributed form: profile a binary column of .db files. */
+  /** Distributed form: profile a binary column of .db files. FILE-level
+    * containment on top of the per-table containment inside
+    * [[profileBytes]]: an unreadable file (corrupt header, unsupported
+    * UTF-16 encoding) contributes zero rows instead of failing the task —
+    * with millions of .db files, one bad input must never abort the job
+    * (the reference's per-file try/except, `sqlite_parser.py:223-232`).
+    */
   def fieldProfiles(spark: SparkSession, df: DataFrame,
       binCol: String): Dataset[FieldProfile] = {
     import spark.implicits._
     df.select(col(binCol)).as[Array[Byte]]
-      .flatMap(b => profileBytes(b).map(_.profile))
+      .flatMap { b =>
+        try profileBytes(b).map(_.profile)
+        catch { case scala.util.control.NonFatal(_) => Nil }
+      }
   }
 
   // ---- S17: GeoPackage (geopackage_parser.py:41-363) ----

@@ -116,15 +116,17 @@ object SqliteWrite {
     }
     leaves += cur.toSeq
 
-    val lastRowids = {
-      var idx = -1
-      leaves.map { l => idx += l.size; rows(idx)._1 }
-    }
-    // page numbering: 1 = master, then table pages
+    // page numbering: 1 = master, then table pages. An empty row seq
+    // writes a valid zero-cell leaf (an empty table, like sqlite3 does).
     val (rootPage, tablePages: Seq[Array[Byte]]) =
       if (leaves.size == 1) (2, Seq(page(13, leaves.head)))
       else {
-        // interior root at page 2, leaves at 3..
+        // interior root at page 2, leaves at 3..; interior keys are the
+        // largest rowid of each left child
+        val lastRowids = {
+          var idx = -1
+          leaves.map { l => idx += l.size; rows(idx)._1 }
+        }
         val leafPages = leaves.map(l => page(13, l)).toSeq
         val interiorCells = leaves.indices.dropRight(1).map { i =>
           be(3 + i, 4) ++ varint(lastRowids(i))

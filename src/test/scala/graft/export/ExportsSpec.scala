@@ -180,6 +180,27 @@ class ExportsSpec extends SparkSpec {
     assert(users.size === 6) // header + 5 fields
   }
 
+  test("sheet names are unique and capped at 31 chars in all cases") {
+    // duplicates pick up distinct suffixes
+    val dup = Exports.sanitizeSheetNames(Seq("users", "users", "users"))
+    assert(dup.distinct.size === 3 && dup.head === "users")
+    // long names stay <= 31 even at multi-digit indices
+    val long = Seq.fill(12)("x" * 40)
+    val names = Exports.sanitizeSheetNames(long)
+    assert(names.distinct.size === 12)
+    assert(names.forall(n => n.length <= 31 && !n.exists("\\/?*[]".contains(_))))
+    // a batch with duplicate dictionary names still round-trips both
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_dupsheet")
+    val path = base.resolve("dup.xlsx").toString
+    Exports.batchExportXlsx(Seq(
+      Exports.BatchEntry("same", 1, "2024-01-01", None, profiles),
+      Exports.BatchEntry("same", 1, "2024-01-02", None, profiles)),
+      path, "2024-03-01")
+    val sheets = Xlsx.read(path).map(_._1)
+    assert(sheets.size === 3 && sheets.distinct.size === 3)
+  }
+
   test("batch export -> importWorkbook round-trips every dictionary") {
     import java.nio.file.Files
     val base = Files.createTempDirectory("graft_batchrt")

@@ -69,6 +69,16 @@ class MediaCodecSpec extends SparkSpec {
     assert(math.abs(a.meanAbs - 0.5) < 1e-3)
   }
 
+  test("unsupported sample depths return None, never misread bytes") {
+    // patch the fmt chunk of a valid 16-bit PCM WAV to claim 24 bits:
+    // the guard must refuse rather than interpret bytes as 8-bit samples
+    val bytes = wav(100, 8000f, 1000)
+    val fmtPos = bytes.indexOfSlice("fmt ".getBytes)
+    assert(fmtPos > 0)
+    bytes(fmtPos + 22) = 24 // bits-per-sample (LE u16 low byte)
+    assert(MediaCodec.decodeAudio(bytes).isEmpty)
+  }
+
   test("real image resize re-encodes at the target dimensions") {
     val out = MediaCodec.resizeImage(png(16, 16, 0x0000FF), 4, 2).get
     val back = MediaCodec.decodeImage(out).get

@@ -43,6 +43,19 @@ class SqliteRobustnessSpec extends AnyFunSuite {
     assert(e.getMessage.contains("text encoding"))
   }
 
+  test("distributed scan contains bad FILES: one corrupt db never fails the job") {
+    val spark = graft.SparkSpec.session
+    import spark.implicits._
+    val utf16 = edge.clone(); utf16(59) = 2
+    val corruptHeader = "not a database at all".getBytes
+    val good = edge
+    val df = Seq(good, utf16, corruptHeader).toDF("db")
+    val out = SqliteScan.fieldProfiles(spark, df, "db").collect()
+    // only the good file contributes rows; the bad ones are skipped
+    assert(out.length === SqliteScan.profileBytes(good).size)
+    assert(out.forall(_.parentPath === "edge"))
+  }
+
   test("corrupt table pages degrade to DDL-only metadata, zero counts") {
     // truncate after the first page: the catalog (page 1) survives, table
     // B-trees point past the end -> per-table containment kicks in

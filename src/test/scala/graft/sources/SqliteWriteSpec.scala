@@ -55,6 +55,14 @@ class SqliteWriteSpec extends AnyFunSuite {
     assert(bytes.length > 3 * SqliteWrite.PageSize)
   }
 
+  test("empty row seq writes a valid empty-table database") {
+    val bytes = SqliteWrite.database("t", ddl, Seq.empty)
+    val db = SqliteFile.open(bytes)
+    val t = SqliteFile.tables(db).head
+    assert(t.columns.size === 5)
+    assert(SqliteFile.rows(db, t).isEmpty)
+  }
+
   test("written files profile through the standard scan") {
     val bytes = SqliteWrite.database("t", ddl, mkRows(50))
     val byPath = SqliteScan.profileBytes(bytes)

@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Validate graft.sources.SqliteWrite output with the REAL sqlite3.
+
+Usage:  sbt -batch "runMain graft.jobs.SqliteWriteProbe /tmp/graft_sqlite_probe"
+        python3 tools/check_sqlite_write.py /tmp/graft_sqlite_probe
+
+Checks every probe file passes PRAGMA integrity_check and that row
+contents match the generator exactly (same formulas as SqliteWriteProbe).
+"""
+import sqlite3
+import sys
+from pathlib import Path
+
+
+def expected_rows(n):
+    out = []
+    for i in range(1, n + 1):
+        note = None if i % 7 == 0 else f"note-{i}-" + "y" * (i % 40)
+        out.append((i, f"name {i}", i * 0.25, i * 1000003, note))
+    return out
+
+
+def check(path, n):
+    con = sqlite3.connect(path)
+    c = con.cursor()
+    ok = c.execute("PRAGMA integrity_check").fetchall()
+    assert ok == [("ok",)], f"{path}: integrity_check -> {ok}"
+    rows = c.execute("SELECT id, name, score, n, note FROM t ORDER BY id").fetchall()
+    exp = expected_rows(n)
+    assert rows == exp, (
+        f"{path}: content mismatch ({len(rows)} vs {len(exp)} rows; "
+        f"first diff: {next(((a, b) for a, b in zip(rows, exp) if a != b), None)})")
+    cols = [r[1] for r in c.execute("PRAGMA table_info(t)").fetchall()]
+    assert cols == ["id", "name", "score", "n", "note"], f"{path}: {cols}"
+    con.close()
+    print(f"{path}: OK ({n} rows, integrity ok)")
+
+
+def main(probe_dir):
+    d = Path(probe_dir)
+    check(d / "single.db", 20)
+    check(d / "multi.db", 600)
+    check(d / "empty.db", 0)
+    print("ALL OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sqlite_probe"))
