@@ -1,0 +1,89 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.jobs.ProfileJob
+
+/** Catalog admin surface: stats, the commit-protocol health check,
+  * backup and clear.
+  */
+class CatalogAdminSpec extends SparkSpec {
+
+  private def seed(outDir: String): Unit = {
+    import spark.implicits._
+    ProfileJob.run(spark,
+      Seq("""{"id": 1, "name": "a"}""", """{"id": 2, "name": "b"}""")
+        .toDF("json"),
+      "json", outDir, "users")
+    Annotations.append(spark, outDir, Seq(
+      ("users", 1, "name", "a1", "the name", "Name", false,
+        null.asInstanceOf[String], null.asInstanceOf[String],
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "spec"))
+      .toDF("dictionary", "version_number", "field_path", "annotation_id",
+        "description", "business_name", "is_ai_generated",
+        "ai_model_version", "business_owner", "created_at", "created_by"))
+  }
+
+  test("stats: per-table counts, sizes and parent ratios") {
+    val outDir = Files.createTempDirectory("graft_admin1").toString
+    seed(outDir)
+    val s = CatalogAdmin.stats(spark, outDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(s("dictionaries").getLong(1) === 1L)
+    assert(s("versions").getLong(1) === 1L)
+    assert(s("fields").getLong(1) === 2L)
+    assert(s("annotations").getLong(1) === 1L)
+    assert(s("fields").getLong(2) > 0L) // real bytes on disk
+    assert(s("fields").getDouble(3) === 2.0) // fields per version
+    assert(s("annotations").getDouble(3) === 0.5) // annotations per field
+  }
+
+  test("health: marker-without-data is broken, data-without-marker benign") {
+    val outDir = Files.createTempDirectory("graft_admin2").toString
+    seed(outDir)
+    val h0 = CatalogAdmin.health(spark, outDir)
+    assert(h0.healthy && h0.committedVersions === 1L)
+    assert(h0.totalRecords === 5L) // 1 dict + 1 version + 2 fields + 1 ann
+
+    // crash remnant: fields partition without its version marker → benign
+    val cat = new ParquetCatalog(outDir)
+    cat.overwritePartitions(
+      ProfileJob.readFields(spark, outDir, "users", 1).toDF()
+        .withColumn("dictionary", lit("users"))
+        .withColumn("version_number", lit(99)),
+      "fields", Seq("dictionary", "version_number"))
+    val h1 = CatalogAdmin.health(spark, outDir)
+    assert(h1.healthy)
+    assert(h1.uncommittedFieldPartitions === Seq("users/99"))
+
+    // protocol violation: a marker whose data is missing → unhealthy
+    import spark.implicits._
+    cat.appendMarker(
+      Seq(("ghost", 1, "x", 0L))
+        .toDF("dictionary", "version_number", "schema_hash", "n_fields"),
+      "versions")
+    val h2 = CatalogAdmin.health(spark, outDir)
+    assert(!h2.healthy)
+    assert(h2.versionsMissingFields === Seq("ghost/1"))
+  }
+
+  test("backup copies the tree; clear empties it") {
+    val outDir = Files.createTempDirectory("graft_admin3").toString
+    seed(outDir)
+    val bak = Files.createTempDirectory("graft_admin3_bak").toString
+    val (files, bytes) = CatalogAdmin.backup(outDir, bak)
+    assert(files > 0 && bytes > 0)
+    // the backup is a fully readable catalog
+    assert(ProfileJob.latestVersion(spark, bak, "users") === 1)
+
+    val cleared = CatalogAdmin.clear(spark, outDir)
+    assert(cleared("fields") === 2L && cleared("versions") === 1L)
+    assert(CatalogAdmin.stats(spark, outDir).collect()
+      .forall(_.getLong(1) === 0L))
+    // backup unaffected
+    assert(ProfileJob.readFields(spark, bak, "users", 1).count() === 2L)
+  }
+}
