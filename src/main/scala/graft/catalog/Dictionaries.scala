@@ -1,0 +1,124 @@
+package graft.catalog
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dictionary-level catalog surface — the reference's remaining
+  * dictionary endpoints (`api/v1/dictionaries.py`): list (paginated
+  * overview), metadata update (PUT) and delete (cascade). Updates follow
+  * the same append-then-latest-wins discipline as annotations, so the
+  * catalog stays immutable-append; delete is the one physically
+  * destructive operation, mirroring the reference's cascade.
+  */
+object Dictionaries {
+
+  /** GET / — one row per dictionary with version/field rollups and the
+    * latest metadata (`dictionaries.py:39-106`): dictionary,
+    * created_version, n_versions, latest_version, latest_n_fields,
+    * display_name, description.
+    */
+  def list(spark: SparkSession, outDir: String): DataFrame = {
+    val cat = new ParquetCatalog(outDir)
+    val dicts = cat.read(spark, "dictionaries").getOrElse(return
+      spark.emptyDataFrame)
+    val versions = cat.read(spark, "versions").get
+    val rollup = versions.groupBy(col("dictionary")).agg(
+      max(col("version_number")).as("latest_version"),
+      count(lit(1)).as("n_versions"))
+    val latestFields = versions
+      .join(rollup.select(col("dictionary"),
+        col("latest_version").as("version_number")),
+        Seq("dictionary", "version_number"))
+      .select(col("dictionary"), col("n_fields").as("latest_n_fields"))
+    val meta = latestMeta(spark, outDir)
+    dicts
+      .join(rollup, Seq("dictionary"), "left")
+      .join(latestFields, Seq("dictionary"), "left")
+      .join(broadcast(meta), Seq("dictionary"), "left")
+      .select(col("dictionary"), col("created_version"),
+        col("n_versions"), col("latest_version"), col("latest_n_fields"),
+        coalesce(col("display_name"), col("dictionary")).as("display_name"),
+        col("description"))
+      .orderBy(col("dictionary"))
+  }
+
+  /** PUT /{id} — metadata update as an appended generation; reads pick
+    * the latest per dictionary (`dictionaries.py:321-397`). `updatedAt`
+    * is caller-supplied so artifacts stay deterministic.
+    */
+  def updateMeta(spark: SparkSession, outDir: String, dict: String,
+      displayName: Option[String], description: Option[String],
+      updatedAt: java.sql.Timestamp, updatedBy: String = "api"): Unit = {
+    import spark.implicits._
+    new ParquetCatalog(outDir).appendMarker(
+      Seq((dict, displayName.orNull, description.orNull, updatedAt,
+        updatedBy))
+        .toDF("dictionary", "display_name", "description", "updated_at",
+          "updated_by"),
+      "dictionary_meta")
+  }
+
+  /** Latest metadata generation per dictionary (W2 shape). */
+  def latestMeta(spark: SparkSession, outDir: String): DataFrame =
+    new ParquetCatalog(outDir).read(spark, "dictionary_meta") match {
+      case None =>
+        import spark.implicits._
+        Seq.empty[(String, String, String)]
+          .toDF("dictionary", "display_name", "description")
+      case Some(meta) =>
+        val w = Window.partitionBy(col("dictionary"))
+          .orderBy(col("updated_at").desc)
+        meta.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("dictionary"), col("display_name"), col("description"))
+    }
+
+  /** DELETE /{id} — cascade removal (`dictionaries.py:399-444`): drop
+    * the dictionary's fields/annotations partitions physically, and
+    * rewrite the small marker tables without its rows. Returns removed
+    * row counts per table.
+    */
+  def delete(spark: SparkSession, outDir: String,
+      dict: String): Map[String, Long] = {
+    val cat = new ParquetCatalog(outDir)
+
+    def dropPartition(table: String): Long = {
+      val n = cat.read(spark, table)
+        .map(_.filter(col("dictionary") === dict).count()).getOrElse(0L)
+      val dir = Paths.get(cat.path(table), s"dictionary=$dict")
+      if (Files.exists(dir)) {
+        val s = Files.walk(dir)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(Files.delete(_))
+        finally s.close()
+      }
+      n
+    }
+
+    def rewriteMarker(table: String): Long = cat.read(spark, table) match {
+      case None => 0L
+      case Some(df) =>
+        val keep = df.filter(col("dictionary") =!= dict).cache()
+        val removed = df.count() - keep.count()
+        val tmp = s"${cat.path(table)}__rewrite"
+        keep.write.mode("overwrite").parquet(tmp)
+        val live = Paths.get(cat.path(table))
+        val s = Files.walk(live)
+        try s.sorted(java.util.Comparator.reverseOrder())
+          .forEach(Files.delete(_))
+        finally s.close()
+        keep.unpersist()
+        Files.move(Paths.get(tmp), live)
+        removed
+    }
+
+    Map(
+      "fields" -> dropPartition("fields"),
+      "annotations" -> dropPartition("annotations"),
+      "versions" -> rewriteMarker("versions"),
+      "dictionaries" -> rewriteMarker("dictionaries"),
+      "dictionary_meta" -> rewriteMarker("dictionary_meta"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.jobs.ProfileJob
+
+/** Dictionary-level endpoints: list rollup, latest-wins metadata update,
+  * cascade delete.
+  */
+class DictionariesSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def seed(outDir: String): Unit = {
+    import spark.implicits._
+    ProfileJob.run(spark,
+      Seq("""{"id": 1, "name": "a"}""").toDF("json"), "json", outDir, "users")
+    ProfileJob.run(spark,
+      Seq("""{"id": 1, "name": "a", "mail": "m@x.co"}""").toDF("json"),
+      "json", outDir, "users")
+    ProfileJob.run(spark,
+      Seq("""{"sku": "s-1", "price": 9.5}""").toDF("json"),
+      "json", outDir, "items")
+  }
+
+  test("list: per-dictionary rollup with latest metadata") {
+    val outDir = Files.createTempDirectory("graft_dicts1").toString
+    seed(outDir)
+    Dictionaries.updateMeta(spark, outDir, "users",
+      Some("User Catalog"), Some("v1 desc"), ts("2024-01-01 00:00:00"))
+    Dictionaries.updateMeta(spark, outDir, "users",
+      Some("User Catalog"), Some("v2 desc"), ts("2024-02-01 00:00:00"))
+    val rows = Dictionaries.list(spark, outDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("items", "users"))
+    val u = rows("users")
+    assert(u.getAs[Long]("n_versions") === 2L)
+    assert(u.getAs[Int]("latest_version") === 2)
+    assert(u.getAs[Long]("latest_n_fields") === 3L) // id, name, mail
+    assert(u.getAs[String]("display_name") === "User Catalog")
+    assert(u.getAs[String]("description") === "v2 desc") // latest wins
+    // unannotated dictionary falls back to its key as display name
+    assert(rows("items").getAs[String]("display_name") === "items")
+  }
+
+  test("delete cascades: partitions dropped, markers rewritten, rest intact") {
+    val outDir = Files.createTempDirectory("graft_dicts2").toString
+    seed(outDir)
+    Dictionaries.updateMeta(spark, outDir, "users",
+      None, Some("doomed"), ts("2024-01-01 00:00:00"))
+    val removed = Dictionaries.delete(spark, outDir, "users")
+    assert(removed("fields") === 5L) // 2 + 3 across the two versions
+    assert(removed("versions") === 2L)
+    assert(removed("dictionaries") === 1L)
+    assert(removed("dictionary_meta") === 1L)
+
+    val left = Dictionaries.list(spark, outDir).collect()
+    assert(left.map(_.getString(0)).toSeq === Seq("items"))
+    assert(ProfileJob.latestVersion(spark, outDir, "users") === 0)
+    assert(ProfileJob.readFields(spark, outDir, "items", 1).count() === 2L)
+    // the catalog stays protocol-consistent after the cascade
+    val h = CatalogAdmin.health(spark, outDir)
+    assert(h.healthy, h)
+  }
+}
