@@ -38,6 +38,31 @@ object QualityFilter {
       n_chars: Int, alnum_chars: Int, max_line_len: Int, n_lines: Int,
       non_blank_lines: Int, distinct_non_blank: Int, space_only: Boolean)
 
+  /** Corpus-level EXACT dedup ahead of scoring — the standard first
+    * stage of a training-data pipeline: one representative survives per
+    * distinct content (sha-256 key; winner = lexicographic min
+    * (repo, path, commit), deterministic across runs and partitionings).
+    *
+    * Scale: ONE groupBy on the content digest — uniform hash keys, so no
+    * skew and full map-side partial aggregation; min_by carries a single
+    * candidate row per key per partition, never the duplicate group.
+    * Run it as a snapshot-level pre-stage, NOT inside the resumable
+    * bucket protocol: dedup across buckets would couple a bucket's
+    * contents to other buckets' completion state.
+    */
+  def dedupExact(input: Dataset[FileRecord]): Dataset[FileRecord] = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    val all = struct(col("repo"), col("path"), col("commit"), col("lang"),
+      col("content"))
+    input.toDF()
+      .groupBy(sha2(col("content"), 256).as("content_sha"))
+      .agg(min_by(all, struct(col("repo"), col("path"), col("commit")))
+        .as("rep"))
+      .select(col("rep.*"))
+      .as[FileRecord]
+  }
+
   /** Score langid + perplexity for every row (single mapPartitions). */
   def score(spark: SparkSession, input: Dataset[FileRecord],
       langB: Broadcast[LangId.Model], knB: Broadcast[KnLm.Model],

@@ -1,0 +1,42 @@
+package graft.filter
+
+import graft.SparkSpec
+import graft.model.FileRecord
+
+/** Corpus-level exact dedup over FileRecords: one deterministic
+  * representative per distinct content, order- and partitioning-invariant.
+  */
+class DedupExactSpec extends SparkSpec {
+
+  private def rec(repo: String, path: String, content: String) =
+    FileRecord(repo, path, "c0", "scala", content)
+
+  test("one representative per content, winner is min (repo,path,commit)") {
+    import spark.implicits._
+    val rows = Seq(
+      rec("repo-b", "x.scala", "object A"),
+      rec("repo-a", "z.scala", "object A"), // same content, smaller repo
+      rec("repo-a", "y.scala", "object B"),
+      rec("repo-c", "w.scala", "object A"),
+      rec("repo-a", "v.scala", "object C"))
+    val out = QualityFilter.dedupExact(rows.toDS()).collect()
+    assert(out.length === 3)
+    val byContent = out.map(r => r.content -> r).toMap
+    assert(byContent("object A").repo === "repo-a")
+    assert(byContent("object A").path === "z.scala")
+    assert(byContent("object B").path === "y.scala")
+  }
+
+  test("deterministic across input order and partitioning") {
+    import spark.implicits._
+    val base = (1 to 500).map(i =>
+      rec(s"r${i % 7}", s"p$i.scala", s"content ${i % 50}"))
+    val a = QualityFilter.dedupExact(base.toDS().repartition(13))
+      .collect().map(_.toString).sorted.toSeq
+    val b = QualityFilter.dedupExact(
+        scala.util.Random.shuffle(base).toDS().repartition(3))
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+    assert(a.size === 50) // 50 distinct contents
+  }
+}
