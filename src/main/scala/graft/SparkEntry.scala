@@ -49,7 +49,8 @@ object SparkEntry {
     "q28_embedding_neardup" -> (TrainingOps.q28EmbeddingNearDup(_, _)),
     "q29_annotated_fields" -> (ProfileQueries.q29AnnotatedFields(_, _)),
     "q30_profile_sqlite" -> (ProfileQueries.q30ProfileSqlite(_, _)),
-    "q31_ivf_ann" -> (TrainingOps.q31IvfAnn(_, _))
+    "q31_ivf_ann" -> (TrainingOps.q31IvfAnn(_, _)),
+    "q32_bpe_tokens" -> (Queries.q32BpeTokens(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -396,6 +397,17 @@ object SparkEntry {
                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS "rank"
                FROM s)
          SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 5
-         ORDER BY query_id, "rank""""
+         ORDER BY query_id, "rank"""",
+    // q32: the BPE-ish pre-tokenizer pattern is lookahead-free so Java
+    // regex (Spark) and RE2 (DuckDB) segment identically; counts are
+    // exact integers, ratio is one division.
+    "q32_bpe_tokens" ->
+      """WITH aug AS (SELECT doc_id, text || ' it''s 2024, v1.5 (beta)!' AS a FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(a), '\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(a, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(a, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS DOUBLE)
+             / len(regexp_split_to_array(trim(a), '\s+')) AS bpe_per_ws
+         FROM aug ORDER BY doc_id"""
   )
 }

@@ -145,6 +145,37 @@ object Queries {
         (sum(col("n_tokens")).cast("double") / count(lit(1))).as("avg_tokens"))
       .orderBy(col("lang"))
 
+  /** GPT-2-style pre-tokenizer pattern, lookahead-free so Java regex
+    * (Spark codegen) and RE2 (DuckDB) agree token-for-token:
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs, whitespace runs. The "BPE-ish" token count —
+    * subword merges happen below this segmentation, so it upper-bounds
+    * BPE sequence length and is the standard cheap budget estimator.
+    */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** q32 — BPE-ish token counting next to the whitespace tokenizer
+    * (text-analysis family): the corpus text is augmented with a fixed
+    * punctuation/contraction tail so the two tokenizations genuinely
+    * diverge, and the oracle recomputes both counts from scratch with
+    * the same pattern. All in whole-stage codegen over the scan.
+    */
+  def q32BpeTokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("aug", concat(col("text"), lit(" it's 2024, v1.5 (beta)!")))
+      .select(
+        col("doc_id"),
+        size(split(trim(col("aug")), "\\s+")).cast("long").as("n_ws_tokens"),
+        // call_function: the pattern reaches the engine verbatim (an expr
+        // SQL literal would re-process its backslash escapes)
+        size(call_function("regexp_extract_all",
+          col("aug"), lit(BpePattern), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+      .withColumn("bpe_per_ws",
+        col("n_bpe_tokens").cast("double") / col("n_ws_tokens"))
+      .orderBy(col("doc_id"))
+
   /** q10 — content fingerprint (text analysis): sha256 per doc. */
   def q10DocFingerprint(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
