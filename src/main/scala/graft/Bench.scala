@@ -9,8 +9,69 @@ import org.apache.spark.sql.SparkSession
   * would let Catalyst prune projection-only work (q10's sha256, q07's
   * regex columns would never execute), timing the scan instead of the
   * query.
+  *
+  * Steal resilience: this Firecracker VM suffers time-varying host CPU
+  * steal (BENCH.md records 3.7× same-phase spreads; round 2's official
+  * record misreported a 52 s suite as 411 s). Each query is therefore
+  * timed up to [[MaxAttempts]] times — retrying whenever the attempt
+  * overlapped visible steal or attempts disagree — and the MINIMUM is
+  * reported, with the per-query steal%% of the best attempt emitted as
+  * `steal` so a poisoned run is self-diagnosing rather than silently
+  * wrong.
   */
 object Bench {
+
+  val MaxAttempts = 3
+  /** steal% below which a single attempt is trusted as clean. */
+  val CleanStealPct = 1.0
+  /** two attempts within this ratio agree → machine is stable, stop. */
+  val AgreeRatio = 1.15
+
+  /** (totalJiffies, stealJiffies) from the aggregate cpu line. */
+  private def cpuJiffies(): (Long, Long) = {
+    try {
+      val line = {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().next() finally src.close()
+      }
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      (f.sum, if (f.length > 7) f(7) else 0L)
+    } catch { case _: Throwable => (0L, 0L) }
+  }
+
+  final case class Attempt(sec: Double, stealPct: Double)
+
+  private def timeOnce(run: () => Unit): Attempt = {
+    val (t0Total, t0Steal) = cpuJiffies()
+    val t0 = System.nanoTime()
+    run()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val (t1Total, t1Steal) = cpuJiffies()
+    val dTotal = t1Total - t0Total
+    val steal =
+      if (dTotal > 0) 100.0 * (t1Steal - t0Steal) / dTotal else 0.0
+    Attempt(sec, steal)
+  }
+
+  /** Best-of-up-to-N with early exit on a clean, stable measurement. */
+  def measure(run: () => Unit): Attempt = {
+    var best: Attempt = null
+    var prev: Attempt = null
+    var i = 0
+    var done = false
+    while (i < MaxAttempts && !done) {
+      val a = timeOnce(run)
+      if (best == null || a.sec < best.sec) best = a
+      done = (a.stealPct < CleanStealPct &&
+        (prev != null && math.max(a.sec, prev.sec) <=
+          AgreeRatio * math.min(a.sec, prev.sec))) ||
+        (i == 0 && a.stealPct < CleanStealPct && a.sec < 0.5)
+      prev = a
+      i += 1
+    }
+    best
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -35,21 +96,25 @@ object Bench {
       catch { case _: Throwable => }
     }
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val a = measure { () =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        // queries that cache intermediates (dedup/ANN family) must not
+        // accumulate blocks across the suite — each attempt starts cold
+        spark.catalog.clearCache()
       }
-      val t = (System.nanoTime() - t0) / 1e9
-      // queries that cache intermediates (dedup/ANN family) must not
-      // accumulate blocks across the suite — each query starts cold
-      spark.catalog.clearCache()
-      name -> t
+      name -> a
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, a) => "\"" + k + "\":" + r3(a.sec) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val steals = results.map { case (k, a) => "\"" + k + "\":" + r3(a.stealPct) }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2.sec).sum
+    val maxSteal = (0.0 +: results.map(_._2.stealPct)).max
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"steal":$steals,"max_steal_pct":${r3(maxSteal)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

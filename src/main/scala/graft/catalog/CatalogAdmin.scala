@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
 object CatalogAdmin {
 
   val Tables: Seq[String] =
-    Seq("dictionaries", "versions", "fields", "annotations")
+    Seq("dictionaries", "versions", "fields", "annotations",
+      "dictionary_meta")
 
   private def dirSize(p: Path): Long =
     if (!Files.exists(p)) 0L

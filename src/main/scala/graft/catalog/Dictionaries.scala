@@ -20,11 +20,24 @@ object Dictionaries {
     * created_version, n_versions, latest_version, latest_n_fields,
     * display_name, description.
     */
+  /** Empty result with the documented list() schema, so callers can
+    * reference columns even on a never-committed or partially-restored
+    * catalog (dictionaries without versions, or vice versa).
+    */
+  private def emptyList(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, Int, Long, Int, Long, String, String)]
+      .toDF("dictionary", "created_version", "n_versions", "latest_version",
+        "latest_n_fields", "display_name", "description")
+  }
+
   def list(spark: SparkSession, outDir: String): DataFrame = {
     val cat = new ParquetCatalog(outDir)
-    val dicts = cat.read(spark, "dictionaries").getOrElse(return
-      spark.emptyDataFrame)
-    val versions = cat.read(spark, "versions").get
+    val dictsOpt = cat.read(spark, "dictionaries")
+    val versionsOpt = cat.read(spark, "versions")
+    if (dictsOpt.isEmpty || versionsOpt.isEmpty) return emptyList(spark)
+    val dicts = dictsOpt.get
+    val versions = versionsOpt.get
     val rollup = versions.groupBy(col("dictionary")).agg(
       max(col("version_number")).as("latest_version"),
       count(lit(1)).as("n_versions"))
@@ -44,6 +57,32 @@ object Dictionaries {
         col("description"))
       .orderBy(col("dictionary"))
   }
+
+  /** GET /search/dictionaries — dictionary-name search
+    * (`api/v1/search.py:193-260` → `dictionary_repo.search_by_name:151`):
+    * case-insensitive contains on name (and the display_name alias the
+    * engine adds), ordered by name, paginated. Rows carry the same rollup
+    * columns as [[list]].
+    */
+  private def matching(spark: SparkSession, outDir: String,
+      query: String): DataFrame = {
+    val needle = query.toLowerCase(java.util.Locale.ROOT)
+    list(spark, outDir).filter(
+      contains(lower(col("dictionary")), lit(needle)) ||
+        contains(lower(col("display_name")), lit(needle)))
+  }
+
+  def search(spark: SparkSession, outDir: String, query: String,
+      limitN: Int = 20, offsetN: Int = 0): DataFrame =
+    matching(spark, outDir, query)
+      .orderBy(col("dictionary")).offset(offsetN).limit(limitN)
+
+  /** Total matches BEFORE pagination (the endpoint's meta.total /
+    * has_more). Driver-scale: the list rollup is one row per dictionary.
+    */
+  def searchTotal(spark: SparkSession, outDir: String,
+      query: String): Long =
+    matching(spark, outDir, query).count()
 
   /** PUT /{id} — metadata update as an appended generation; reads pick
     * the latest per dictionary (`dictionaries.py:321-397`). `updatedAt`
@@ -97,20 +136,32 @@ object Dictionaries {
       n
     }
 
+    // Crash-consistent marker rewrite: the live directory is swapped by
+    // RENAME, never deleted while it is the only copy. Sequence: write the
+    // rewrite to `__rewrite`, rename live → `__old`, rename `__rewrite` →
+    // live, delete `__old`. A crash in any window leaves either the old
+    // table readable or a complete `__rewrite` that ParquetCatalog.read
+    // recovers — the versions/dictionaries tables can never vanish.
     def rewriteMarker(table: String): Long = cat.read(spark, table) match {
       case None => 0L
       case Some(df) =>
         val keep = df.filter(col("dictionary") =!= dict).cache()
         val removed = df.count() - keep.count()
-        val tmp = s"${cat.path(table)}__rewrite"
-        keep.write.mode("overwrite").parquet(tmp)
-        val live = Paths.get(cat.path(table))
-        val s = Files.walk(live)
-        try s.sorted(java.util.Comparator.reverseOrder())
-          .forEach(Files.delete(_))
-        finally s.close()
+        val tmp = Paths.get(s"${cat.path(table)}__rewrite")
+        val old = Paths.get(s"${cat.path(table)}__old")
+        def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+          val s = Files.walk(p)
+          try s.sorted(java.util.Comparator.reverseOrder())
+            .forEach(Files.delete(_))
+          finally s.close()
+        }
+        rmTree(tmp); rmTree(old) // stale remnants from a prior crash
+        keep.write.mode("overwrite").parquet(tmp.toString)
         keep.unpersist()
-        Files.move(Paths.get(tmp), live)
+        val live = Paths.get(cat.path(table))
+        Files.move(live, old)
+        Files.move(tmp, live)
+        rmTree(old)
         removed
     }
 

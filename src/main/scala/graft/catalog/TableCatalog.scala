@@ -53,8 +53,18 @@ final class ParquetCatalog(baseDir: String) extends TableCatalog {
   override def appendMarker(df: DataFrame, table: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path(table))
 
-  override def read(spark: SparkSession, table: String): Option[DataFrame] =
-    if (new java.io.File(path(table)).exists())
-      Some(spark.read.parquet(path(table)))
-    else None
+  override def read(spark: SparkSession, table: String): Option[DataFrame] = {
+    val live = new java.io.File(path(table))
+    if (!live.exists()) {
+      // Recovery for the rename-swap rewrite protocol (Dictionaries
+      // .delete): live is only ever absent between "live → __old" and
+      // "__rewrite → live", at which point __rewrite is complete — finish
+      // the swap. (A crash mid-write of __rewrite leaves live intact, so
+      // an existing live dir is always authoritative.)
+      val rewrite = new java.io.File(s"${path(table)}__rewrite")
+      if (rewrite.exists())
+        java.nio.file.Files.move(rewrite.toPath, live.toPath)
+    }
+    if (live.exists()) Some(spark.read.parquet(path(table))) else None
+  }
 }

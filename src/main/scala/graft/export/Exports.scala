@@ -81,8 +81,13 @@ object Exports {
     */
   def metadataSheet(profiles: Dataset[FieldProfile], name: String,
       schemaHash: String): Seq[(String, String)] = {
-    val n = profiles.count()
-    val piiCount = profiles.filter(col("isPii")).count()
+    // one aggregation pass computes both counts (was: two count() jobs
+    // scanning the profile table twice per export)
+    val row = profiles.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("isPii"), 1L).otherwise(0L)).as("pii")).head()
+    val n = row.getLong(0)
+    val piiCount = if (row.isNullAt(1)) 0L else row.getLong(1)
     Seq(
       "Dictionary Name" -> name,
       "Total Fields" -> n.toString,

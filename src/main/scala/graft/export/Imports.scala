@@ -197,7 +197,11 @@ object Imports {
         lit(dict).as("dictionary"),
         lit(version).as("version_number"),
         col("fieldPath").as("field_path"),
-        concat(lit(s"import-v$version-"), col("fieldPath"))
+        // zero-padded version: annotation_id is the lexicographic
+        // tie-break for equal created_at in Annotations.latest, and
+        // "import-v9-x" > "import-v10-x" would make the older generation
+        // win once versions reach double digits
+        concat(lit(f"import-v$version%06d-"), col("fieldPath"))
           .as("annotation_id"),
         col("description"),
         lit(null).cast("string").as("business_name"),

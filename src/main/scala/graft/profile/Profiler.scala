@@ -169,7 +169,11 @@ object Profiler {
     */
   private def spread[T](spark: SparkSession, ds: Dataset[T]): Dataset[T] = {
     val target = spark.sparkContext.defaultParallelism
-    if (ds.rdd.getNumPartitions < target) ds.repartition(target) else ds
+    // partition count off the internal-row RDD (a cached lazy val on the
+    // QueryExecution) — ds.rdd would build a fresh deserializer lineage
+    // per profile invocation just to read a number
+    val current = ds.queryExecution.toRdd.getNumPartitions
+    if (current < target) ds.repartition(target) else ds
   }
 
   def observations(spark: SparkSession, df: DataFrame, jsonCol: String,

@@ -83,6 +83,15 @@ object SqliteWrite {
     val p = new Array[Byte](PageSize)
     val interior = pageType == 5
     val hdrSize = if (interior) 12 else 8
+    // Cells pack down from the page end and the pointer array grows up
+    // from the header; without this check an over-full interior root
+    // (≳450 leaves) or a page-1 master cell near the 4061-byte cap would
+    // silently overwrite the pointer array / 100-byte file header.
+    val cellBytes = cells.map(_.length).sum
+    require(PageSize - cellBytes >= headerAt + hdrSize + 2 * cells.size,
+      s"page overflow: ${cells.size} cells / $cellBytes bytes exceed one " +
+        s"$PageSize-byte page (type $pageType, headerAt $headerAt) — " +
+        "row count needs more b-tree levels than this writer supports")
     p(headerAt) = pageType.toByte
     System.arraycopy(be(cells.size, 2), 0, p, headerAt + 3, 2)
     if (interior) System.arraycopy(be(rightMost, 4), 0, p, headerAt + 8, 4)

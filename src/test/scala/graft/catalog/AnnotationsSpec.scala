@@ -84,6 +84,21 @@ class AnnotationsSpec extends SparkSpec {
     assert(Annotations.readFor(spark, outDir, "nope", 1).isEmpty)
   }
 
+  test("equal-timestamp tie-break: zero-padded import ids keep numeric order") {
+    // Imports stamps every import with the same fixed epoch, so the
+    // annotation_id DESC tie-break decides; the un-padded format
+    // ("import-v9-x" > "import-v10-x") made the OLDER generation win
+    // from the 10th import on
+    val anns = annsDf(Seq(
+      ann("email", f"import-v${9}%06d-email", "gen 9", "E9", false,
+        "2000-01-01 00:00:00"),
+      ann("email", f"import-v${10}%06d-email", "gen 10", "E10", false,
+        "2000-01-01 00:00:00")))
+    val top = Annotations.latest(anns).collect()
+    assert(top.length === 1)
+    assert(top.head.getAs[String]("description") === "gen 10")
+  }
+
   test("searchAnnotated carries the latest annotation per hit") {
     val anns = annsDf(Seq(
       ann("email", "a1", "old mail", "M1", false, "2024-01-01 00:00:00"),

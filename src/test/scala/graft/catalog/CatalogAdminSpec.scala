@@ -86,4 +86,20 @@ class CatalogAdminSpec extends SparkSpec {
     // backup unaffected
     assert(ProfileJob.readFields(spark, bak, "users", 1).count() === 2L)
   }
+
+  test("clear drops dictionary_meta too — no stale metadata resurrection") {
+    val outDir = Files.createTempDirectory("graft_admin4").toString
+    seed(outDir)
+    Dictionaries.updateMeta(spark, outDir, "users",
+      Some("Old Display"), Some("old desc"),
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    CatalogAdmin.clear(spark, outDir)
+    assert(Dictionaries.latestMeta(spark, outDir).isEmpty)
+    // recreating a same-named dictionary must NOT inherit cleared metadata
+    seed(outDir)
+    val row = Dictionaries.list(spark, outDir).collect()
+      .find(_.getString(0) == "users").get
+    assert(row.getAs[String]("display_name") === "users")
+    assert(row.getAs[String]("description") === null)
+  }
 }

@@ -63,4 +63,69 @@ class DictionariesSpec extends SparkSpec {
     val h = CatalogAdmin.health(spark, outDir)
     assert(h.healthy, h)
   }
+
+  test("search: case-insensitive contains on name/display_name, paginated, with total") {
+    val outDir = Files.createTempDirectory("graft_dicts3").toString
+    seed(outDir)
+    Dictionaries.updateMeta(spark, outDir, "items",
+      Some("Product Items"), None, ts("2024-01-01 00:00:00"))
+    // matches name substring, case-insensitively
+    val byName = Dictionaries.search(spark, outDir, "SER").collect()
+    assert(byName.map(_.getString(0)).toSeq === Seq("users"))
+    assert(byName.head.getAs[Long]("n_versions") === 2L)
+    // matches the display_name alias too
+    val byDisplay = Dictionaries.search(spark, outDir, "product").collect()
+    assert(byDisplay.map(_.getString(0)).toSeq === Seq("items"))
+    // pagination + pre-pagination total ("s" hits both: userS, itemS)
+    assert(Dictionaries.searchTotal(spark, outDir, "s") === 2L)
+    val page2 = Dictionaries.search(spark, outDir, "s",
+      limitN = 1, offsetN = 1).collect()
+    assert(page2.map(_.getString(0)).toSeq === Seq("users"))
+    // no match → empty page, zero total
+    assert(Dictionaries.search(spark, outDir, "zzz").isEmpty)
+    assert(Dictionaries.searchTotal(spark, outDir, "zzz") === 0L)
+  }
+
+  test("list/search on empty or partially-restored catalogs keep the schema") {
+    val outDir = Files.createTempDirectory("graft_dicts4").toString
+    // never-committed catalog
+    val empty = Dictionaries.list(spark, outDir)
+    assert(empty.columns.toSeq === Seq("dictionary", "created_version",
+      "n_versions", "latest_version", "latest_n_fields", "display_name",
+      "description"))
+    assert(empty.isEmpty)
+    assert(Dictionaries.searchTotal(spark, outDir, "x") === 0L)
+    // partial restore: dictionaries table present, versions missing
+    seed(outDir)
+    val versionsDir = java.nio.file.Paths.get(outDir, "versions")
+    val s = Files.walk(versionsDir)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .forEach(Files.delete(_))
+    finally s.close()
+    val partial = Dictionaries.list(spark, outDir)
+    assert(partial.columns.contains("latest_version"))
+    assert(partial.isEmpty)
+  }
+
+  test("delete marker rewrite survives a crash before the final swap (read recovers)") {
+    val outDir = Files.createTempDirectory("graft_dicts5").toString
+    seed(outDir)
+    // simulate the crash window between "live → __old" and "__rewrite →
+    // live": a complete rewrite exists, the live dir is gone
+    val cat = new ParquetCatalog(outDir)
+    val keep = cat.read(spark, "versions").get
+      .filter(org.apache.spark.sql.functions.col("dictionary") =!= "users")
+    keep.write.mode("overwrite").parquet(s"${cat.path("versions")}__rewrite")
+    val live = java.nio.file.Paths.get(cat.path("versions"))
+    val s = Files.walk(live)
+    try s.sorted(java.util.Comparator.reverseOrder())
+      .forEach(Files.delete(_))
+    finally s.close()
+    // a reader completes the swap instead of seeing an empty catalog
+    val recovered = cat.read(spark, "versions")
+    assert(recovered.isDefined)
+    assert(recovered.get.select("dictionary").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("items"))
+    assert(!Files.exists(java.nio.file.Paths.get(s"${cat.path("versions")}__rewrite")))
+  }
 }

@@ -63,6 +63,18 @@ class SqliteWriteSpec extends AnyFunSuite {
     assert(SqliteFile.rows(db, t).isEmpty)
   }
 
+  test("page overflow is rejected, not silently corrupted") {
+    // ~950 leaves would need interior cells that overflow the single
+    // 4096-byte root page; before the guard this overwrote the cell
+    // pointer array and emitted a corrupt file
+    val big = (1 to 20000).map(i =>
+      (i.toLong, Seq[Any](null, "x" * 180, i.toDouble, i.toLong, "n")))
+    val e = intercept[IllegalArgumentException] {
+      SqliteWrite.database("t", ddl, big)
+    }
+    assert(e.getMessage.contains("page overflow"))
+  }
+
   test("written files profile through the standard scan") {
     val bytes = SqliteWrite.database("t", ddl, mkRows(50))
     val byPath = SqliteScan.profileBytes(bytes)
