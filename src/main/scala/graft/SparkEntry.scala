@@ -50,7 +50,9 @@ object SparkEntry {
     "q29_annotated_fields" -> (ProfileQueries.q29AnnotatedFields(_, _)),
     "q30_profile_sqlite" -> (ProfileQueries.q30ProfileSqlite(_, _)),
     "q31_ivf_ann" -> (TrainingOps.q31IvfAnn(_, _)),
-    "q32_bpe_tokens" -> (Queries.q32BpeTokens(_, _))
+    "q32_bpe_tokens" -> (Queries.q32BpeTokens(_, _)),
+    "q33_profile_proto" -> (ProfileQueries.q33ProfileProto(_, _)),
+    "q34_schema_xml" -> (ProfileQueries.q34SchemaXml(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -408,6 +410,43 @@ object SparkEntry {
            CAST(len(regexp_extract_all(a, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_bpe_tokens,
            CAST(len(regexp_extract_all(a, '''(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS DOUBLE)
              / len(regexp_split_to_array(trim(a), '\s+')) AS bpe_per_ws
-         FROM aug ORDER BY doc_id"""
+         FROM aug ORDER BY doc_id""",
+    // q33: the .desc FileDescriptorSets are serialized per region inside
+    // the query (ProtoWrite) and re-parsed by the descriptor scan; every
+    // count and the enum-number sum is recomputed here from the same
+    // nation-row arithmetic the writer used.
+    "q33_profile_proto" ->
+      """SELECT 'r' || n_regionkey AS pkg,
+         CAST(SUM(2 + CASE WHEN n_nationkey % 3 = 1 THEN 1
+                  WHEN n_nationkey % 3 = 2 THEN 2 ELSE 0 END) AS BIGINT) AS n_fields,
+         CAST(COUNT(*) AS BIGINT) AS n_enum_values,
+         CAST(SUM(CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_methods,
+         CAST(SUM(CASE WHEN n_nationkey % 3 >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_float_fields,
+         CAST(SUM(CASE WHEN n_nationkey % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bool_fields,
+         CAST(SUM(CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_array_fields,
+         CAST(SUM(n_nationkey) AS BIGINT) AS enum_number_sum
+         FROM nation GROUP BY n_regionkey ORDER BY pkg""",
+    // q34: DTD/XSD documents are built per region inside the query and
+    // parsed by XmlSchema; the engine reports counts from the PARSED
+    // models, the oracle recomputes them from the construction arithmetic.
+    "q34_schema_xml" ->
+      """SELECT 'r' || n_regionkey AS region,
+         CAST(COUNT(*) + 1 AS BIGINT) AS n_dtd_elements,
+         CAST(SUM(CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END)
+            + SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dtd_attrs,
+         CAST(SUM(CASE WHEN n_nationkey % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_required,
+         CAST(SUM(CASE WHEN n_nationkey % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_optional,
+         CAST(SUM(CASE WHEN n_nationkey % 4 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_or_more,
+         CAST(SUM(CASE WHEN n_nationkey % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_one_or_more,
+         CAST(SUM(CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pcdata,
+         CAST(2 * SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_enum_attr_values,
+         CAST(COUNT(*) + 1 AS BIGINT) AS n_xsd_elements,
+         CAST(SUM(CASE WHEN n_nationkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_min_zero,
+         CAST(SUM(CASE WHEN n_nationkey % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unbounded,
+         CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nillable,
+         CAST(1 + CASE WHEN n_regionkey % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_ct_attrs,
+         CAST(COUNT(*) AS BIGINT) AS n_enum_values,
+         CAST(10 + n_regionkey AS BIGINT) AS max_length
+         FROM nation GROUP BY n_regionkey ORDER BY region"""
   )
 }

@@ -212,6 +212,171 @@ object ProfileQueries {
       .orderBy(col("field_path"))
   }
 
+  /** q33 — protobuf descriptor scan E2E (S18): one FileDescriptorSet per
+    * region serialized in executors by the from-scratch [[ProtoWrite]]
+    * wire-format writer from deterministic nation-row arithmetic, parsed
+    * back through [[ProtobufScan.fieldProfiles]]'s distributed binary-
+    * column path (reference `processors/protobuf_parser.py:368-500`). The
+    * oracle recomputes message-field / enum-value / service-method counts
+    * and the enum-number sum per region from the same arithmetic — the
+    * engine's numbers come from the parsed descriptor model, so encoder,
+    * decoder and flatten are all under the hash gate. The reader is
+    * independently pinned to the textual `.proto` parser by the
+    * source≡wire parity specs, so writer+reader cannot hide a
+    * compensating encoding bug.
+    */
+  def q33ProfileProto(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.{ProtoWrite, ProtobufScan}
+    val nation = t(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
+      .as[(Long, Long)]
+    val descs = nation.groupByKey(_._2).mapGroups { (region, it) =>
+      val keys = it.map(_._1).toSeq.sorted
+      val pkg = s"r$region"
+      val messages = keys.map { k =>
+        val fs = Seq(
+          ProtoWrite.field("key", 1, 3), // int64
+          // repeated string for even keys exercises the label path
+          ProtoWrite.field("name", 2, 9,
+            label = if (k % 2 == 0) 3 else 1)) ++
+          (if (k % 3 >= 1) Seq(ProtoWrite.field("score", 3, 1)) // double
+           else Nil) ++
+          (if (k % 3 == 2) Seq(ProtoWrite.field("active", 4, 8)) // bool
+           else Nil)
+        ProtoWrite.message(s"N$k", fs)
+      }
+      val en = ProtoWrite.enumDesc("Status", keys.map(k => (s"S$k", k)))
+      val svc = ProtoWrite.service("Svc",
+        keys.filter(_ % 2 == 0).map(k =>
+          (s"M$k", s".$pkg.N$k", s".$pkg.N$k", false, false)))
+      ProtoWrite.descriptorSet(Seq(ProtoWrite.file(
+        s"$pkg.proto", pkg, "proto3", messages, Seq(en), Seq(svc))))
+    }.toDF("desc")
+    ProtobufScan.fieldProfiles(spark, descs, "desc")
+      .withColumn("pkg", substring_index(col("fieldPath"), ".", 1))
+      .withColumn("kind",
+        when(col("parentPath").endsWith(".Status"), "enum")
+          .when(col("parentPath").endsWith(".Svc"), "method")
+          .otherwise("field"))
+      .groupBy(col("pkg"))
+      .agg(
+        sum(when(col("kind") === "field", 1L).otherwise(0L))
+          .as("n_fields"),
+        sum(when(col("kind") === "enum", 1L).otherwise(0L))
+          .as("n_enum_values"),
+        sum(when(col("kind") === "method", 1L).otherwise(0L))
+          .as("n_methods"),
+        sum(when(col("kind") === "field" && col("dataType") === "float", 1L)
+          .otherwise(0L)).as("n_float_fields"),
+        sum(when(col("kind") === "field" && col("dataType") === "boolean", 1L)
+          .otherwise(0L)).as("n_bool_fields"),
+        sum(when(col("isArray"), 1L).otherwise(0L)).as("n_array_fields"),
+        sum(when(col("kind") === "enum", col("minValue")).otherwise(lit(0.0)))
+          .cast("long").as("enum_number_sum"))
+      .orderBy(col("pkg"))
+  }
+
+  /** q34 — DTD + XSD schema extraction E2E (S11/S12): per region, an XML
+    * document with an internal DTD subset and an XSD schema are built in
+    * executors from deterministic nation-row arithmetic, parsed through
+    * [[graft.sources.XmlSchema.parseDtd]]/[[graft.sources.XmlSchema.parseXsd]]
+    * (reference `processors/xml_schema_parser.py:25-290`), and the counts
+    * the engine reports from the PARSED models (element/attribute totals,
+    * per-cardinality child counts, occurs/nillable flags, enumeration
+    * sizes, the maxLength facet) are hash-compared against the oracle's
+    * recomputation of the same arithmetic.
+    */
+  def q34SchemaXml(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.XmlSchema
+    val nation = t(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
+      .as[(Long, Long)]
+    nation.groupByKey(_._2).mapGroups { (region, it) =>
+      val keys = it.map(_._1).toSeq.sorted
+      // --- DTD: cardinality by k%4, content by k%2, attrs by k%2 / k%5
+      val children = keys.map { k =>
+        val suffix = (k % 4) match {
+          case 0 => ""; case 1 => "?"; case 2 => "*"; case _ => "+"
+        }
+        s"n$k$suffix"
+      }.mkString(",")
+      val decls = keys.map { k =>
+        val content = if (k % 2 == 0) "(#PCDATA)" else "EMPTY"
+        val a1 =
+          if (k % 2 == 0) s"\n<!ATTLIST n$k key CDATA #REQUIRED>" else ""
+        val a2 =
+          if (k % 5 == 0) s"\n<!ATTLIST n$k cls (a|b) #IMPLIED>" else ""
+        s"<!ELEMENT n$k $content>$a1$a2"
+      }.mkString("\n")
+      val dtd = XmlSchema.parseDtd(
+        s"""<?xml version="1.0"?>
+           |<!DOCTYPE region [
+           |<!ELEMENT region ($children)>
+           |$decls
+           |]>
+           |<region/>""".stripMargin)
+      val regionChildren =
+        dtd.elements.find(_.name == "region").map(_.children).getOrElse(Nil)
+      def card(c: String): Long =
+        regionChildren.count(_.cardinality == c).toLong
+      // --- XSD: type by k%2, minOccurs by k%3, maxOccurs by k%4,
+      //     nillable by k%5, one enumeration value per nation
+      val xsdElems = keys.map { k =>
+        val tpe = if (k % 2 == 0) "xs:int" else "xs:string"
+        val minO = if (k % 3 == 0) " minOccurs=\"0\"" else ""
+        val maxO = if (k % 4 == 0) " maxOccurs=\"unbounded\"" else ""
+        val nil = if (k % 5 == 0) " nillable=\"true\"" else ""
+        s"""<xs:element name="e$k" type="$tpe"$minO$maxO$nil/>"""
+      }.mkString("\n")
+      val enums = keys.map(k => s"""<xs:enumeration value="V$k"/>""")
+        .mkString("\n")
+      val extraAttr =
+        if (region % 2 == 0) """<xs:attribute name="tag" type="xs:string"/>"""
+        else ""
+      val xsd = XmlSchema.parseXsd(
+        s"""<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema"
+           |           targetNamespace="urn:r$region">
+           |  <xs:element name="root" type="Rec"/>
+           |  <xs:complexType name="Rec">
+           |    <xs:sequence>
+           |    $xsdElems
+           |    </xs:sequence>
+           |    <xs:attribute name="id" type="xs:int" use="required"/>
+           |    $extraAttr
+           |  </xs:complexType>
+           |  <xs:simpleType name="Code">
+           |    <xs:restriction base="xs:string">
+           |      <xs:maxLength value="${10 + region}"/>
+           |      $enums
+           |    </xs:restriction>
+           |  </xs:simpleType>
+           |</xs:schema>""".stripMargin)
+      val st = xsd.simpleTypes.head
+      (s"r$region",
+        dtd.elements.size.toLong,
+        dtd.attributes.size.toLong,
+        card("REQUIRED"), card("OPTIONAL"),
+        card("ZERO_OR_MORE"), card("ONE_OR_MORE"),
+        dtd.elements.count(_.contentType == "PCDATA").toLong,
+        dtd.attributes.map(_.allowedValues.size.toLong).sum,
+        xsd.elements.size.toLong,
+        xsd.elements.count(_.minOccurs == "0").toLong,
+        xsd.elements.count(_.maxOccurs == "unbounded").toLong,
+        xsd.elements.count(_.nillable).toLong,
+        xsd.complexTypes.head.attributes.size.toLong,
+        st.enumeration.size.toLong,
+        st.restrictions.find(_._1 == "maxLength").map(_._2.toLong)
+          .getOrElse(-1L))
+    }.toDF("region", "n_dtd_elements", "n_dtd_attrs", "n_required",
+      "n_optional", "n_zero_or_more", "n_one_or_more", "n_pcdata",
+      "n_enum_attr_values", "n_xsd_elements", "n_min_zero",
+      "n_unbounded", "n_nillable", "n_ct_attrs", "n_enum_values",
+      "max_length")
+      .orderBy(col("region"))
+  }
+
   /** q25 — MongoDB Extended JSON profile E2E (S4/S5, P1's fixed-95.0
     * confidences): `$oid` + `$numberLong` wrappers derived from events;
     * wrappers must be typed `objectid`/`integer` and never recursed.

@@ -1,0 +1,105 @@
+package graft.sources
+
+/** Minimal from-scratch FileDescriptorSet WRITER — the inverse of
+  * [[ProtoDescriptor]]'s reader, serializing the public protobuf wire
+  * format (varints + tag = (field_number << 3) | wire_type) for the
+  * descriptor.proto subset the engine reads: files → messages (nested,
+  * map-entry options) / fields / enums / services.
+  *
+  * Purpose: lets a gate query build `.desc` binary columns
+  * deterministically from testdata rows, putting the protobuf scan
+  * (reference `processors/protobuf_parser.py:58-500`) under the driver's
+  * DuckDB-oracle gate — the same recipe as [[SqliteWrite]] for q30. The
+  * reader is independently tied to the textual `.proto` parser by the
+  * source≡wire parity specs, so writer and reader cannot share a
+  * compensating encoding bug without that parity diverging.
+  */
+object ProtoWrite {
+
+  private def varint(v: Long): Array[Byte] = {
+    var x = v
+    val out = new scala.collection.mutable.ArrayBuffer[Byte](10)
+    do {
+      val b = (x & 0x7f).toInt
+      x >>>= 7
+      out += (if (x != 0) (b | 0x80).toByte else b.toByte)
+    } while (x != 0)
+    out.toArray
+  }
+
+  private def tag(num: Int, wire: Int): Array[Byte] =
+    varint((num.toLong << 3) | wire)
+
+  private def lenField(num: Int, body: Array[Byte]): Array[Byte] =
+    tag(num, 2) ++ varint(body.length.toLong) ++ body
+
+  private def strField(num: Int, s: String): Array[Byte] =
+    lenField(num, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def intField(num: Int, v: Long): Array[Byte] =
+    tag(num, 0) ++ varint(v)
+
+  /** FieldDescriptorProto: name=1, number=3, label=4, type=5,
+    * type_name=6, default_value=7. `tpe` is the descriptor.proto type
+    * enum (see [[ProtoDescriptor.TypeNames]]); `label` 1/2/3 =
+    * optional/required/repeated.
+    */
+  def field(name: String, number: Int, tpe: Int, label: Int = 1,
+      typeName: Option[String] = None,
+      default: Option[String] = None): Array[Byte] =
+    strField(1, name) ++ intField(3, number.toLong) ++
+      intField(4, label.toLong) ++ intField(5, tpe.toLong) ++
+      typeName.map(strField(6, _)).getOrElse(Array.emptyByteArray) ++
+      default.map(strField(7, _)).getOrElse(Array.emptyByteArray)
+
+  /** EnumDescriptorProto: name=1, value=2 (EnumValueDescriptorProto:
+    * name=1, number=2).
+    */
+  def enumDesc(name: String, values: Seq[(String, Long)]): Array[Byte] =
+    strField(1, name) ++ values.flatMap { case (vn, num) =>
+      lenField(2, strField(1, vn) ++ intField(2, num))
+    }
+
+  /** DescriptorProto: name=1, field=2, nested_type=3, enum_type=4,
+    * options=7 (MessageOptions.map_entry=7 — the synthetic map-entry
+    * marker the reader skips).
+    */
+  def message(name: String, fields: Seq[Array[Byte]],
+      nested: Seq[Array[Byte]] = Nil, enums: Seq[Array[Byte]] = Nil,
+      mapEntry: Boolean = false): Array[Byte] =
+    strField(1, name) ++
+      fields.flatMap(lenField(2, _)) ++
+      nested.flatMap(lenField(3, _)) ++
+      enums.flatMap(lenField(4, _)) ++
+      (if (mapEntry) lenField(7, intField(7, 1L)) else Array.emptyByteArray)
+
+  /** ServiceDescriptorProto: name=1, method=2 (MethodDescriptorProto:
+    * name=1, input_type=2, output_type=3, client_streaming=5,
+    * server_streaming=6).
+    */
+  def service(name: String,
+      methods: Seq[(String, String, String, Boolean, Boolean)]): Array[Byte] =
+    strField(1, name) ++ methods.flatMap {
+      case (mn, in, out, cs, ss) =>
+        lenField(2, strField(1, mn) ++ strField(2, in) ++ strField(3, out) ++
+          (if (cs) intField(5, 1L) else Array.emptyByteArray) ++
+          (if (ss) intField(6, 1L) else Array.emptyByteArray))
+    }
+
+  /** FileDescriptorProto: name=1, package=2, message_type=4, enum_type=5,
+    * service=6, syntax=12.
+    */
+  def file(name: String, pkg: String, syntax: String,
+      messages: Seq[Array[Byte]], enums: Seq[Array[Byte]] = Nil,
+      services: Seq[Array[Byte]] = Nil): Array[Byte] =
+    strField(1, name) ++ strField(2, pkg) ++
+      messages.flatMap(lenField(4, _)) ++
+      enums.flatMap(lenField(5, _)) ++
+      services.flatMap(lenField(6, _)) ++
+      (if (syntax == null || syntax.isEmpty) Array.emptyByteArray
+       else strField(12, syntax))
+
+  /** FileDescriptorSet: file=1 (repeated). */
+  def descriptorSet(files: Seq[Array[Byte]]): Array[Byte] =
+    files.flatMap(lenField(1, _)).toArray
+}

@@ -21,6 +21,20 @@ object ProtobufScan {
       descriptorSet: Array[Byte]): Dataset[FieldProfile] =
     fieldProfiles(spark, ProtoDescriptor.parse(descriptorSet))
 
+  /** Distributed variant: one serialized FileDescriptorSet per row in
+    * `binCol`, parsed and flattened in executors (the shape a 100 TB
+    * catalog-of-descriptors scan takes — descriptor parse is per-row
+    * metadata work, never a driver loop). Positions restart per
+    * descriptor set, matching the per-file semantics of the driver path.
+    */
+  def fieldProfiles(spark: SparkSession, descs: org.apache.spark.sql.DataFrame,
+      binCol: String): Dataset[FieldProfile] = {
+    import spark.implicits._
+    descs.select(org.apache.spark.sql.functions.col(binCol))
+      .as[Array[Byte]]
+      .flatMap(b => profileRows(ProtoDescriptor.parse(b)))
+  }
+
   /** `.proto` SOURCE variant: same flatten over [[ProtoSource]]'s output
     * (reference's protoc-compile path, `protobuf_parser.py:88-143`).
     */
@@ -31,10 +45,15 @@ object ProtobufScan {
   def fieldProfiles(spark: SparkSession,
       files: Seq[ProtoDescriptor.PFile]): Dataset[FieldProfile] = {
     import spark.implicits._
+    spark.createDataset(profileRows(files))
+  }
+
+  /** Pure flatten: descriptor files → field-profile rows (no Spark). */
+  def profileRows(files: Seq[ProtoDescriptor.PFile]): Seq[FieldProfile] = {
     var position = 0
     def next(): Int = { val p = position; position += 1; p }
 
-    val rows = files.flatMap { f =>
+    files.flatMap { f =>
       val messageFields = f.messages.flatMap { m =>
         m.fields.map { fld =>
           val std = ProtoDescriptor.standardType(fld.tpe)
@@ -107,6 +126,5 @@ object ProtobufScan {
       }
       messageFields ++ enumValues ++ methods
     }
-    spark.createDataset(rows)
   }
 }

@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The from-scratch FileDescriptorSet writer must round-trip through the
+  * independent wire reader, and a written descriptor must decode to the
+  * SAME model the textual `.proto` parser produces for the equivalent
+  * source — tying writer, reader and source parser together so no pair
+  * can hide a compensating encoding bug.
+  */
+class ProtoWriteSpec extends AnyFunSuite {
+
+  private def set(): Array[Byte] = {
+    val inner = ProtoWrite.message("Inner",
+      Seq(ProtoWrite.field("x", 1, 8))) // bool
+    val mapEntry = ProtoWrite.message("TagsEntry",
+      Seq(ProtoWrite.field("key", 1, 9), ProtoWrite.field("value", 2, 9)),
+      mapEntry = true)
+    val person = ProtoWrite.message("Person",
+      Seq(
+        ProtoWrite.field("name", 1, 9), // string
+        ProtoWrite.field("id", 2, 5), // int32
+        ProtoWrite.field("emails", 3, 9, label = 3), // repeated
+        ProtoWrite.field("type", 4, 14, // enum
+          typeName = Some(".tutorial.PhoneType")),
+        ProtoWrite.field("inner", 5, 11, // message
+          typeName = Some(".tutorial.Person.Inner")),
+        ProtoWrite.field("nick", 6, 9, default = Some("anon"))),
+      nested = Seq(inner, mapEntry))
+    val phoneType = ProtoWrite.enumDesc("PhoneType",
+      Seq(("MOBILE", 0L), ("HOME", 1L)))
+    val contacts = ProtoWrite.service("Contacts", Seq(
+      ("Lookup", ".tutorial.Person", ".tutorial.Person", false, false),
+      ("Watch", ".tutorial.Person", ".tutorial.Person", false, true)))
+    ProtoWrite.descriptorSet(Seq(ProtoWrite.file(
+      "addressbook.proto", "tutorial", "proto3",
+      Seq(person), Seq(phoneType), Seq(contacts))))
+  }
+
+  test("writer output decodes to the full model through the wire reader") {
+    val files = ProtoDescriptor.parse(set())
+    assert(files.size === 1)
+    val f = files.head
+    assert(f.name === "addressbook.proto")
+    assert(f.pkg === "tutorial" && f.syntax === "proto3")
+
+    val p = f.messages.head
+    assert(p.fullName === "tutorial.Person")
+    assert(p.fields.map(_.name) ===
+      Seq("name", "id", "emails", "type", "inner", "nick"))
+    assert(p.fields(1).tpe === "int32")
+    assert(p.fields(2).label === "repeated")
+    assert(p.fields(3).tpe === "enum<tutorial.PhoneType>")
+    assert(p.fields(4).tpe === "message<tutorial.Person.Inner>")
+    assert(p.fields(5).default === Some("anon"))
+    // map-entry synthetic messages are skipped; real nested kept
+    assert(p.nested.map(_.name) === Seq("Inner"))
+    assert(p.nested.head.fields.head.tpe === "bool")
+
+    assert(f.enums.head.values === Seq(("MOBILE", 0L), ("HOME", 1L)))
+    val svc = f.services.head
+    assert(svc.fullName === "tutorial.Contacts")
+    assert(svc.methods.map(_.name) === Seq("Lookup", "Watch"))
+    assert(!svc.methods.head.serverStreaming)
+    assert(svc.methods(1).serverStreaming)
+  }
+
+  test("wire-written descriptor equals the textual parser's model") {
+    val source =
+      """syntax = "proto3";
+        |package tutorial;
+        |message Person {
+        |  string name = 1;
+        |  int32 id = 2;
+        |  repeated string emails = 3;
+        |}
+        |enum PhoneType { MOBILE = 0; HOME = 1; }
+        |service Contacts { rpc Lookup (Person) returns (Person); }
+        |""".stripMargin
+    val fromSource = ProtoSource.parse(source, "addressbook.proto")
+    val wire = ProtoWrite.descriptorSet(Seq(ProtoWrite.file(
+      "addressbook.proto", "tutorial", "proto3",
+      Seq(ProtoWrite.message("Person", Seq(
+        ProtoWrite.field("name", 1, 9),
+        ProtoWrite.field("id", 2, 5),
+        ProtoWrite.field("emails", 3, 9, label = 3)))),
+      Seq(ProtoWrite.enumDesc("PhoneType",
+        Seq(("MOBILE", 0L), ("HOME", 1L)))),
+      Seq(ProtoWrite.service("Contacts", Seq(
+        ("Lookup", ".tutorial.Person", ".tutorial.Person",
+          false, false)))))))
+    assert(ProtoDescriptor.parse(wire).head === fromSource)
+  }
+}
