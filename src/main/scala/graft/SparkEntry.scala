@@ -52,7 +52,9 @@ object SparkEntry {
     "q31_ivf_ann" -> (TrainingOps.q31IvfAnn(_, _)),
     "q32_bpe_tokens" -> (Queries.q32BpeTokens(_, _)),
     "q33_profile_proto" -> (ProfileQueries.q33ProfileProto(_, _)),
-    "q34_schema_xml" -> (ProfileQueries.q34SchemaXml(_, _))
+    "q34_schema_xml" -> (ProfileQueries.q34SchemaXml(_, _)),
+    "q35_media_decode" ->
+      (graft.multimodal.Multimodal.q35MediaDecode(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -447,6 +449,27 @@ object SparkEntry {
          CAST(1 + CASE WHEN n_regionkey % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_ct_attrs,
          CAST(COUNT(*) AS BIGINT) AS n_enum_values,
          CAST(10 + n_regionkey AS BIGINT) AS max_length
-         FROM nation GROUP BY n_regionkey ORDER BY region"""
+         FROM nation GROUP BY n_regionkey ORDER BY region""",
+    // q35: BMP/WAV payloads serialized per nation row inside the query,
+    // decoded by the REAL javax.imageio / javax.sound paths; the decoded
+    // dimensions/means/channels/frames/amplitudes must equal this
+    // arithmetic exactly (a stub fallback would hash-mismatch).
+    "q35_media_decode" ->
+      """WITH m AS (
+           SELECT n_nationkey * 2 AS media_id, 'image' AS media_type,
+                  n_nationkey AS k FROM nation
+           UNION ALL
+           SELECT n_nationkey * 2 + 1, 'audio', n_nationkey FROM nation)
+         SELECT media_id, media_type,
+           CASE WHEN media_type = 'image' THEN CAST(4 + k % 5 AS BIGINT) END AS width,
+           CASE WHEN media_type = 'image' THEN CAST(3 + k % 4 AS BIGINT) END AS height,
+           CASE WHEN media_type = 'image' THEN CAST((k * 7) % 256 AS BIGINT) END AS mean_r,
+           CASE WHEN media_type = 'image' THEN CAST((k * 11) % 256 AS BIGINT) END AS mean_g,
+           CASE WHEN media_type = 'image' THEN CAST((k * 13) % 256 AS BIGINT) END AS mean_b,
+           CASE WHEN media_type = 'audio' THEN CAST(1 + k % 2 AS BIGINT) END AS channels,
+           CASE WHEN media_type = 'audio' THEN CAST(64 + k AS BIGINT) END AS frames,
+           CASE WHEN media_type = 'audio' THEN CAST(POWER(2, 8 + k % 7) AS BIGINT) END AS amp,
+           CASE WHEN media_type = 'audio' THEN CAST(POWER(2, 8 + k % 7) AS BIGINT) END AS mean_amp
+         FROM m ORDER BY media_id"""
   )
 }

@@ -1,0 +1,84 @@
+package graft.multimodal
+
+/** Deterministic media payload writers — uncompressed 24-bit BMP
+  * (BITMAPINFOHEADER) and 16-bit PCM WAV (RIFF/WAVE), both trivial public
+  * formats serialized from scratch. Purpose: lets a gate query build
+  * image/audio binary columns from testdata integers inside the query, so
+  * the REAL [[MediaCodec]] decode path (javax.imageio /
+  * javax.sound.sampled) lands under the driver's DuckDB-oracle gate with
+  * exactly recomputable decoded values (the q30/q33 recipe for the media
+  * modality). The decoders are independent JDK implementations, so writer
+  * and decoder cannot share a compensating bug.
+  */
+object MediaWrite {
+
+  private def le(v: Long, len: Int): Array[Byte] =
+    Array.tabulate(len)(i => ((v >>> (8 * i)) & 0xff).toByte)
+
+  /** Solid-colour 24-bit uncompressed BMP: `width`×`height`, every pixel
+    * (r,g,b) — decoded per-channel means are exactly r/g/b.
+    */
+  def bmp(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val rowBytes = width * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val imageSize = (rowBytes + pad) * height
+    val fileSize = 54 + imageSize
+    val out = new java.io.ByteArrayOutputStream(fileSize)
+    // BITMAPFILEHEADER (14 bytes)
+    out.write('B'); out.write('M')
+    out.write(le(fileSize.toLong, 4))
+    out.write(le(0L, 4)) // reserved
+    out.write(le(54L, 4)) // pixel-array offset
+    // BITMAPINFOHEADER (40 bytes)
+    out.write(le(40L, 4))
+    out.write(le(width.toLong, 4))
+    out.write(le(height.toLong, 4)) // positive = bottom-up
+    out.write(le(1L, 2)) // planes
+    out.write(le(24L, 2)) // bpp
+    out.write(le(0L, 4)) // BI_RGB
+    out.write(le(imageSize.toLong, 4))
+    out.write(le(2835L, 4)); out.write(le(2835L, 4)) // 72 DPI
+    out.write(le(0L, 4)); out.write(le(0L, 4)) // palette
+    // pixel rows: BGR order, padded to 4-byte boundaries
+    val row = new Array[Byte](rowBytes + pad)
+    var x = 0
+    while (x < width) {
+      row(3 * x) = b.toByte; row(3 * x + 1) = g.toByte
+      row(3 * x + 2) = r.toByte
+      x += 1
+    }
+    var y = 0
+    while (y < height) { out.write(row); y += 1 }
+    out.toByteArray
+  }
+
+  /** Constant-amplitude 16-bit signed PCM WAV: `frames` frames of
+    * `channels` interleaved samples, every sample = `amplitude`. With a
+    * power-of-two amplitude, the decoded rms and meanAbs are exactly
+    * amplitude/32768 (no float rounding).
+    */
+  def wavConst(channels: Int, sampleRate: Int, frames: Int,
+      amplitude: Short): Array[Byte] = {
+    val nSamples = frames * channels
+    val dataBytes = nSamples * 2
+    val blockAlign = channels * 2
+    val out = new java.io.ByteArrayOutputStream(44 + dataBytes)
+    out.write("RIFF".getBytes("US-ASCII"))
+    out.write(le(36L + dataBytes, 4))
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII"))
+    out.write(le(16L, 4)) // PCM fmt chunk size
+    out.write(le(1L, 2)) // audio format = PCM
+    out.write(le(channels.toLong, 2))
+    out.write(le(sampleRate.toLong, 4))
+    out.write(le(sampleRate.toLong * blockAlign, 4)) // byte rate
+    out.write(le(blockAlign.toLong, 2))
+    out.write(le(16L, 2)) // bits per sample
+    out.write("data".getBytes("US-ASCII"))
+    out.write(le(dataBytes.toLong, 4))
+    val sample = le(amplitude.toLong & 0xffffL, 2)
+    var i = 0
+    while (i < nSamples) { out.write(sample); i += 1 }
+    out.toByteArray
+  }
+}

@@ -182,6 +182,55 @@ object Multimodal {
     * feature dim read from the real decoded batch), so the query is
     * oracle-checkable while still driving the full binary path.
     */
+  /** q35 — REAL media decode under the oracle gate: per nation row, a
+    * solid-colour BMP and a constant-amplitude WAV are serialized in
+    * executors by [[MediaWrite]] from deterministic integer arithmetic,
+    * pushed through the real [[extractFeatures]] pipeline
+    * (javax.imageio / javax.sound.sampled decode — a fallback to the
+    * byte-stripe stub would produce wrong values), and the DECODED
+    * width/height/channel-means/channels/frames/amplitudes are projected
+    * back to exact integers the DuckDB oracle recomputes from the same
+    * arithmetic. Amplitudes are powers of two so rms/meanAbs are exact
+    * in float32.
+    */
+  def q35MediaDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("long")).as[Long]
+    val media = nation.flatMap { k =>
+      val w = 4 + (k % 5).toInt
+      val h = 3 + (k % 4).toInt
+      val (r, g, b) =
+        (((k * 7) % 256).toInt, ((k * 11) % 256).toInt, ((k * 13) % 256).toInt)
+      val channels = 1 + (k % 2).toInt
+      val frames = 64 + k.toInt
+      val amp = (1 << (8 + (k % 7).toInt)).toShort
+      Seq(
+        MediaRecord(k * 2, "image", MediaWrite.bmp(w, h, r, g, b),
+          Map.empty[String, String]),
+        MediaRecord(k * 2 + 1, "audio",
+          MediaWrite.wavConst(channels, 8000, frames, amp),
+          Map.empty[String, String]))
+    }
+    val feats = extractFeatures(media).toDF()
+    def f(i: Int) = col("feature").getItem(i).cast("double")
+    val img = col("media_type") === "image"
+    val aud = col("media_type") === "audio"
+    feats.select(
+      col("media_id"),
+      col("media_type"),
+      when(img, round(f(0))).cast("long").as("width"),
+      when(img, round(f(1))).cast("long").as("height"),
+      when(img, round(f(2) * 255)).cast("long").as("mean_r"),
+      when(img, round(f(3) * 255)).cast("long").as("mean_g"),
+      when(img, round(f(4) * 255)).cast("long").as("mean_b"),
+      when(aud, round(f(0))).cast("long").as("channels"),
+      when(aud, round(f(2))).cast("long").as("frames"),
+      when(aud, round(f(3) * 32768)).cast("long").as("amp"),
+      when(aud, round(f(4) * 32768)).cast("long").as("mean_amp"))
+      .orderBy(col("media_id"))
+  }
+
   def q21MultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val feats = extractFeatures(mediaFromDocuments(spark, docs))

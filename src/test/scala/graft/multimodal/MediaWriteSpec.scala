@@ -1,0 +1,33 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The from-scratch BMP/WAV writers must decode EXACTLY through the
+  * independent JDK codecs — this is the anti-compensating-bug leg behind
+  * the q35 gate.
+  */
+class MediaWriteSpec extends AnyFunSuite {
+
+  test("solid-colour BMP decodes to exact dimensions and channel means") {
+    val bytes = MediaWrite.bmp(7, 5, 200, 33, 250) // odd width → row padding
+    assert(MediaCodec.sniff(bytes) === Some("bmp"))
+    val img = MediaCodec.decodeImage(bytes).get
+    assert(img.width === 7 && img.height === 5)
+    assert(img.meanR === 200.0 && img.meanG === 33.0 && img.meanB === 250.0)
+  }
+
+  test("constant-amplitude WAV decodes to exact frames and rms") {
+    val bytes = MediaWrite.wavConst(2, 8000, 75, 16384) // amp = 2^14 → 0.5
+    assert(MediaCodec.sniff(bytes) === Some("wav"))
+    val a = MediaCodec.decodeAudio(bytes).get
+    assert(a.channels === 2 && a.sampleRate === 8000.0)
+    assert(a.nFrames === 75L)
+    assert(a.rms === 0.5 && a.meanAbs === 0.5)
+  }
+
+  test("negative amplitude round-trips through two's complement") {
+    val a = MediaCodec.decodeAudio(
+      MediaWrite.wavConst(1, 16000, 10, (-8192).toShort)).get
+    assert(a.rms === 0.25 && a.meanAbs === 0.25)
+  }
+}
