@@ -50,7 +50,14 @@ object TrainingOps {
     * big side shuffle-free.
     */
   private[queries] def shingleTokens(sets: DataFrame, dfCap: Int): DataFrame = {
-    val tok = sets.select(col("doc_id"), explode(col("shingles")).as("s"))
+    // Shingles ride as xxhash64 longs from here on: every downstream
+    // shuffle (df-cap agg, inverted-index self-join, signature agg,
+    // verify-set agg) moves 8 bytes per shingle instead of a ~25-byte
+    // string — ~5× less shuffle payload on the biggest dedup stage.
+    // Collision risk is |shingles|²/2⁶⁴ per doc pair, far below the
+    // banding miss bounds the consumers already carry.
+    val tok = sets.select(col("doc_id"), explode(col("shingles")).as("str"))
+      .select(col("doc_id"), xxhash64(col("str")).as("s"))
     val hot = tok.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("s"))
     tok.join(broadcast(hot), Seq("s"), "left_anti")
