@@ -54,7 +54,9 @@ object SparkEntry {
     "q33_profile_proto" -> (ProfileQueries.q33ProfileProto(_, _)),
     "q34_schema_xml" -> (ProfileQueries.q34SchemaXml(_, _)),
     "q35_media_decode" ->
-      (graft.multimodal.Multimodal.q35MediaDecode(_, _))
+      (graft.multimodal.Multimodal.q35MediaDecode(_, _)),
+    "q36_video_decode" ->
+      (graft.multimodal.Multimodal.q36VideoDecode(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -470,6 +472,22 @@ object SparkEntry {
            CASE WHEN media_type = 'audio' THEN CAST(64 + k AS BIGINT) END AS frames,
            CASE WHEN media_type = 'audio' THEN CAST(POWER(2, 8 + k % 7) AS BIGINT) END AS amp,
            CASE WHEN media_type = 'audio' THEN CAST(POWER(2, 8 + k % 7) AS BIGINT) END AS mean_amp
-         FROM m ORDER BY media_id"""
+         FROM m ORDER BY media_id""",
+    // q36: uncompressed-DIB AVIs serialized per nation row inside the
+    // query and decoded by the from-scratch RIFF walk; decoded
+    // dimensions, frame counts and per-channel colour sums must equal
+    // this arithmetic exactly (no lossy codec in the path).
+    "q36_video_decode" ->
+      """WITH fr AS (SELECT n_nationkey AS k, f FROM nation,
+                     (SELECT unnest(range(4)) AS f)
+                     WHERE f < 2 + n_nationkey % 3)
+         SELECT k AS media_id,
+           CAST(4 + k % 5 AS BIGINT) AS width,
+           CAST(3 + k % 4 AS BIGINT) AS height,
+           CAST(2 + k % 3 AS BIGINT) AS n_frames,
+           CAST(SUM((k * 7 + 11 * f) % 256) AS BIGINT) AS sum_r,
+           CAST(SUM((k * 11 + 7 * f) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((k * 13 + 5 * f) % 256) AS BIGINT) AS sum_b
+         FROM fr GROUP BY k ORDER BY media_id"""
   )
 }

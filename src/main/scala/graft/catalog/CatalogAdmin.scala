@@ -97,8 +97,20 @@ object CatalogAdmin {
     }.toMap
   }
 
+  /** Restore a backup into a live catalog root: drop the current tables,
+    * then copy the backup tree back (the proof that a backup is usable,
+    * not just bytes on disk — CatalogAdminSpec round-trips it and checks
+    * health + stats equality). Returns (files, bytes) restored.
+    */
+  def restore(spark: SparkSession, backupDir: String,
+      outDir: String): (Long, Long) = {
+    clear(spark, outDir)
+    backup(backupDir, outDir)
+  }
+
   /** Backup (`backup_database`): copy the catalog tree to `backupDir`;
-    * returns (files copied, bytes). Restore = point the engine at it.
+    * returns (files copied, bytes). Restore = point the engine at it, or
+    * [[restore]] it in place.
     */
   def backup(outDir: String, backupDir: String): (Long, Long) = {
     val src = Paths.get(outDir)

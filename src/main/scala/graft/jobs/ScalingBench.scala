@@ -37,6 +37,7 @@ import graft.model.FileRecord
 object ScalingBench {
   val BenchRows = 200000L
   val BenchCorpus = "fixtures/data/corpus_bench"
+  val ProfileCorpus = "fixtures/data/corpus_profile"
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -67,6 +68,42 @@ object ScalingBench {
     val dt = (System.nanoTime() - t0) / 1e9
     lm.destroy(); km.destroy()
     dt
+  }
+
+  /** Profiler-mode corpus: `rows` nested JSON docs derived purely from the
+    * row id (nullable email 1-in-10, nested object, arrays) — the same
+    * field mix the q22 gate profiles, at bench scale.
+    */
+  private def writeProfileCorpus(spark: SparkSession, rows: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    spark.range(rows).select(
+      to_json(struct(
+        col("id"),
+        concat(lit("user "), col("id")).as("name"),
+        when(col("id") % 10 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("u"), col("id"), lit("@example.com")))
+          .as("email"),
+        ((col("id") % 100) * 1.5).as("balance"),
+        struct(
+          (col("id") % 7).as("segment"),
+          concat(lit("555-01"),
+            lpad((col("id") % 100).cast("string"), 2, "0")).as("phone"))
+          .as("profile"),
+        array(col("id") % 3, col("id") % 5).as("tags")),
+        Map("ignoreNullFields" -> "false")).as("doc"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(ProfileCorpus)
+  }
+
+  /** One full profiling-engine pass (S1-S3/P1-P7/A1/W3 — the reference's
+    * main capability) over the synthetic JSON corpus; returns wall secs.
+    */
+  private def timedProfilePass(spark: SparkSession): Double = {
+    val input = spark.read.parquet(ProfileCorpus)
+    val t0 = System.nanoTime()
+    graft.profile.Profiler.profile(spark, input, "doc")
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
   }
 
   // --- calibration: embarrassingly parallel pure-CPU work --------------
@@ -114,25 +151,36 @@ object ScalingBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val rows = if (args.length > 0) args(0).toLong else BenchRows
-    val nLow = if (args.length > 1) args(1).toInt else 4
+    // Modes: (default) the quality-filter pipeline; "profile" — the
+    // profiling engine over a synthetic JSON corpus (VERDICT r2 task 5:
+    // the reference's MAIN capability needs its own two-level evidence).
+    val (mode, rest) =
+      if (args.headOption.contains("profile")) ("profile", args.drop(1))
+      else ("filter", args)
+    val rows = if (rest.length > 0) rest(0).toLong else BenchRows
+    val nLow = if (rest.length > 1) rest(1).toInt else 4
     val nHigh = nLow * 4
 
     // corpus written once (content is seeded by row id, writer-independent)
-    if (!new java.io.File(BenchCorpus).exists()) {
-      val s = session(32)
-      Corpus.writeCorpus(s, rows, BenchCorpus)
-      s.stop()
-    }
+    val s0 = session(32)
+    if (mode == "profile") {
+      if (!new java.io.File(ProfileCorpus).exists())
+        writeProfileCorpus(s0, rows)
+    } else if (!new java.io.File(BenchCorpus).exists())
+      Corpus.writeCorpus(s0, rows, BenchCorpus)
+    s0.stop()
+
+    val pass: SparkSession => Double =
+      if (mode == "profile") timedProfilePass else timedPass
 
     def measure(cpus: Int): (Double, Double, Double) = {
       val calib = calibrate(cpus)
       val s = session(cpus)
-      val warm = timedPass(s) // JIT warm-up, untimed
-      val t = (1 to 3).map(_ => timedPass(s)).min
+      val warm = pass(s) // JIT warm-up, untimed
+      val t = (1 to 3).map(_ => pass(s)).min
       s.stop()
       System.err.println(
-        f"[scaling] local[$cpus]: warm=$warm%.1fs best=$t%.1fs calib=$calib%.0f it/s")
+        f"[scaling] $mode local[$cpus]: warm=$warm%.1fs best=$t%.1fs calib=$calib%.0f it/s")
       (t, rows / t, calib)
     }
 
@@ -145,16 +193,19 @@ object ScalingBench {
 
     val json =
       s"""{"metric":"scaling_efficiency","value":$effNorm,"unit":"ratio",""" +
-        s""""raw_efficiency":$effRaw,"hw_ceiling":${hwSpeedup / 4.0},""" +
+        s""""mode":"$mode","raw_efficiency":$effRaw,"hw_ceiling":${hwSpeedup / 4.0},""" +
         s""""rows":$rows,"n_low":$nLow,"n_high":$nHigh,""" +
         s""""sec_low":$tLow,"sec_high":$tHigh,""" +
         s""""files_per_sec_low":$thLow,"files_per_sec_high":$thHigh,""" +
         s""""job_speedup":$jobSpeedup,"hw_speedup":$hwSpeedup}"""
     println(json)
 
+    val modeDesc =
+      if (mode == "profile") "profiling engine (JSON type-inference/PII)"
+      else "quality-filter pipeline"
     val md =
       f"""
-         |## Measured scaling (quality-filter pipeline, ${rows} synthetic files)
+         |## Measured scaling ($modeDesc, ${rows} synthetic files)
          |
          |Generated by `graft.jobs.ScalingBench`: identical job + input at
          |local[$nLow] vs local[$nHigh] (sandbox stand-in for N vs 4N executors),

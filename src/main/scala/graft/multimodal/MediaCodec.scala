@@ -3,9 +3,9 @@ package graft.multimodal
 import java.io.ByteArrayInputStream
 
 /** Real media decoding on the pure JDK — `javax.imageio` (PNG/BMP/GIF/
-  * JPEG) and `javax.sound.sampled` (WAV/PCM) ship with Java 17, so image
-  * and audio decode need no external libraries. Video remains the one
-  * genuinely stubbed modality (the JDK has no video codec).
+  * JPEG), `javax.sound.sampled` (WAV/PCM), and a from-scratch RIFF/AVI
+  * container walk for video (MJPEG frames via ImageIO, uncompressed DIB
+  * frames directly) — no modality is stubbed.
   *
   * All entry points are total: malformed/unknown bytes return None and
   * the caller falls back to the deterministic byte-level path, so a
@@ -20,6 +20,9 @@ object MediaCodec {
   final case class DecodedAudio(channels: Int, sampleRate: Double,
       nFrames: Long, rms: Double, meanAbs: Double)
 
+  final case class DecodedVideo(width: Int, height: Int, nFrames: Int,
+      meanR: Double, meanG: Double, meanB: Double)
+
   /** Cheap container sniff from magic bytes (dispatch before the heavier
     * decode; mirrors the reference's format-sniff pattern).
     */
@@ -33,8 +36,139 @@ object MediaCodec {
     else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
       at(8) == 'W' && at(9) == 'A' && at(10) == 'V' && at(11) == 'E')
       Some("wav")
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F' &&
+      at(8) == 'A' && at(9) == 'V' && at(10) == 'I' && at(11) == ' ')
+      Some("avi")
     else None
   }
+
+  // ---- RIFF/AVI container (video) ------------------------------------
+
+  private def u32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | (b(i + 1) & 0xffL) << 8 |
+      (b(i + 2) & 0xffL) << 16 | (b(i + 3) & 0xffL) << 24
+
+  private def u16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | (b(i + 1) & 0xff) << 8
+
+  private def fourcc(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, "US-ASCII")
+
+  /** Depth-first RIFF chunk walk; `f(listForms, chunkId, bodyOffset,
+    * bodySize)` per leaf chunk. Chunks are word-aligned per the spec.
+    */
+  private def riffWalk(b: Array[Byte], from: Int, to: Int,
+      path: List[String])(f: (List[String], String, Int, Int) => Unit): Unit = {
+    var i = from
+    while (i + 8 <= to) {
+      val id = fourcc(b, i)
+      val size = u32(b, i + 4).toInt
+      val body = i + 8
+      if (size < 0 || body + size > to) return // truncated/corrupt: stop
+      if ((id == "RIFF" || id == "LIST") && size >= 4)
+        riffWalk(b, body + 4, body + size, path :+ fourcc(b, body))(f)
+      else f(path, id, body, size)
+      i = body + size + (size & 1)
+    }
+  }
+
+  /** Parsed AVI: (width, height, bitCount, frame chunk (offset, size)s).
+    * Dimensions come from the video stream's strf BITMAPINFOHEADER.
+    */
+  private def aviParse(
+      bytes: Array[Byte]): Option[(Int, Int, Int, Seq[(Int, Int)])] = {
+    if (!sniff(bytes).contains("avi")) return None
+    var w, h, bpp = 0
+    val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    riffWalk(bytes, 0, bytes.length, Nil) { (path, id, off, size) =>
+      if (id == "strf" && path.contains("strl") && w == 0 && size >= 40) {
+        w = u32(bytes, off + 4).toInt
+        h = math.abs(u32(bytes, off + 8).toInt)
+        bpp = u16(bytes, off + 14)
+      } else if ((id == "00dc" || id == "00db") && path.contains("movi"))
+        frames += ((off, size))
+    }
+    if (w <= 0 || h <= 0 || frames.isEmpty) None
+    else Some((w, h, bpp, frames.toSeq))
+  }
+
+  /** Decode an AVI payload: per-frame decode (JPEG frames through
+    * ImageIO; 24-bit uncompressed DIB frames directly — bottom-up BGR
+    * rows padded to 4 bytes) accumulated into whole-stream channel means.
+    */
+  def decodeVideo(bytes: Array[Byte]): Option[DecodedVideo] =
+    try {
+      aviParse(bytes).flatMap { case (w, h, bpp, frames) =>
+        var (r, g, bl) = (0.0, 0.0, 0.0)
+        var nPix = 0L
+        var decoded = 0
+        frames.foreach { case (off, size) =>
+          if (size >= 2 && (bytes(off) & 0xff) == 0xFF &&
+            (bytes(off + 1) & 0xff) == 0xD8) {
+            val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(
+              java.util.Arrays.copyOfRange(bytes, off, off + size)))
+            if (img != null) {
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  r += (p >> 16) & 0xFF; g += (p >> 8) & 0xFF; bl += p & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              nPix += img.getWidth.toLong * img.getHeight
+              decoded += 1
+            }
+          } else if (bpp == 24) {
+            val rowBytes = ((w * 3 + 3) / 4) * 4
+            if (size >= rowBytes * h) {
+              var y = 0
+              while (y < h) {
+                val base = off + y * rowBytes
+                var x = 0
+                while (x < w) {
+                  bl += bytes(base + 3 * x) & 0xFF
+                  g += bytes(base + 3 * x + 1) & 0xFF
+                  r += bytes(base + 3 * x + 2) & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              nPix += w.toLong * h
+              decoded += 1
+            }
+          }
+        }
+        if (decoded == 0 || nPix == 0) None
+        else Some(DecodedVideo(w, h, frames.size,
+          r / nPix, g / nPix, bl / nPix))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Extract standalone decodable frame payloads from an AVI: JPEG
+    * frames as-is; 24-bit DIB frames re-wrapped with a BMP file header
+    * so each frame round-trips through [[decodeImage]].
+    */
+  def aviFrames(bytes: Array[Byte]): Option[Seq[Array[Byte]]] =
+    try {
+      aviParse(bytes).map { case (w, h, bpp, frames) =>
+        frames.flatMap { case (off, size) =>
+          val fb = java.util.Arrays.copyOfRange(bytes, off, off + size)
+          if (size >= 2 && (fb(0) & 0xff) == 0xFF && (fb(1) & 0xff) == 0xD8)
+            Some(fb)
+          else if (bpp == 24) {
+            def le(v: Long, len: Int): Array[Byte] =
+              Array.tabulate(len)(i => ((v >>> (8 * i)) & 0xff).toByte)
+            Some(Array[Byte]('B', 'M') ++ le(54L + size, 4) ++ le(0L, 4) ++
+              le(54L, 4) ++ le(40L, 4) ++ le(w.toLong, 4) ++ le(h.toLong, 4) ++
+              le(1L, 2) ++ le(24L, 2) ++ le(0L, 4) ++ le(size.toLong, 4) ++
+              le(2835L, 4) ++ le(2835L, 4) ++ le(0L, 4) ++ le(0L, 4) ++ fb)
+          } else None
+        }
+      }.filter(_.nonEmpty)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Decode an image payload to dimensions + per-channel means. */
   def decodeImage(bytes: Array[Byte]): Option[DecodedImage] =

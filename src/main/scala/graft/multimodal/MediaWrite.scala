@@ -81,4 +81,85 @@ object MediaWrite {
     while (i < nSamples) { out.write(sample); i += 1 }
     out.toByteArray
   }
+
+  // ---- AVI (RIFF) ----------------------------------------------------
+
+  private def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private def chunk(id: String, body: Array[Byte]): Array[Byte] =
+    ascii(id) ++ le(body.length.toLong, 4) ++ body ++
+      (if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+
+  private def list(form: String, body: Array[Byte]): Array[Byte] =
+    chunk("LIST", ascii(form) ++ body)
+
+  private def aviContainer(width: Int, height: Int, frameChunks: Array[Byte],
+      nFrames: Int, handler: String, biCompression: Long,
+      frameSize: Int): Array[Byte] = {
+    val avih = le(100000L, 4) ++ le(frameSize.toLong * 10, 4) ++ le(0L, 4) ++
+      le(0x10L, 4) ++ le(nFrames.toLong, 4) ++ le(0L, 4) ++ le(1L, 4) ++
+      le(frameSize.toLong, 4) ++ le(width.toLong, 4) ++
+      le(height.toLong, 4) ++ le(0L, 4) ++ le(0L, 4) ++ le(0L, 4) ++ le(0L, 4)
+    val strh = ascii("vids") ++ ascii(handler) ++ le(0L, 4) ++ le(0L, 2) ++
+      le(0L, 2) ++ le(0L, 4) ++ le(1L, 4) ++ le(10L, 4) ++ le(0L, 4) ++
+      le(nFrames.toLong, 4) ++ le(frameSize.toLong, 4) ++ le(0L, 4) ++
+      le(0L, 4) ++ le(0L, 4) ++ le(0L, 4)
+    val strf = le(40L, 4) ++ le(width.toLong, 4) ++ le(height.toLong, 4) ++
+      le(1L, 2) ++ le(24L, 2) ++ le(biCompression, 4) ++
+      le(frameSize.toLong, 4) ++ le(2835L, 4) ++ le(2835L, 4) ++
+      le(0L, 4) ++ le(0L, 4)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++
+        chunk("strf", strf)))
+    val movi = list("movi", frameChunks)
+    val body = ascii("AVI ") ++ hdrl ++ movi
+    ascii("RIFF") ++ le(body.length.toLong, 4) ++ body
+  }
+
+  /** Uncompressed-DIB AVI: one solid-colour 24-bit frame per entry of
+    * `frameColors` — decoded whole-stream channel means are exactly the
+    * frame-colour averages (no lossy codec in the path).
+    */
+  def aviDib(width: Int, height: Int,
+      frameColors: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val rowBytes = ((width * 3 + 3) / 4) * 4
+    val frameSize = rowBytes * height
+    val frames = frameColors.map { case (r, g, b) =>
+      val f = new Array[Byte](frameSize)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          f(y * rowBytes + 3 * x) = b.toByte
+          f(y * rowBytes + 3 * x + 1) = g.toByte
+          f(y * rowBytes + 3 * x + 2) = r.toByte
+          x += 1
+        }
+        y += 1
+      }
+      chunk("00db", f)
+    }
+    aviContainer(width, height, frames.flatten.toArray, frameColors.size,
+      "DIB ", 0L, frameSize)
+  }
+
+  /** MJPEG AVI: each frame JPEG-encoded through ImageIO (lossy — decoded
+    * means are approximate; dimensions and frame counts stay exact).
+    */
+  def aviMjpeg(width: Int, height: Int,
+      frameColors: Seq[(Int, Int, Int)]): Array[Byte] = {
+    val frames = frameColors.map { case (r, g, b) =>
+      val img = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gr = img.createGraphics()
+      gr.setColor(new java.awt.Color(r, g, b))
+      gr.fillRect(0, 0, width, height)
+      gr.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      chunk("00dc", bos.toByteArray)
+    }
+    aviContainer(width, height, frames.flatten.toArray, frameColors.size,
+      "MJPG", 0x47504A4DL /* 'MJPG' */, 0)
+  }
 }

@@ -9,11 +9,11 @@ import org.apache.spark.sql.functions._
   * batch shape, same schema contract).
   *
   * Decoding is REAL for images (PNG/BMP/GIF/JPEG via the JDK's
-  * `javax.imageio`) and audio (WAV/PCM via `javax.sound.sampled`) — see
-  * [[MediaCodec]]; unknown or undecodable payloads fall back to a
-  * deterministic byte-level feature ([[decodeBatchStub]]), so a corrupt
-  * payload never fails a task. Video decode remains the one honest stub
-  * (the JDK ships no video codec); its frame-sampling plumbing is real.
+  * `javax.imageio`), audio (WAV/PCM via `javax.sound.sampled`) and video
+  * (MJPEG / uncompressed-DIB AVI via a from-scratch RIFF walk +
+  * per-frame decode) — see [[MediaCodec]]; unknown or undecodable
+  * payloads fall back to a deterministic byte-level feature
+  * ([[decodeBatchStub]]), so a corrupt payload never fails a task.
   */
 object Multimodal {
 
@@ -51,9 +51,10 @@ object Multimodal {
 
   /** REAL batched decode + feature-extract: images → [w, h, meanR, meanG,
     * meanB, aspect, 1, 0] (channel means 0-1); audio → [channels,
-    * kHz, frames, rms, meanAbs, 2, 0, 0]; everything else → the
-    * byte-stripe fallback. One batch in, one fixed-dim batch out — the
-    * Arrow-batch contract of `mapInPandas`.
+    * kHz, frames, rms, meanAbs, 2, 0, 0]; video → [w, h, nFrames,
+    * meanR, meanG, meanB, 3, 0]; everything else → the byte-stripe
+    * fallback. One batch in, one fixed-dim batch out — the Arrow-batch
+    * contract of `mapInPandas`.
     */
   def decodeBatch(batch: Seq[MediaRecord]): Seq[MediaFeatures] =
     batch.map { r =>
@@ -62,6 +63,12 @@ object Multimodal {
           MediaCodec.decodeAudio(r.payload).map { a =>
             Array[Float](a.channels.toFloat, (a.sampleRate / 1000.0).toFloat,
               a.nFrames.toFloat, a.rms.toFloat, a.meanAbs.toFloat, 2f, 0f, 0f)
+          }
+        case Some("avi") =>
+          MediaCodec.decodeVideo(r.payload).map { v =>
+            Array[Float](v.width.toFloat, v.height.toFloat,
+              v.nFrames.toFloat, (v.meanR / 255.0).toFloat,
+              (v.meanG / 255.0).toFloat, (v.meanB / 255.0).toFloat, 3f, 0f)
           }
         case Some(_) =>
           MediaCodec.decodeImage(r.payload).map { im =>
@@ -150,12 +157,12 @@ object Multimodal {
       .flatMap(b => resizeBatchStub(b.toSeq, targetBytes)))
   }
 
-  /** STUB frame sampler — stands in for video frame extraction: the
-    * payload is cut into fixed-size "frames" and every `stride`-th frame
-    * is emitted as its own record (`media_id` preserved, frame index in
-    * the metadata). A row explodes into a bounded number of rows — the
-    * flatMap analogue of a Pandas-UDF iterator that yields multiple
-    * batches per input.
+  /** Byte-stripe frame sampler — the fallback for payloads that are not
+    * decodable AVI containers: the payload is cut into fixed-size
+    * "frames" and every `stride`-th frame is emitted as its own record
+    * (`media_id` preserved, frame index in the metadata). A row explodes
+    * into a bounded number of rows — the flatMap analogue of a
+    * Pandas-UDF iterator that yields multiple batches per input.
     */
   def frameSampleStub(r: MediaRecord, frameBytes: Int,
       stride: Int): Seq[MediaRecord] = {
@@ -170,10 +177,27 @@ object Multimodal {
     }
   }
 
+  /** REAL frame sampling for AVI payloads: every `stride`-th container
+    * frame is emitted as a standalone decodable image record (JPEG
+    * frames as-is, DIB frames re-wrapped as BMP — see
+    * [[MediaCodec.aviFrames]]); non-AVI payloads take the byte-stripe
+    * fallback so the operator stays total.
+    */
+  def frameSample(r: MediaRecord, frameBytes: Int,
+      stride: Int): Seq[MediaRecord] =
+    MediaCodec.aviFrames(r.payload) match {
+      case Some(frames) =>
+        frames.indices.by(stride).map { f =>
+          r.copy(payload = frames(f), media_type = "frame",
+            meta = r.meta + ("frame" -> f.toString))
+        }
+      case None => frameSampleStub(r, frameBytes, stride)
+    }
+
   def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int,
       stride: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
-    media.flatMap(frameSampleStub(_, frameBytes, stride))
+    media.flatMap(frameSample(_, frameBytes, stride))
   }
 
   /** q21 — multimodal pipeline rollup: documents → binary media column →
@@ -228,6 +252,43 @@ object Multimodal {
       when(aud, round(f(2))).cast("long").as("frames"),
       when(aud, round(f(3) * 32768)).cast("long").as("amp"),
       when(aud, round(f(4) * 32768)).cast("long").as("mean_amp"))
+      .orderBy(col("media_id"))
+  }
+
+  /** q36 — REAL video decode under the oracle gate: per nation row, an
+    * uncompressed-DIB AVI (one solid-colour frame per index, colours from
+    * integer arithmetic) is serialized in executors by
+    * [[MediaWrite.aviDib]], decoded through the real
+    * [[MediaCodec.decodeVideo]] RIFF walk inside [[extractFeatures]],
+    * and the DECODED width/height/frame-count/per-channel colour sums
+    * are projected to exact integers the DuckDB oracle recomputes. No
+    * lossy codec in the path, so the values are bit-exact.
+    */
+  def q36VideoDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").cast("long")).as[Long]
+    val media = nation.map { k =>
+      val w = 4 + (k % 5).toInt
+      val h = 3 + (k % 4).toInt
+      val n = 2 + (k % 3).toInt
+      val colors = (0 until n).map(f =>
+        (((k * 7 + 11 * f) % 256).toInt,
+          ((k * 11 + 7 * f) % 256).toInt,
+          ((k * 13 + 5 * f) % 256).toInt))
+      MediaRecord(k, "video", MediaWrite.aviDib(w, h, colors),
+        Map.empty[String, String])
+    }
+    val feats = extractFeatures(media).toDF()
+    def f(i: Int) = col("feature").getItem(i).cast("double")
+    feats.select(
+      col("media_id"),
+      round(f(0)).cast("long").as("width"),
+      round(f(1)).cast("long").as("height"),
+      round(f(2)).cast("long").as("n_frames"),
+      round(f(3) * 255 * f(2)).cast("long").as("sum_r"),
+      round(f(4) * 255 * f(2)).cast("long").as("sum_g"),
+      round(f(5) * 255 * f(2)).cast("long").as("sum_b"))
       .orderBy(col("media_id"))
   }
 

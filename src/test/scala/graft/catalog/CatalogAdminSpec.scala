@@ -87,6 +87,33 @@ class CatalogAdminSpec extends SparkSpec {
     assert(ProfileJob.readFields(spark, bak, "users", 1).count() === 2L)
   }
 
+  test("restore round-trips a backup: stats and health match the original") {
+    val outDir = Files.createTempDirectory("graft_admin5").toString
+    seed(outDir)
+    Dictionaries.updateMeta(spark, outDir, "users",
+      Some("Kept"), None, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    val statsBefore = CatalogAdmin.stats(spark, outDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bak = Files.createTempDirectory("graft_admin5_bak").toString
+    CatalogAdmin.backup(outDir, bak)
+
+    // diverge the live catalog past the backup point, then restore
+    seed(outDir) // appends another version
+    Dictionaries.updateMeta(spark, outDir, "users",
+      Some("Diverged"), None,
+      java.sql.Timestamp.valueOf("2025-01-01 00:00:00"))
+    val (files, bytes) = CatalogAdmin.restore(spark, bak, outDir)
+    assert(files > 0 && bytes > 0)
+
+    val statsAfter = CatalogAdmin.stats(spark, outDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statsAfter === statsBefore)
+    assert(CatalogAdmin.health(spark, outDir).healthy)
+    assert(ProfileJob.latestVersion(spark, outDir, "users") === 1)
+    val meta = Dictionaries.latestMeta(spark, outDir).collect()
+    assert(meta.map(_.getString(1)).toSeq === Seq("Kept"))
+  }
+
   test("clear drops dictionary_meta too — no stale metadata resurrection") {
     val outDir = Files.createTempDirectory("graft_admin4").toString
     seed(outDir)
