@@ -51,6 +51,11 @@ object ScalingBench {
       // local disks; on one box a single shared disk would serialize the
       // exchange and corrupt the N-vs-4N ratio
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      // at real scale the input is >> cores × 128 MB, so the scan always
+      // has enough partitions; the few-hundred-MB bench corpus would
+      // otherwise coalesce to ~3 scan partitions and force the spread
+      // repartition of raw records into the measured path
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -173,19 +178,35 @@ object ScalingBench {
     val pass: SparkSession => Double =
       if (mode == "profile") timedProfilePass else timedPass
 
-    def measure(cpus: Int): (Double, Double, Double) = {
+    // This VM's host steal arrives in bursts lasting MINUTES, so running
+    // all low-level passes then all high-level passes lets one burst
+    // poison exactly one side and fabricate an efficiency in either
+    // direction (observed: 0.44× and 7.8× "speedups" for the same
+    // binary). Levels therefore ALTERNATE across rounds and the minimum
+    // per level is taken — some round lands in a quiet window for both.
+    val rounds = 4
+    val warmed = scala.collection.mutable.Set.empty[Int]
+    def onePass(cpus: Int): (Double, Double) = {
       val calib = calibrate(cpus)
       val s = session(cpus)
-      val warm = pass(s) // JIT warm-up, untimed
-      val t = (1 to 3).map(_ => pass(s)).min
+      if (warmed.add(cpus)) pass(s) // untimed JIT warm-up, once per level
+      val t = pass(s)
       s.stop()
-      System.err.println(
-        f"[scaling] $mode local[$cpus]: warm=$warm%.1fs best=$t%.1fs calib=$calib%.0f it/s")
-      (t, rows / t, calib)
+      (t, calib)
     }
-
-    val (tLow, thLow, calLow) = measure(nLow)
-    val (tHigh, thHigh, calHigh) = measure(nHigh)
+    val best = scala.collection.mutable.Map(
+      nLow -> Double.MaxValue, nHigh -> Double.MaxValue)
+    val cal = scala.collection.mutable.Map(nLow -> 0.0, nHigh -> 0.0)
+    for (r <- 1 to rounds; cpus <- Seq(nLow, nHigh)) {
+      val (t, c) = onePass(cpus)
+      best(cpus) = math.min(best(cpus), t)
+      cal(cpus) = math.max(cal(cpus), c)
+      System.err.println(
+        f"[scaling] $mode round $r local[$cpus]: t=$t%.1fs calib=$c%.0f it/s " +
+          f"(best=${best(cpus)}%.1fs)")
+    }
+    val (tLow, thLow, calLow) = (best(nLow), rows / best(nLow), cal(nLow))
+    val (tHigh, thHigh, calHigh) = (best(nHigh), rows / best(nHigh), cal(nHigh))
     val jobSpeedup = thHigh / thLow
     val hwSpeedup = calHigh / calLow
     val effRaw = jobSpeedup / 4.0

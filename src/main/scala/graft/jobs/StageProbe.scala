@@ -13,7 +13,9 @@ import graft.model.FileRecord
   */
 object StageProbe {
   def main(args: Array[String]): Unit = {
-    val cpus = if (args.nonEmpty) args(0).toInt else 32
+    val profileMode = args.headOption.contains("profile")
+    val rest = if (profileMode) args.drop(1) else args
+    val cpus = if (rest.nonEmpty) rest(0).toInt else 32
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
@@ -25,7 +27,7 @@ object StageProbe {
     import spark.implicits._
 
     final case class StageRow(id: Int, name: String, wallMs: Long,
-        taskSumMs: Long, gcMs: Long, tasks: Int)
+        taskSumMs: Long, cpuMs: Long, gcMs: Long, tasks: Int)
     val stages = new ArrayBuffer[StageRow]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
@@ -34,8 +36,9 @@ object StageProbe {
           s <- i.submissionTime; c <- i.completionTime
         } yield c - s).getOrElse(-1L)
         stages += StageRow(i.stageId, i.name.takeWhile(_ != '\n').take(60),
-          wall, i.taskMetrics.executorRunTime, i.taskMetrics.jvmGCTime,
-          i.numTasks)
+          wall, i.taskMetrics.executorRunTime,
+          i.taskMetrics.executorCpuTime / 1000000, // ns → ms; steal-immune
+          i.taskMetrics.jvmGCTime, i.numTasks)
       }
     })
 
@@ -43,10 +46,17 @@ object StageProbe {
     val km = spark.sparkContext.broadcast(KnLm.load(BuildFixtures.KnLmModelPath))
     val input = spark.read.parquet(ScalingBench.BenchCorpus).as[FileRecord]
 
+    val profInput =
+      if (profileMode) spark.read.parquet(ScalingBench.ProfileCorpus)
+      else null
+
     def pass(label: String): Unit = {
       stages.clear()
       val t0 = System.nanoTime()
-      QualityFilter.verdicts(spark, input, lm, km)
+      if (profileMode)
+        graft.profile.Profiler.profile(spark, profInput, "doc")
+          .write.format("noop").mode("overwrite").save()
+      else QualityFilter.verdicts(spark, input, lm, km)
         .write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[stages $cpus] $label total=$wall%.2f s")
@@ -54,6 +64,8 @@ object StageProbe {
         System.err.println(f"[stages $cpus]   stage ${s.id}%3d ${s.tasks}%4d tasks " +
           f"wall=${s.wallMs / 1000.0}%6.2f taskSum=${s.taskSumMs / 1000.0}%7.2f " +
           f"(par=${s.taskSumMs.toDouble / math.max(s.wallMs, 1)}%5.2f) " +
+          f"cpuSum=${s.cpuMs / 1000.0}%7.2f " +
+          f"(steal-ish=${1.0 - s.cpuMs.toDouble / math.max(s.taskSumMs, 1)}%4.2f) " +
           f"gc=${s.gcMs / 1000.0}%5.2f  ${s.name}")
       }
       val stagesWall = stages.map(_.wallMs).sum / 1000.0
