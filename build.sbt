@@ -29,4 +29,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 32 local executor threads allocate heavily (regex + string churn);
   // an undersized heap turns the pipeline GC-bound and flattens scaling.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+) ++ (
+  // throughput collector for batch benches: ParallelGC trades pause
+  // latency (irrelevant here) for allocation throughput, which the
+  // JSON-walk hot path is bound by at high thread counts
+  if (sys.env.contains("SPARK_GRAFT_PARGC")) Seq("-XX:+UseParallelGC")
+  else Nil
 )
