@@ -56,7 +56,9 @@ object SparkEntry {
     "q35_media_decode" ->
       (graft.multimodal.Multimodal.q35MediaDecode(_, _)),
     "q36_video_decode" ->
-      (graft.multimodal.Multimodal.q36VideoDecode(_, _))
+      (graft.multimodal.Multimodal.q36VideoDecode(_, _)),
+    "q37_stream_windows" ->
+      (graft.streaming.StreamingWindowedMetrics.q37StreamWindows(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -488,6 +490,21 @@ object SparkEntry {
            CAST(SUM((k * 7 + 11 * f) % 256) AS BIGINT) AS sum_r,
            CAST(SUM((k * 11 + 7 * f) % 256) AS BIGINT) AS sum_g,
            CAST(SUM((k * 13 + 5 * f) % 256) AS BIGINT) AS sum_b
-         FROM fr GROUP BY k ORDER BY media_id"""
+         FROM fr GROUP BY k ORDER BY media_id""",
+    // q37: a REAL watermarked Structured Streaming query driven to
+    // completion inside the engine; the sink holds exactly the closed
+    // windows over on-time rows (late batch dropped by the watermark,
+    // the open window never emitted in append mode) — this oracle
+    // recomputes that contract from the same arithmetic.
+    "q37_stream_windows" ->
+      """WITH e AS (SELECT doc_id, lang, doc_id % 120 AS m FROM documents
+                    WHERE doc_id % 5 <> 0 AND doc_id % 120 < 90)
+         SELECT CASE WHEN m < 30 THEN '00:00' WHEN m < 60 THEN '00:30'
+                ELSE '01:00' END AS w_start,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS rows_in,
+           CAST(SUM(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_kept,
+           CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_dropped
+         FROM e GROUP BY 1, 2 ORDER BY w_start, lang"""
   )
 }

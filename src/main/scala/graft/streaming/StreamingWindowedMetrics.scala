@@ -30,4 +30,55 @@ object StreamingWindowedMetrics {
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("lang"), col("rows_in"), col("rows_kept"), col("rows_dropped"))
+
+  /** q37 — the STREAMING path under the driver's oracle gate (§2.10): a
+    * real Structured Streaming query (MemoryStream → watermarked windowed
+    * agg → append-mode memory sink) driven to completion inside the
+    * query. Two micro-batches: batch 1 carries every on-time row
+    * (event-time minute = doc_id%120 over a 2 h span); batch 2 carries
+    * only rows ≥ 20 minutes behind the watermark (minute < 90 vs
+    * watermark 01:49), so they are dropped by watermark semantics — and
+    * the half-open window [01:30, 02:00) never closes, so append mode
+    * never emits it. The sink therefore holds exactly the three closed
+    * windows' per-lang counts over batch-1 rows, which the DuckDB oracle
+    * recomputes from the same arithmetic: watermark eviction, late-drop
+    * and append-mode emission are all load-bearing for the hash to match.
+    *
+    * The MemoryStream feed is driver-side by definition (it is the
+    * stream SOURCE, standing in for Kafka); the windowed aggregation
+    * runs distributed like any streaming job.
+    */
+  def q37StreamWindows(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long"), col("lang"))
+      .as[(Long, String)].collect()
+    val events = docs.map { case (id, lang) =>
+      (new java.sql.Timestamp(base + (id % 120) * 60000L), lang,
+        id % 3 != 0, id)
+    }
+    val (late, onTime) =
+      events.partition(e => e._4 % 5 == 0 && e._4 % 120 < 90)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(java.sql.Timestamp, String, Boolean, Long)]
+    val agg = windowedMetrics(
+      stream.toDF().toDF("ts", "lang", "keep", "doc_id"),
+      "ts", "10 minutes", "30 minutes")
+    try spark.catalog.dropTempView("q37_sink") catch { case _: Exception => }
+    val q = agg.writeStream.format("memory").queryName("q37_sink")
+      .outputMode("append").start()
+    stream.addData(onTime.toSeq.map(e => (e._1, e._2, e._3, e._4)))
+    q.processAllAvailable() // watermark advances to max(on-time) − 10 min
+    stream.addData(late.toSeq.map(e => (e._1, e._2, e._3, e._4)))
+    q.processAllAvailable() // every batch-2 row is ≥ 20 min late → dropped
+    q.stop()
+    spark.table("q37_sink")
+      .select(
+        date_format(col("window_start"), "HH:mm").as("w_start"),
+        col("lang"), col("rows_in"), col("rows_kept"), col("rows_dropped"))
+      .orderBy(col("w_start"), col("lang"))
+  }
 }
