@@ -60,8 +60,14 @@ object StreamingWindowedMetrics {
       (new java.sql.Timestamp(base + (id % 120) * 60000L), lang,
         id % 3 != 0, id)
     }
-    val (late, onTime) =
+    val (late, onTime0) =
       events.partition(e => e._4 % 5 == 0 && e._4 % 120 < 90)
+    // Sentinel on-time event at minute 119 pins the post-batch-1
+    // watermark to 01:49 at EVERY scale factor (a 50-doc corpus only
+    // covers minutes 0-49). It lands in the half-open [01:30, 02:00)
+    // window, which append mode never emits — invisible in the sink.
+    val onTime = onTime0 :+
+      ((new java.sql.Timestamp(base + 119 * 60000L), "zz", false, -1L))
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val stream = MemoryStream[(java.sql.Timestamp, String, Boolean, Long)]
     val agg = windowedMetrics(
