@@ -58,7 +58,8 @@ object SparkEntry {
     "q36_video_decode" ->
       (graft.multimodal.Multimodal.q36VideoDecode(_, _)),
     "q37_stream_windows" ->
-      (graft.streaming.StreamingWindowedMetrics.q37StreamWindows(_, _))
+      (graft.streaming.StreamingWindowedMetrics.q37StreamWindows(_, _)),
+    "q38_xlsx_roundtrip" -> (ProfileQueries.q38XlsxRoundtrip(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -505,6 +506,19 @@ object SparkEntry {
            CAST(COUNT(*) AS BIGINT) AS rows_in,
            CAST(SUM(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_kept,
            CAST(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS rows_dropped
-         FROM e GROUP BY 1, 2 ORDER BY w_start, lang"""
+         FROM e GROUP BY 1, 2 ORDER BY w_start, lang""",
+    // q38: styled two-sheet .xlsx workbooks serialized per region inside
+    // the query by the from-scratch OOXML writer and re-parsed by the
+    // reader; sheet/row/cell counts, the numeric-column sum and the PII
+    // flag count come from the PARSED workbook and must equal this
+    // arithmetic.
+    "q38_xlsx_roundtrip" ->
+      """SELECT 'r' || n_regionkey AS region,
+         CAST(2 AS BIGINT) AS n_sheets,
+         CAST(COUNT(*) + 3 AS BIGINT) AS n_rows,
+         CAST((COUNT(*) + 1) * 4 + 4 AS BIGINT) AS n_cells,
+         CAST(SUM(n_nationkey * 3 + n_regionkey) AS BIGINT) AS num_sum,
+         CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii
+         FROM nation GROUP BY n_regionkey ORDER BY region"""
   )
 }

@@ -1,7 +1,7 @@
 package graft.export
 
 import java.io.{ByteArrayInputStream, FileOutputStream}
-import java.util.zip.{ZipEntry, ZipFile, ZipOutputStream}
+import java.util.zip.{ZipEntry, ZipOutputStream}
 
 import scala.collection.mutable.ArrayBuffer
 
@@ -140,7 +140,16 @@ object Xlsx {
   }
 
   def write(path: String, sheets: Seq[Sheet]): Unit = {
-    val zos = new ZipOutputStream(new FileOutputStream(path))
+    val out = new FileOutputStream(path)
+    try out.write(writeBytes(sheets)) finally out.close()
+  }
+
+  /** Serialize a workbook to bytes (lets gate queries build XLSX binary
+    * columns in executors — the q30/q33 recipe for the OOXML sink).
+    */
+  def writeBytes(sheets: Seq[Sheet]): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    val zos = new ZipOutputStream(buf)
     def entry(name: String, content: String): Unit = {
       zos.putNextEntry(new ZipEntry(name))
       zos.write(content.getBytes("UTF-8"))
@@ -184,6 +193,7 @@ object Xlsx {
       entry(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(s))
     }
     zos.close()
+    buf.toByteArray
   }
 
   // ---- reader ----
@@ -194,9 +204,6 @@ object Xlsx {
     f.newDocumentBuilder().parse(new ByteArrayInputStream(bytes))
   }
 
-  private def zipEntryBytes(z: ZipFile, name: String): Option[Array[Byte]] =
-    Option(z.getEntry(name)).map(e => z.getInputStream(e).readAllBytes())
-
   private def cellCol(ref: String): Int = {
     var c = 0
     ref.takeWhile(_.isLetter).foreach(ch => c = c * 26 + (ch - 'A' + 1))
@@ -204,11 +211,24 @@ object Xlsx {
   }
 
   /** Read all sheets: name → rows of cell strings (missing cells = ""). */
-  def read(path: String): Seq[(String, Seq[Seq[String]])] = {
-    val z = new ZipFile(path)
+  def read(path: String): Seq[(String, Seq[Seq[String]])] =
+    readBytes(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+
+  /** Byte-level variant of [[read]] for in-memory workbooks. */
+  def readBytes(bytes: Array[Byte]): Seq[(String, Seq[Seq[String]])] = {
+    val entries = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    val zin = new java.util.zip.ZipInputStream(new ByteArrayInputStream(bytes))
     try {
-      val wb = dom(zipEntryBytes(z, "xl/workbook.xml").get)
-      val rels = dom(zipEntryBytes(z, "xl/_rels/workbook.xml.rels").get)
+      var e = zin.getNextEntry
+      while (e != null) {
+        entries(e.getName) = zin.readAllBytes()
+        e = zin.getNextEntry
+      }
+    } finally zin.close()
+    def ent(name: String): Option[Array[Byte]] = entries.get(name)
+    locally {
+      val wb = dom(ent("xl/workbook.xml").get)
+      val rels = dom(ent("xl/_rels/workbook.xml.rels").get)
       val relMap = {
         val nl = rels.getElementsByTagNameNS("*", "Relationship")
         (0 until nl.getLength).map { i =>
@@ -217,7 +237,7 @@ object Xlsx {
         }.toMap
       }
       val shared: IndexedSeq[String] =
-        zipEntryBytes(z, "xl/sharedStrings.xml").map { b =>
+        ent("xl/sharedStrings.xml").map { b =>
           val nl = dom(b).getElementsByTagNameNS("*", "si")
           (0 until nl.getLength).map(i => nl.item(i).getTextContent)
         }.getOrElse(IndexedSeq.empty)
@@ -230,8 +250,7 @@ object Xlsx {
           "http://schemas.openxmlformats.org/officeDocument/2006/relationships", "id"))
           .filter(_.nonEmpty).getOrElse(e.getAttribute("r:id"))
         val target = relMap(rid).stripPrefix("/xl/").stripPrefix("./")
-        val doc = dom(zipEntryBytes(z, s"xl/$target")
-          .orElse(zipEntryBytes(z, target)).get)
+        val doc = dom(ent(s"xl/$target").orElse(ent(target)).get)
         val rowsNl = doc.getElementsByTagNameNS("*", "row")
         val rows = (0 until rowsNl.getLength).map { r =>
           val rowE = rowsNl.item(r).asInstanceOf[org.w3c.dom.Element]
@@ -257,6 +276,6 @@ object Xlsx {
         }
         (name, rows)
       }
-    } finally z.close()
+    }
   }
 }

@@ -377,6 +377,57 @@ object ProfileQueries {
       .orderBy(col("region"))
   }
 
+  /** q38 — the OOXML (.xlsx) sink/source pair under the driver gate
+    * (S19/S21, reference `exporters/excel_exporter.py` +
+    * `services/import_service.py`): per region, a styled two-sheet
+    * workbook is serialized in executors by the from-scratch
+    * [[graft.export.Xlsx.writeBytes]] ZIP/SpreadsheetML writer from
+    * nation-row arithmetic, re-parsed by [[graft.export.Xlsx.readBytes]],
+    * and the counts/sums the engine reports from the PARSED workbook are
+    * hash-compared against the oracle's recomputation. The reader is
+    * independently validated against openpyxl-shaped files in XlsxSpec,
+    * so writer and reader cannot share a compensating format bug.
+    */
+  def q38XlsxRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.export.Xlsx
+    val nation = t(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_regionkey").cast("long"))
+      .as[(Long, Long)]
+    nation.groupByKey(_._2).mapGroups { (region, it) =>
+      val keys = it.map(_._1).toSeq.sorted
+      val header = Seq("Field Name", "Type", "Null %", "PII")
+        .map(h => Xlsx.Cell(h, Xlsx.StyleHeader))
+      val rows = keys.map { k =>
+        Seq(
+          Xlsx.Cell(s"n$k"),
+          Xlsx.Cell(if (k % 2 == 0) "integer" else "string"),
+          Xlsx.Cell((k * 3 + region).toString),
+          if (k % 5 == 0) Xlsx.Cell("Yes", Xlsx.StylePii)
+          else Xlsx.Cell("No"))
+      }
+      val meta = Seq(
+        Seq(Xlsx.Cell("Dictionary Name", Xlsx.StyleMetaKey),
+          Xlsx.Cell(s"r$region")),
+        Seq(Xlsx.Cell("Total Fields", Xlsx.StyleMetaKey),
+          Xlsx.Cell(keys.size.toString)))
+      val book = Xlsx.writeBytes(Seq(
+        Xlsx.Sheet("Data Dictionary", header +: rows,
+          freezeHeader = true, autoFilter = true),
+        Xlsx.Sheet("Metadata", meta)))
+      // round-trip: every reported number comes from the PARSED workbook
+      val sheets = Xlsx.readBytes(book)
+      val dataRows = sheets.find(_._1 == "Data Dictionary").get._2.drop(1)
+      (s"r$region",
+        sheets.size.toLong,
+        sheets.map(_._2.size.toLong).sum,
+        sheets.map(_._2.map(_.size.toLong).sum).sum,
+        dataRows.map(_(2).toLong).sum,
+        dataRows.count(_(3) == "Yes").toLong)
+    }.toDF("region", "n_sheets", "n_rows", "n_cells", "num_sum", "n_pii")
+      .orderBy(col("region"))
+  }
+
   /** q25 — MongoDB Extended JSON profile E2E (S4/S5, P1's fixed-95.0
     * confidences): `$oid` + `$numberLong` wrappers derived from events;
     * wrappers must be typed `objectid`/`integer` and never recursed.
