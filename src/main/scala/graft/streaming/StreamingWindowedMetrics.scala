@@ -74,13 +74,22 @@ object StreamingWindowedMetrics {
       stream.toDF().toDF("ts", "lang", "keep", "doc_id"),
       "ts", "10 minutes", "30 minutes")
     try spark.catalog.dropTempView("q37_sink") catch { case _: Exception => }
-    val q = agg.writeStream.format("memory").queryName("q37_sink")
-      .outputMode("append").start()
-    stream.addData(onTime.toSeq.map(e => (e._1, e._2, e._3, e._4)))
-    q.processAllAvailable() // watermark advances to max(on-time) − 10 min
-    stream.addData(late.toSeq.map(e => (e._1, e._2, e._3, e._4)))
-    q.processAllAvailable() // every batch-2 row is ≥ 20 min late → dropped
-    q.stop()
+    // The streaming agg materializes one state-store instance per shuffle
+    // partition per micro-batch; 32 instances for a 15-group aggregation
+    // is pure fixed overhead, so the query scopes the setting down (state
+    // sizing belongs to the job, not the session — on a cluster this is
+    // the per-job spark.sql.shuffle.partitions in spark-submit).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = agg.writeStream.format("memory").queryName("q37_sink")
+        .outputMode("append").start()
+      stream.addData(onTime.toSeq.map(e => (e._1, e._2, e._3, e._4)))
+      q.processAllAvailable() // watermark advances to max(on-time) − 10 min
+      stream.addData(late.toSeq.map(e => (e._1, e._2, e._3, e._4)))
+      q.processAllAvailable() // every batch-2 row ≥ 20 min late → dropped
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.table("q37_sink")
       .select(
         date_format(col("window_start"), "HH:mm").as("w_start"),
