@@ -1,5 +1,8 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: every SparkEntry query timed on
@@ -10,20 +13,54 @@ import org.apache.spark.sql.SparkSession
   * regex columns would never execute), timing the scan instead of the
   * query.
   *
-  * Steal resilience: this Firecracker VM suffers time-varying host CPU
-  * steal (BENCH.md records 3.7× same-phase spreads; round 2's official
-  * record misreported a 52 s suite as 411 s). Each query is therefore
-  * timed up to [[MaxAttempts]] times — retrying whenever the attempt
-  * overlapped visible steal or attempts disagree — and the MINIMUM is
-  * reported, with the per-query steal%% of the best attempt emitted as
-  * `steal` so a poisoned run is self-diagnosing rather than silently
-  * wrong.
+  * Contention resilience: this Firecracker VM suffers time-varying host
+  * interference (BENCH.md: round 2's official record misreported a 52 s
+  * suite as 411 s; round 3's reported a reproducibly-0.5 s ROLLUP as
+  * 96 s *through* the /proc/stat steal guard, because in-VM CPU
+  * contention — another process on the same VM — is not hypervisor
+  * steal). Each attempt therefore records two contention witnesses that
+  * no interference source can evade:
+  *
+  *  - `cpu_eff` = executorCpuTime / (executorRunTime − jvmGCTime): the
+  *    fraction of task wall the task threads actually held a CPU. CPU
+  *    time is charged only while running, so BOTH hypervisor steal and
+  *    in-VM contention depress it (tasks sit runnable, runTime grows,
+  *    cpuTime doesn't). Clean CPU-bound attempts sit ≥ 0.8.
+  *  - `par` = executorRunTime / wall: internal parallelism; a driver- or
+  *    JVM-level stall (wall grows, no task time) shows here.
+  *
+  * An attempt is DIRTY if visible steal ≥ [[CleanStealPct]] or its
+  * cpu_eff < [[CleanCpuEff]] (with enough task time to judge); dirty
+  * attempts are retried up to [[MaxAttempts]] total, the MINIMUM wall is
+  * reported, and the best attempt's witnesses are emitted per query — so
+  * a poisoned row self-flags whatever the contention source, and a row
+  * with cpu_eff ≈ 1 and low steal is proven clean, not assumed clean.
+  * Attempt count and max/min spread are emitted alongside (ADVICE r3:
+  * the minimum alone hid the measurement spread).
   */
 object Bench {
 
-  val MaxAttempts = 3
-  /** steal% below which a single attempt is trusted as clean. */
+  /** attempt budget: 3 normally; while EVERY attempt so far is dirty
+    * (steal or contention witness), keep going to 5 — a burst that
+    * outlives 5 attempts still self-flags via the emitted witness.
+    */
+  val BaseAttempts = 3
+  val MaxAttempts = 5
+  /** steal% below which an attempt's steal witness reads clean. */
   val CleanStealPct = 1.0
+  /** cpu_eff below which an attempt is judged contention-poisoned
+    * (task threads held a CPU for <60% of their runnable time). IO-bound
+    * scan tasks on page-cached parquet stay well above this.
+    */
+  val CleanCpuEff = 0.6
+  /** minimum per-attempt task time for cpu_eff to be meaningful. */
+  val MinJudgeTaskSec = 0.3
+  /** Queries whose tasks BLOCK by construction — real micro-batch
+    * streaming (state-store commits, batch coordination): cpu_eff is
+    * structurally ~0.15 there, so it can't serve as a contention
+    * witness; steal% + par + spread still cover them.
+    */
+  val WaitHeavy: Set[String] = Set("q37_stream_windows", "q40_stream_profile")
   /** two attempts within this ratio agree → machine is stable, stop. */
   val AgreeRatio = 1.15
 
@@ -39,37 +76,86 @@ object Bench {
     } catch { case _: Throwable => (0L, 0L) }
   }
 
-  final case class Attempt(sec: Double, stealPct: Double)
+  /** Cumulative executor task-time/cpu-time/GC across all stages; the
+    * measurement takes deltas, so no per-attempt reset races.
+    */
+  private object TaskClock extends SparkListener {
+    val runMs = new AtomicLong(0L)
+    val cpuNs = new AtomicLong(0L)
+    val gcMs = new AtomicLong(0L)
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      runMs.addAndGet(m.executorRunTime)
+      cpuNs.addAndGet(m.executorCpuTime)
+      gcMs.addAndGet(m.jvmGCTime)
+    }
+    def snap(): (Long, Long, Long) = (runMs.get, cpuNs.get, gcMs.get)
+    /** Listener-bus flush: stage-completed events post asynchronously;
+      * wait until two consecutive reads agree (bounded at ~400 ms).
+      */
+    def settled(): (Long, Long, Long) = {
+      var prev = snap()
+      var i = 0
+      while (i < 20) {
+        Thread.sleep(20)
+        val cur = snap()
+        if (cur == prev) return cur
+        prev = cur
+        i += 1
+      }
+      prev
+    }
+  }
+
+  final case class Attempt(sec: Double, stealPct: Double,
+      taskSec: Double, cpuEff: Double, par: Double) {
+    def dirty(waitHeavy: Boolean): Boolean = stealPct >= CleanStealPct ||
+      (!waitHeavy && taskSec > MinJudgeTaskSec && cpuEff < CleanCpuEff)
+  }
 
   private def timeOnce(run: () => Unit): Attempt = {
+    val (r0, c0, g0) = TaskClock.settled()
     val (t0Total, t0Steal) = cpuJiffies()
     val t0 = System.nanoTime()
     run()
     val sec = (System.nanoTime() - t0) / 1e9
     val (t1Total, t1Steal) = cpuJiffies()
+    val (r1, c1, g1) = TaskClock.settled()
     val dTotal = t1Total - t0Total
     val steal =
       if (dTotal > 0) 100.0 * (t1Steal - t0Steal) / dTotal else 0.0
-    Attempt(sec, steal)
+    val taskSec = (r1 - r0) / 1e3
+    val busySec = math.max((r1 - r0) - (g1 - g0), 1L) / 1e3
+    val cpuEff = math.min(((c1 - c0) / 1e9) / busySec, 1.0)
+    Attempt(sec, steal, taskSec, cpuEff, taskSec / math.max(sec, 1e-9))
   }
 
-  /** Best-of-up-to-N with early exit on a clean, stable measurement. */
-  def measure(run: () => Unit): Attempt = {
+  /** Best-of-up-to-N: early exit on a clean, stable measurement; dirty
+    * attempts (steal OR contention witness) always retry while attempts
+    * remain.
+    */
+  def measure(run: () => Unit, waitHeavy: Boolean = false): (Attempt, Int, Double) = {
     var best: Attempt = null
+    var minSec = Double.MaxValue
+    var maxSec = 0.0
     var prev: Attempt = null
     var i = 0
+    var allDirty = true
     var done = false
-    while (i < MaxAttempts && !done) {
+    while (i < (if (allDirty) MaxAttempts else BaseAttempts) && !done) {
       val a = timeOnce(run)
       if (best == null || a.sec < best.sec) best = a
-      done = (a.stealPct < CleanStealPct &&
-        (prev != null && math.max(a.sec, prev.sec) <=
+      minSec = math.min(minSec, a.sec)
+      maxSec = math.max(maxSec, a.sec)
+      allDirty &&= a.dirty(waitHeavy)
+      done = !a.dirty(waitHeavy) &&
+        (((prev != null && math.max(a.sec, prev.sec) <=
           AgreeRatio * math.min(a.sec, prev.sec))) ||
-        (i == 0 && a.stealPct < CleanStealPct && a.sec < 0.5)
+          (i == 0 && a.sec < 0.5))
       prev = a
       i += 1
     }
-    best
+    (best, i, maxSec / math.max(minSec, 1e-9))
   }
 
   def main(args: Array[String]): Unit = {
@@ -83,6 +169,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(TaskClock)
     // SPARK_GRAFT_ONLY=q23,q07 → bench only matching queries (dev aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
@@ -96,7 +183,7 @@ object Bench {
       catch { case _: Throwable => }
     }
     val results = selected.map { case (name, fn) =>
-      val a = measure { () =>
+      val (a, n, spread) = measure({ () =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -104,17 +191,25 @@ object Bench {
         // queries that cache intermediates (dedup/ANN family) must not
         // accumulate blocks across the suite — each attempt starts cold
         spark.catalog.clearCache()
-      }
-      name -> a
+      }, waitHeavy = WaitHeavy(name))
+      (name, a, n, spread)
     }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
-    val qs = results.map { case (k, a) => "\"" + k + "\":" + r3(a.sec) }
-      .mkString("{", ",", "}")
-    val steals = results.map { case (k, a) => "\"" + k + "\":" + r3(a.stealPct) }
-      .mkString("{", ",", "}")
+    def obj(f: ((String, Attempt, Int, Double)) => Double): String =
+      results.map { r => "\"" + r._1 + "\":" + r3(f(r)) }
+        .mkString("{", ",", "}")
+    val qs = obj(_._2.sec)
+    val steals = obj(_._2.stealPct)
+    val effs = obj(_._2.cpuEff)
+    val pars = obj(_._2.par)
+    val atts = obj(_._3.toDouble)
+    val spreads = obj(_._4)
     val total = results.map(_._2.sec).sum
     val maxSteal = (0.0 +: results.map(_._2.stealPct)).max
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"steal":$steals,"max_steal_pct":${r3(maxSteal)},"sf":"$sfDir"}""")
+    val minEff = (1.0 +: results.collect {
+      case r if r._2.taskSec > MinJudgeTaskSec && !WaitHeavy(r._1) =>
+        r._2.cpuEff }).min
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"steal":$steals,"cpu_eff":$effs,"par":$pars,"attempts":$atts,"spread":$spreads,"max_steal_pct":${r3(maxSteal)},"min_cpu_eff":${r3(minEff)},"witness":"cpu_eff=executorCpuTime/(executorRunTime-gc) of best attempt; <${CleanCpuEff} with task time means the row was CPU-starved (any contention source, incl. in-VM) and should be discounted; streaming rows (${WaitHeavy.mkString(",")}) block by construction and are judged on steal+par+spread; spread=max/min wall across attempts","sf":"$sfDir"}""")
     spark.stop()
   }
 }

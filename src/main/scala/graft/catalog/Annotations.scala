@@ -68,8 +68,20 @@ object Annotations {
     * `order_by(created_at.desc())`, `analysis_service.py:337-343`).
     */
   def latest(anns: DataFrame): DataFrame = {
+    // Normalize the tie-break key, not the stored id: catalogs written
+    // before the zero-padded import-id format still contain "import-v9-…"
+    // rows, and lexicographically "import-v9-x" > "import-v000010-x", so
+    // at equal created_at an old generation 9 would beat any new-format
+    // import. Re-pad the version digits of old-format ids on read.
+    val normId = when(col("annotation_id").rlike("^import-v\\d+-"),
+      concat(lit("import-v"),
+        lpad(regexp_extract(col("annotation_id"), "^import-v(\\d+)-", 1),
+          6, "0"),
+        lit("-"),
+        regexp_replace(col("annotation_id"), "^import-v\\d+-", "")))
+      .otherwise(col("annotation_id"))
     val w = Window.partitionBy(col("field_path"))
-      .orderBy(col("created_at").desc, col("annotation_id").desc)
+      .orderBy(col("created_at").desc, normId.desc, col("annotation_id").desc)
     anns.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
   }

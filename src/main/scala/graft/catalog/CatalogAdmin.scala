@@ -84,15 +84,23 @@ object CatalogAdmin {
     */
   def clear(spark: SparkSession, outDir: String): Map[String, Long] = {
     val cat = new ParquetCatalog(outDir)
-    Tables.map { t =>
-      val n = cat.read(spark, t).map(_.count()).getOrElse(0L)
-      val p = Paths.get(cat.path(t))
+    def rmTree(p: Path): Unit =
       if (Files.exists(p)) {
         val s = Files.walk(p)
         try s.sorted(java.util.Comparator.reverseOrder())
           .forEach(Files.delete(_))
         finally s.close()
       }
+    Tables.map { t =>
+      val n = cat.read(spark, t).map(_.count()).getOrElse(0L)
+      rmTree(Paths.get(cat.path(t)))
+      // Also drop rename-swap remnants: a `__rewrite` left by a crash
+      // mid-parquet-write (live still authoritative, so it was never
+      // promoted) would otherwise be resurrected by ParquetCatalog.read's
+      // recovery path after this clear — live is gone, so the stale
+      // partial rewrite would look like a completed swap.
+      rmTree(Paths.get(s"${cat.path(t)}__rewrite"))
+      rmTree(Paths.get(s"${cat.path(t)}__old"))
       t -> n
     }.toMap
   }

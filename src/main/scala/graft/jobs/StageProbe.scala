@@ -42,13 +42,14 @@ object StageProbe {
       }
     })
 
-    val lm = spark.sparkContext.broadcast(LangId.load(BuildFixtures.LangIdModelPath))
-    val km = spark.sparkContext.broadcast(KnLm.load(BuildFixtures.KnLmModelPath))
-    val input = spark.read.parquet(ScalingBench.BenchCorpus).as[FileRecord]
+    // lazy: a profile-only workflow may have generated only the profile
+    // corpus — resolving the filter corpus/models eagerly would crash
+    // with AnalysisException before the probe even runs (and vice versa)
+    lazy val lm = spark.sparkContext.broadcast(LangId.load(BuildFixtures.LangIdModelPath))
+    lazy val km = spark.sparkContext.broadcast(KnLm.load(BuildFixtures.KnLmModelPath))
+    lazy val input = spark.read.parquet(ScalingBench.BenchCorpus).as[FileRecord]
 
-    val profInput =
-      if (profileMode) spark.read.parquet(ScalingBench.ProfileCorpus)
-      else null
+    lazy val profInput = spark.read.parquet(ScalingBench.ProfileCorpus)
 
     def pass(label: String): Unit = {
       stages.clear()

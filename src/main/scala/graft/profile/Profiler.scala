@@ -169,11 +169,25 @@ object Profiler {
     */
   private def spread[T](spark: SparkSession, ds: Dataset[T]): Dataset[T] = {
     val target = spark.sparkContext.defaultParallelism
-    // partition count off the internal-row RDD (a cached lazy val on the
-    // QueryExecution) — ds.rdd would build a fresh deserializer lineage
-    // per profile invocation just to read a number
-    val current = ds.queryExecution.toRdd.getNumPartitions
-    if (current < target) ds.repartition(target) else ds
+    // Estimate scan parallelism from the logical plan's file index —
+    // building the physical RDD (toRdd) just to read getNumPartitions
+    // would pay plan-to-RDD conversion on every profile invocation.
+    // File relations split at maxPartitionBytes, so bytes/maxPartitionBytes
+    // bounds the scan's task count; non-file leaves (in-memory test data,
+    // driver-built frames) are driver-local by construction → spread them.
+    val maxPart = math.max(1L,
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")))
+    val est = ds.queryExecution.optimizedPlan.collectLeaves().map {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            math.max(1L, (f.location.sizeInBytes + maxPart - 1) / maxPart)
+          case _ => 1L
+        }
+      case _ => 1L
+    }.sum
+    if (est < target) ds.repartition(target) else ds
   }
 
   def observations(spark: SparkSession, df: DataFrame, jsonCol: String,

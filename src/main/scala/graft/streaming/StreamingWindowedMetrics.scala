@@ -84,11 +84,15 @@ object StreamingWindowedMetrics {
     try {
       val q = agg.writeStream.format("memory").queryName("q37_sink")
         .outputMode("append").start()
-      stream.addData(onTime.toSeq.map(e => (e._1, e._2, e._3, e._4)))
-      q.processAllAvailable() // watermark advances to max(on-time) − 10 min
-      stream.addData(late.toSeq.map(e => (e._1, e._2, e._3, e._4)))
-      q.processAllAvailable() // every batch-2 row ≥ 20 min late → dropped
-      q.stop()
+      // stop() in a finally: a task failure inside processAllAvailable
+      // would otherwise leave the named query active, and every retry of
+      // this method then dies at .start() with "query name already active"
+      try {
+        stream.addData(onTime.toSeq.map(e => (e._1, e._2, e._3, e._4)))
+        q.processAllAvailable() // watermark advances to max(on-time) − 10 min
+        stream.addData(late.toSeq.map(e => (e._1, e._2, e._3, e._4)))
+        q.processAllAvailable() // every batch-2 row ≥ 20 min late → dropped
+      } finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.table("q37_sink")
       .select(
