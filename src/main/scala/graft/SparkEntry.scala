@@ -59,7 +59,8 @@ object SparkEntry {
       (graft.multimodal.Multimodal.q36VideoDecode(_, _)),
     "q37_stream_windows" ->
       (graft.streaming.StreamingWindowedMetrics.q37StreamWindows(_, _)),
-    "q38_xlsx_roundtrip" -> (ProfileQueries.q38XlsxRoundtrip(_, _))
+    "q38_xlsx_roundtrip" -> (ProfileQueries.q38XlsxRoundtrip(_, _)),
+    "q39_geopackage" -> (ProfileQueries.q39Geopackage(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -519,6 +520,29 @@ object SparkEntry {
          CAST((COUNT(*) + 1) * 4 + 4 AS BIGINT) AS n_cells,
          CAST(SUM(n_nationkey * 3 + n_regionkey) AS BIGINT) AS num_sum,
          CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pii
-         FROM nation GROUP BY n_regionkey ORDER BY region"""
+         FROM nation GROUP BY n_regionkey ORDER BY region""",
+    // q39: one .gpkg per region serialized inside the query (multi-table
+    // SQLite writer: 3 required GeoPackage system tables + feature tables)
+    // and parsed back by SqliteScan.geopackage; every column comes from
+    // the PARSED model and must equal this arithmetic over nation/region.
+    "q39_geopackage" ->
+      """SELECT r.r_name AS region_name,
+         'feat_' || replace(lower(n.n_name), ' ', '_') AS layer_name,
+         n.n_name AS identifier,
+         CASE n.n_nationkey % 4 WHEN 0 THEN 'POINT' WHEN 1 THEN 'LINESTRING'
+              WHEN 2 THEN 'POLYGON' ELSE 'MULTIPOINT' END AS geometry_type,
+         'XY' || CASE WHEN n.n_nationkey % 3 <> 0 THEN 'Z' ELSE '' END ||
+                 CASE WHEN (n.n_nationkey + 1) % 3 <> 0 THEN 'M' ELSE '' END AS dims,
+         CAST(CASE WHEN n.n_nationkey % 2 = 0 THEN 4326 ELSE 3857 END AS BIGINT) AS srs_id,
+         CAST(-10 - n.n_nationkey AS DOUBLE) AS min_x,
+         CAST(-5 - 0.5 * n.n_nationkey AS DOUBLE) AS min_y,
+         CAST(10 + 2 * n.n_nationkey AS DOUBLE) AS max_x,
+         CAST(5 + n.n_nationkey AS DOUBLE) AS max_y,
+         CAST(2 + r.r_regionkey % 2 AS BIGINT) AS srs_count,
+         CAST((SELECT COUNT(*) FROM nation n2
+               WHERE n2.n_regionkey = n.n_regionkey) AS BIGINT) AS user_tables,
+         CAST(1 AS BIGINT) AS valid_flag
+         FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+         ORDER BY region_name, layer_name"""
   )
 }

@@ -36,6 +36,17 @@ object SqliteWriteProbe {
       SqliteWrite.database("t", Ddl, rows(600)))
     Files.write(Paths.get(s"$outDir/empty.db"),
       SqliteWrite.database("t", Ddl, Seq.empty))
-    println(s"""{"probe_dir":"$outDir","files":["single.db","multi.db","empty.db"]}""")
+    // multi-table file (the GeoPackage shape): three tables incl. a
+    // spilling one, a BLOB column, and a non-zero application_id
+    Files.write(Paths.get(s"$outDir/multi_table.db"),
+      SqliteWrite.databaseMulti(Seq(
+        ("t", Ddl, rows(20)),
+        ("big", "CREATE TABLE big (id INTEGER PRIMARY KEY, name TEXT, " +
+          "score REAL, n INT, note TEXT)", rows(600)),
+        ("b", "CREATE TABLE b (id INTEGER PRIMARY KEY, payload BLOB)",
+          (1 to 10).map(i => (i.toLong,
+            Seq[Any](null, Array.tabulate[Byte](i * 3)(j => (i + j).toByte)))))),
+        applicationId = 0x47504B47L))
+    println(s"""{"probe_dir":"$outDir","files":["single.db","multi.db","empty.db","multi_table.db"]}""")
   }
 }

@@ -443,4 +443,105 @@ object ProfileQueries {
       .select(profileProjection: _*)
       .orderBy(col("field_path"))
   }
+
+  /** q39 — GeoPackage E2E (S17, J6; reference
+    * `processors/geopackage_parser.py:41-363`): one `.gpkg` per region is
+    * SERIALIZED inside the query with the from-scratch multi-table
+    * [[graft.sources.SqliteWrite]] — the three required GeoPackage system
+    * tables (`gpkg_spatial_ref_sys` with srs_id riding the rowid,
+    * `gpkg_contents` with per-layer bbox, `gpkg_geometry_columns` with
+    * Z/M flags) plus one feature table per nation with BLOB geometries
+    * and the "GPKG" application_id — then parsed back through
+    * [[graft.sources.SqliteScan.geopackage]]. Every output value (layer
+    * names, geometry types, XY/Z/M dimension strings, srs ids, bboxes,
+    * srs counts, user-table counts, validity) comes from the PARSED
+    * model; the oracle recomputes the same arithmetic from raw
+    * nation/region rows, so writer, reader, validation and the
+    * system-vs-user table filter are all under the hash gate.
+    */
+  def q39Geopackage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.{SqliteScan, SqliteWrite}
+    val nation = t(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .as[(Long, String, Long)]
+    val region = t(spark, dir, "region")
+      .select(col("r_regionkey").cast("long"), col("r_name").as("region_name"))
+
+    val geomTypes = Array("POINT", "LINESTRING", "POLYGON", "MULTIPOINT")
+    val gpkgs = nation.groupByKey(_._3).mapGroups { (rk, it) =>
+      val ns = it.toSeq.sortBy(_._1)
+      // srs_id is the INTEGER PRIMARY KEY → rides the rowid (null at its
+      // record position); rowids ascend, so ids are pre-sorted
+      val srsIds = ((if (rk % 2 == 1) Seq(3857L) else Nil) :+ 4326L)
+        .sorted :+ (100000L + rk)
+      val srs = ("gpkg_spatial_ref_sys",
+        "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, " +
+          "srs_id INTEGER NOT NULL PRIMARY KEY, organization TEXT NOT NULL, " +
+          "organization_coordsys_id INTEGER NOT NULL, " +
+          "definition TEXT NOT NULL, description TEXT)",
+        srsIds.map(id => (id,
+          Seq[Any](s"srs $id", null, "EPSG", id, s"EPSG:$id", null))))
+      def layerName(nm: String) = "feat_" + nm.toLowerCase.replace(' ', '_')
+      val contents = ("gpkg_contents",
+        "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY KEY, " +
+          "data_type TEXT NOT NULL, identifier TEXT UNIQUE, " +
+          "description TEXT DEFAULT '', last_change DATETIME, " +
+          "min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, " +
+          "srs_id INTEGER)",
+        ns.zipWithIndex.map { case ((k, nm, _), i) =>
+          (i + 1L, Seq[Any](layerName(nm), "features", nm, "",
+            "2023-01-19T00:00:00Z",
+            -10.0 - k, -5.0 - 0.5 * k, 10.0 + 2 * k, 5.0 + k,
+            if (k % 2 == 0) 4326L else 3857L))
+        })
+      val geomCols = ("gpkg_geometry_columns",
+        "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, " +
+          "column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, " +
+          "srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL)",
+        ns.zipWithIndex.map { case ((k, nm, _), i) =>
+          (i + 1L, Seq[Any](layerName(nm), "geom", geomTypes((k % 4).toInt),
+            if (k % 2 == 0) 4326L else 3857L, k % 3, (k + 1) % 3))
+        })
+      val features = ns.map { case (k, nm, _) =>
+        (layerName(nm),
+          s"CREATE TABLE ${layerName(nm)} (fid INTEGER PRIMARY KEY, " +
+            "name TEXT, geom BLOB)",
+          (0L until (k % 4 + 1)).map { i =>
+            // StandardGeoPackageBinary header (GP magic, v0, flags) + a
+            // little-endian WKB point — not gate-projected, but real bytes
+            val geom = Array[Byte](0x47, 0x50, 0, 1) ++
+              Array.tabulate(4)(j => ((4326 >> (8 * j)) & 0xff).toByte) ++
+              Array[Byte](1, 1, 0, 0, 0) ++ Array.fill(16)((k + i).toByte)
+            (i + 1, Seq[Any](null, s"${nm}_$i", geom))
+          })
+      }
+      val bytes = SqliteWrite.databaseMulti(
+        Seq(srs, contents, geomCols) ++ features,
+        applicationId = 0x47504B47L) // "GPKG"
+      (rk, bytes)
+    }
+
+    val parsed = gpkgs.flatMap { case (rk, bytes) =>
+      val info = SqliteScan.geopackage(bytes)
+      val gcByTable = info.geometryColumns.map(g => g.tableName -> g).toMap
+      info.layers.map { l =>
+        val gc = gcByTable(l.tableName)
+        (rk, l.tableName, l.identifier, gc.geometryType, gc.dims, l.srsId,
+          l.minX.get, l.minY.get, l.maxX.get, l.maxY.get,
+          info.srsCount, info.userTables.size.toLong,
+          if (info.isValid) 1L else 0L)
+      }
+    }.toDF("r_regionkey", "layer_name", "identifier", "geometry_type",
+      "dims", "srs_id", "min_x", "min_y", "max_x", "max_y",
+      "srs_count", "user_tables", "valid_flag")
+
+    parsed.join(broadcast(region), Seq("r_regionkey"))
+      .select(col("region_name"), col("layer_name"), col("identifier"),
+        col("geometry_type"), col("dims"), col("srs_id"),
+        col("min_x"), col("min_y"), col("max_x"), col("max_y"),
+        col("srs_count"), col("user_tables"), col("valid_flag"))
+      .orderBy(col("region_name"), col("layer_name"))
+  }
 }

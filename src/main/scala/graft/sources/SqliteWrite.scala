@@ -48,6 +48,7 @@ object SqliteWrite {
       else (6L, be(l, 8))
     case i: Int => ser(i.toLong)
     case d: Double => (7L, be(java.lang.Double.doubleToLongBits(d), 8))
+    case b: Array[Byte] => (12L + 2L * b.length, b)
     case s: String =>
       val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       (13L + 2L * b.length, b)
@@ -111,7 +112,16 @@ object SqliteWrite {
     * rowid carries the value (SQLite's rowid aliasing).
     */
   def database(name: String, ddl: String,
-      rows: Seq[(Long, Seq[Any])]): Array[Byte] = {
+      rows: Seq[(Long, Seq[Any])]): Array[Byte] =
+    databaseMulti(Seq((name, ddl, rows)))
+
+  /** One table's b-tree with its root at page `base` (leaves follow at
+    * `base+1..` when rows spill a page). An empty row seq writes a valid
+    * zero-cell leaf (an empty table, like sqlite3 does). Returns the
+    * pages in file order.
+    */
+  private def tableBtree(rows: Seq[(Long, Seq[Any])],
+      base: Int): Seq[Array[Byte]] = {
     val cells = rows.map { case (rowid, vals) => leafCell(rowid, vals) }
     // greedy fill: leaf capacity = usable - header(8) - 2 bytes/pointer
     val leaves = new ArrayBuffer[Seq[Array[Byte]]]()
@@ -125,33 +135,48 @@ object SqliteWrite {
     }
     leaves += cur.toSeq
 
-    // page numbering: 1 = master, then table pages. An empty row seq
-    // writes a valid zero-cell leaf (an empty table, like sqlite3 does).
-    val (rootPage, tablePages: Seq[Array[Byte]]) =
-      if (leaves.size == 1) (2, Seq(page(13, leaves.head)))
-      else {
-        // interior root at page 2, leaves at 3..; interior keys are the
-        // largest rowid of each left child
-        val lastRowids = {
-          var idx = -1
-          leaves.map { l => idx += l.size; rows(idx)._1 }
-        }
-        val leafPages = leaves.map(l => page(13, l)).toSeq
-        val interiorCells = leaves.indices.dropRight(1).map { i =>
-          be(3 + i, 4) ++ varint(lastRowids(i))
-        }
-        val root = page(5, interiorCells, rightMost = 3 + leaves.size - 1)
-        (2, root +: leafPages)
+    if (leaves.size == 1) Seq(page(13, leaves.head))
+    else {
+      // interior root at `base`, leaves at `base+1..`; interior keys are
+      // the largest rowid of each left child
+      val lastRowids = {
+        var idx = -1
+        leaves.map { l => idx += l.size; rows(idx)._1 }
       }
+      val leafPages = leaves.map(l => page(13, l)).toSeq
+      val interiorCells = leaves.indices.dropRight(1).map { i =>
+        be(base + 1 + i, 4) ++ varint(lastRowids(i))
+      }
+      val root = page(5, interiorCells, rightMost = base + leaves.size)
+      root +: leafPages
+    }
+  }
 
-    val masterCell = leafCell(1L,
-      Seq("table", name, name, rootPage.toLong, ddl))
-    val page1 = page(13, Seq(masterCell), headerAt = 100)
-    writeHeader(page1, nPages = 1 + tablePages.size)
+  /** Serialize several rowid tables into ONE database file — page 1
+    * carries an sqlite_master cell per table, each table's b-tree follows
+    * in declaration order. `applicationId` lands at header offset 68
+    * (a GeoPackage stamps "GPKG", sqlite.org/fileformat2.html §1.3.18.4
+    * / OGC GeoPackage §1.1.1.1.1).
+    */
+  def databaseMulti(tables: Seq[(String, String, Seq[(Long, Seq[Any])])],
+      applicationId: Long = 0L): Array[Byte] = {
+    var nextPage = 2
+    val masterCells = new ArrayBuffer[Array[Byte]]()
+    val tablePages = new ArrayBuffer[Array[Byte]]()
+    tables.zipWithIndex.foreach { case ((name, ddl, rows), ti) =>
+      val pages = tableBtree(rows, nextPage)
+      masterCells += leafCell(ti + 1L,
+        Seq("table", name, name, nextPage.toLong, ddl))
+      nextPage += pages.size
+      tablePages ++= pages
+    }
+    val page1 = page(13, masterCells.toSeq, headerAt = 100)
+    writeHeader(page1, nPages = 1 + tablePages.size, applicationId)
     page1 ++ tablePages.flatten
   }
 
-  private def writeHeader(page1: Array[Byte], nPages: Int): Unit = {
+  private def writeHeader(page1: Array[Byte], nPages: Int,
+      applicationId: Long = 0L): Unit = {
     val magic = "SQLite format 3".getBytes("US-ASCII") :+ 0.toByte
     System.arraycopy(magic, 0, page1, 0, 16)
     System.arraycopy(be(PageSize, 2), 0, page1, 16, 2)
@@ -163,6 +188,7 @@ object SqliteWrite {
     System.arraycopy(be(1L, 4), 0, page1, 40, 4) // schema cookie
     System.arraycopy(be(1L, 4), 0, page1, 44, 4) // schema format 1
     System.arraycopy(be(1L, 4), 0, page1, 56, 4) // text encoding UTF-8
+    System.arraycopy(be(applicationId, 4), 0, page1, 68, 4)
     System.arraycopy(be(3045000L, 4), 0, page1, 96, 4) // library version
   }
 }

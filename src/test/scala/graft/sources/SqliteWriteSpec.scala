@@ -85,4 +85,63 @@ class SqliteWriteSpec extends AnyFunSuite {
     assert(byPath("t.id").totalCount === 50L)
     assert(byPath("t.note").nullCount === 7L) // 7,14,...,49
   }
+
+  test("multi-table database: master ordering, spilling table, blobs") {
+    val bytes = SqliteWrite.databaseMulti(Seq(
+      ("t", ddl, mkRows(20)),
+      ("big", ddl.replace("TABLE t ", "TABLE big "), mkRows(600)),
+      ("b", "CREATE TABLE b (id INTEGER PRIMARY KEY, payload BLOB)",
+        (1 to 10).map(i => (i.toLong,
+          Seq[Any](null, Array.tabulate[Byte](i * 3)(j => (i + j).toByte)))))),
+      applicationId = 0x47504B47L)
+    // application_id at header offset 68, big-endian "GPKG"
+    assert(bytes.slice(68, 72).toSeq ===
+      Seq[Byte](0x47, 0x50, 0x4B, 0x47))
+    val db = SqliteFile.open(bytes)
+    val ts = SqliteFile.tables(db)
+    assert(ts.map(_.name) === Seq("t", "big", "b"))
+    assert(SqliteFile.rows(db, ts(0)).size === 20)
+    val bigRows = SqliteFile.rows(db, ts(1)).toVector
+    assert(bigRows.size === 600)
+    assert(bigRows.map(_(0).asInstanceOf[Long]) === (1L to 600L))
+    assert(bigRows(599)(1) === "name 600")
+    val blobs = SqliteFile.rows(db, ts(2)).toVector
+    assert(blobs.size === 10)
+    assert(blobs(4)(1).asInstanceOf[Array[Byte]].toSeq ===
+      Array.tabulate[Byte](15)(j => (5 + j).toByte).toSeq)
+  }
+
+  test("multi-table writer produces a valid GeoPackage for the scanner") {
+    val srs = ("gpkg_spatial_ref_sys",
+      "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, " +
+        "srs_id INTEGER NOT NULL PRIMARY KEY, organization TEXT NOT NULL, " +
+        "organization_coordsys_id INTEGER NOT NULL, " +
+        "definition TEXT NOT NULL, description TEXT)",
+      Seq((4326L, Seq[Any]("WGS 84", null, "EPSG", 4326L, "EPSG:4326", null))))
+    val contents = ("gpkg_contents",
+      "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY KEY, " +
+        "data_type TEXT NOT NULL, identifier TEXT UNIQUE, " +
+        "description TEXT DEFAULT '', last_change DATETIME, " +
+        "min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, " +
+        "srs_id INTEGER)",
+      Seq((1L, Seq[Any]("roads", "features", "Roads", "", "2023-01-19",
+        -1.5, -2.5, 3.5, 4.5, 4326L))))
+    val geomCols = ("gpkg_geometry_columns",
+      "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, " +
+        "column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, " +
+        "srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL)",
+      Seq((1L, Seq[Any]("roads", "geom", "LINESTRING", 4326L, 1L, 0L))))
+    val roads = ("roads",
+      "CREATE TABLE roads (fid INTEGER PRIMARY KEY, name TEXT, geom BLOB)",
+      Seq((1L, Seq[Any](null, "r1", Array[Byte](0x47, 0x50, 0, 1)))))
+    val g = SqliteScan.geopackage(SqliteWrite.databaseMulti(
+      Seq(srs, contents, geomCols, roads), applicationId = 0x47504B47L))
+    assert(g.isValid)
+    assert(g.srsCount === 1L)
+    assert(g.layers === Seq(SqliteScan.GpkgLayer("roads", "features",
+      "Roads", 4326L, Some(-1.5), Some(-2.5), Some(3.5), Some(4.5))))
+    assert(g.geometryColumns === Seq(
+      SqliteScan.GpkgGeometryColumn("roads", "geom", "LINESTRING", 4326L, "XYZ")))
+    assert(g.userTables === Seq("roads"))
+  }
 }

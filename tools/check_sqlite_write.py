@@ -36,11 +36,31 @@ def check(path, n):
     print(f"{path}: OK ({n} rows, integrity ok)")
 
 
+def check_multi_table(path):
+    con = sqlite3.connect(path)
+    c = con.cursor()
+    ok = c.execute("PRAGMA integrity_check").fetchall()
+    assert ok == [("ok",)], f"{path}: integrity_check -> {ok}"
+    app_id = c.execute("PRAGMA application_id").fetchone()[0]
+    assert app_id == 0x47504B47, f"{path}: application_id {app_id:#x}"
+    names = [r[0] for r in c.execute(
+        "SELECT name FROM sqlite_master WHERE type='table' ORDER BY rowid")]
+    assert names == ["t", "big", "b"], f"{path}: {names}"
+    assert c.execute("SELECT * FROM t ORDER BY id").fetchall() == expected_rows(20)
+    assert c.execute("SELECT * FROM big ORDER BY id").fetchall() == expected_rows(600)
+    blobs = c.execute("SELECT id, payload FROM b ORDER BY id").fetchall()
+    exp = [(i, bytes((i + j) % 256 for j in range(i * 3))) for i in range(1, 11)]
+    assert blobs == exp, f"{path}: blob mismatch"
+    con.close()
+    print(f"{path}: OK (3 tables, application_id GPKG, blobs exact)")
+
+
 def main(probe_dir):
     d = Path(probe_dir)
     check(d / "single.db", 20)
     check(d / "multi.db", 600)
     check(d / "empty.db", 0)
+    check_multi_table(d / "multi_table.db")
     print("ALL OK")
     return 0
 
