@@ -60,7 +60,9 @@ object SparkEntry {
     "q37_stream_windows" ->
       (graft.streaming.StreamingWindowedMetrics.q37StreamWindows(_, _)),
     "q38_xlsx_roundtrip" -> (ProfileQueries.q38XlsxRoundtrip(_, _)),
-    "q39_geopackage" -> (ProfileQueries.q39Geopackage(_, _))
+    "q39_geopackage" -> (ProfileQueries.q39Geopackage(_, _)),
+    "q40_stream_profile" ->
+      (graft.streaming.StreamingProfileJob.q40StreamProfile(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -543,6 +545,33 @@ object SparkEntry {
                WHERE n2.n_regionkey = n.n_regionkey) AS BIGINT) AS user_tables,
          CAST(1 AS BIGINT) AS valid_flag
          FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
-         ORDER BY region_name, layer_name"""
+         ORDER BY region_name, layer_name""",
+    // q40: the stateful streaming profiler ingests the q22 corpus in two
+    // availableNow query lifecycles sharing one checkpoint (odd custkeys,
+    // then even — a restart-from-state-store mid-stream); the final
+    // snapshot must equal the batch profile over ALL customers, which is
+    // exactly q22's arithmetic (minus `position`, per-batch in streaming).
+    "q40_stream_profile" ->
+      """WITH tot AS (SELECT COUNT(*) AS n,
+           CAST(SUM(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nulls
+           FROM customer)
+         SELECT * FROM (
+           SELECT 'balance' AS field_path, 'balance' AS field_name,
+                  '' AS parent_path, CAST(0 AS INT) AS nesting_level,
+                  'float' AS data_type, 100.0 AS confidence_score,
+                  'currency' AS semantic_type, FALSE AS is_pii,
+                  n AS total_count, CAST(0 AS BIGINT) AS null_count,
+                  0.0 AS null_percentage, FALSE AS is_nullable FROM tot
+           UNION ALL SELECT 'email', 'email', '', 0, 'string', 100.0, 'email',
+                  TRUE, n, nulls, CAST(nulls AS DOUBLE) / n * 100.0,
+                  nulls > 0 FROM tot
+           UNION ALL SELECT 'name', 'name', '', 0, 'string', 100.0, 'name',
+                  FALSE, n, 0, 0.0, FALSE FROM tot
+           UNION ALL SELECT 'profile', 'profile', '', 0, 'object', 100.0,
+                  CAST(NULL AS VARCHAR), FALSE, n, 0, 0.0, FALSE FROM tot
+           UNION ALL SELECT 'profile.segment', 'segment', 'profile', 1,
+                  'string', 100.0, CAST(NULL AS VARCHAR), FALSE, n, 0, 0.0,
+                  FALSE FROM tot
+         ) ORDER BY field_path"""
   )
 }

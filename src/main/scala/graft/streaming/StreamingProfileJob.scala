@@ -118,6 +118,62 @@ object StreamingProfileJob {
     updated.value
   }
 
+  /** q40 — the stateful streaming profiler under the driver's oracle
+    * gate, with a RESTART FROM CHECKPOINT inside the query: the q22
+    * customer-doc corpus is split by `c_custkey % 2` into two file-source
+    * drops; the first availableNow query lifecycle profiles drop 1 and
+    * terminates, then a SECOND lifecycle (new streaming query, same
+    * checkpoint) ingests only the new files and resumes the per-field
+    * [[ProfBuf]] state from the state store. The projected per-field
+    * counts cover ALL customers, so a restart that lost state — or
+    * re-read drop 1 — fails the hash. The email nulls (custkey % 10 = 0)
+    * all arrive in drop 2, so cross-lifecycle accumulation is observable
+    * per-column, not just in totals. `position` is per-batch in streaming
+    * (scaladoc above) and is not projected.
+    */
+  def q40StreamProfile(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q40").toString
+    val (in, out, ckpt) = (s"$root/in", s"$root/out", s"$root/ckpt")
+    val docs = graft.queries.Queries.t(spark, dir, "customer").select(
+      col("c_custkey"),
+      to_json(
+        struct(
+          col("c_name").as("name"),
+          col("c_acctbal").as("balance"),
+          struct(col("c_mktsegment").as("segment")).as("profile"),
+          when(col("c_custkey") % 10 === 0, lit(null).cast("string"))
+            .otherwise(concat(lower(regexp_replace(col("c_name"), "#", "")),
+              lit("@example.com"))).as("email")),
+        Map("ignoreNullFields" -> "false")).as("doc"))
+    // state-store sizing belongs to the job (q37 precedent): 4 stores for
+    // a 5-key profile, not one per session shuffle partition
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      docs.filter(col("c_custkey") % 2 === 1).select("doc")
+        .write.mode(SaveMode.Append).parquet(in)
+      runOnce(spark, in, out, ckpt) // lifecycle 1: odd custkeys
+      docs.filter(col("c_custkey") % 2 === 0).select("doc")
+        .write.mode(SaveMode.Append).parquet(in)
+      runOnce(spark, in, out, ckpt) // lifecycle 2: resumes from checkpoint
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.read.parquet(s"$out/current")
+      .select(
+        col("fieldPath").as("field_path"),
+        col("fieldName").as("field_name"),
+        col("parentPath").as("parent_path"),
+        col("nestingLevel").as("nesting_level"),
+        col("dataType").as("data_type"),
+        col("confidenceScore").as("confidence_score"),
+        col("semanticType").as("semantic_type"),
+        col("isPii").as("is_pii"),
+        col("totalCount").as("total_count"),
+        col("nullCount").as("null_count"),
+        col("nullPercentage").as("null_percentage"),
+        col("isNullable").as("is_nullable"))
+      .orderBy(col("field_path"))
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(inputDir, outDir, checkpointDir) = args.take(3)
     val spark = SparkSession.builder()
