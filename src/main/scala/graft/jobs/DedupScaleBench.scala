@@ -1,0 +1,149 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.queries.TrainingOps
+
+/** Order-of-magnitude scale evidence for the dedup/ANN family (VERDICT r3
+  * task 4): DedupScaleSpec proves candidate linearity at 50k vectors;
+  * this job steps the same measurements up to 500k vectors
+  * (embeddingNearDups) and 10⁶ docs (minhashLsh), end-to-end:
+  *
+  *  - candidate-pair count computed from bucket occupancies
+  *    (Σ c·(c−1)/2 per bucket — no join materialised), and as a ratio
+  *    per input row, which must stay flat across the 10× step for the
+  *    "linear in N" claim to be quantitative rather than extrapolated;
+  *  - planted-pair recall through the FULL pipeline (50 near-dup pairs
+  *    planted per datapoint; every one must come out);
+  *  - wall time per datapoint, with /proc/stat steal% annotated.
+  *
+  * Run: sbt -batch "runMain graft.jobs.DedupScaleBench [small]"
+  * (`small` halves the Ns for a quick smoke pass). One JSON line to
+  * stdout; results are appended to BENCH.md's scale-evidence table.
+  */
+object DedupScaleBench {
+
+  private def stealPct(f: () => Unit): Double = {
+    def jiffies(): (Long, Long) = {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      val line = try src.getLines().next() finally src.close()
+      val v = line.trim.split("\\s+").drop(1).map(_.toLong)
+      (v.sum, if (v.length > 7) v(7) else 0L)
+    }
+    val (t0, s0) = jiffies(); f(); val (t1, s1) = jiffies()
+    if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) else 0.0
+  }
+
+  /** deterministic 64-dim gaussian vector for id */
+  def vec(seed: Long): Array[Double] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(64)(r.nextGaussian())
+  }
+
+  /** deterministic ~30-unique-word doc with shared boilerplate head */
+  def docText(seed: Long): String = {
+    val r = new scala.util.Random(7000 + seed)
+    "generated file do not edit apache license " +
+      Seq.fill(30)("w" + r.nextInt(50000000)).mkString(" ")
+  }
+
+  final case class Point(kind: String, n: Long, tables: Int, bits: Int,
+      candPairs: Double, candPerN: Double, recall: Long, wallSec: Double,
+      steal: Double)
+
+  def embeddingPoint(spark: SparkSession, n: Long): Point = {
+    import spark.implicits._
+    val threshold = 0.95
+    val planted = 50
+    val base = spark.range(n).map(id => (id.toLong, vec(id)))
+    val dups = spark.range(planted).map { id =>
+      val v = vec(id)
+      (10000000L + id, Array.tabulate(64)(i => v(i) + 0.1 * v((i + 1) % 64)))
+    }
+    val emb = base.union(dups).toDF("vec_id", "embedding")
+
+    val (tables, bits) = TrainingOps.lshParams(n + planted, threshold)
+    val pl = TrainingOps.allPlanes(tables, bits)
+    // candidate volume from occupancies (the join's exact input size)
+    val cand = emb.as[(Long, Seq[Double])].flatMap { case (id, v) =>
+      pl.indices.iterator.map(t => (t, TrainingOps.lshBucket(v, pl(t))))
+    }.toDF("tbl", "bucket")
+      .groupBy("tbl", "bucket").count()
+      .agg(sum(expr("count * (count - 1) / 2"))).head.getDouble(0)
+
+    var found = 0L
+    val t0 = System.nanoTime()
+    val steal = stealPct { () =>
+      found = TrainingOps
+        .embeddingNearDups(spark, emb, threshold, nHint = Some(n + planted))
+        .filter(col("vec_j") === col("vec_i") + 10000000L &&
+          col("vec_i") < planted)
+        .count()
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+    Point("embedding", n, tables, bits, cand, cand / (n + planted), found,
+      wall, steal)
+  }
+
+  def minhashPoint(spark: SparkSession, n: Long): Point = {
+    import spark.implicits._
+    val threshold = 0.9
+    val planted = 50
+    val base = spark.range(n).map(id => (id.toLong, docText(id)))
+    val dups = spark.range(planted).map(id => (10000000L + id.toLong, docText(id)))
+    val docs = base.union(dups).toDF("doc_id", "text")
+
+    val (r, b) = TrainingOps.minhashBanding(threshold, 1e-9)
+    val cand = TrainingOps.minhashBandBuckets(docs, threshold)
+      .groupBy("band", "bh").count()
+      .agg(sum(expr("count * (count - 1) / 2"))).head.getDouble(0)
+
+    var found = 0L
+    val t0 = System.nanoTime()
+    val steal = stealPct { () =>
+      found = TrainingOps.minhashLsh(spark, docs, threshold)
+        .filter(col("doc_j") === col("doc_i") + 10000000L &&
+          col("doc_i") < planted)
+        .count()
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+    Point("minhash", n, b, r, cand, cand / (n + planted), found, wall, steal)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val small = args.headOption.contains("small")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val embNs = if (small) Seq(10000L, 50000L) else Seq(50000L, 500000L)
+    val mhNs = if (small) Seq(10000L, 100000L) else Seq(100000L, 1000000L)
+    // discarded warmup: JIT + codegen for both pipelines, so the first
+    // measured point isn't 4× inflated by first-run compilation
+    embeddingPoint(spark, 2000L)
+    minhashPoint(spark, 2000L)
+    spark.catalog.clearCache()
+    val points = embNs.map(embeddingPoint(spark, _)) ++
+      mhNs.map { n =>
+        val p = minhashPoint(spark, n)
+        spark.catalog.clearCache() // minhashLsh caches sets/tok per run
+        p
+      }
+    def j(p: Point): String =
+      f"""{"kind":"${p.kind}","n":${p.n},"tables":${p.tables},""" +
+        f""""bits":${p.bits},"cand_pairs":${p.candPairs}%.0f,""" +
+        f""""cand_per_n":${p.candPerN}%.2f,""" +
+        f""""cand_per_n_per_table":${p.candPerN / p.tables}%.2f,""" +
+        f""""planted_found":${p.recall},""" +
+        f""""planted_total":50,"wall_sec":${p.wallSec}%.2f,""" +
+        f""""steal_pct":${p.steal}%.2f}"""
+    println("[" + points.map(j).mkString(",") + "]")
+    spark.stop()
+  }
+}

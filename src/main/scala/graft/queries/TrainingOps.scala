@@ -129,6 +129,30 @@ object TrainingOps {
     * path — while the exact verify join is proportional to candidates,
     * not pairs; the DF cap bounds hot-shingle fan-out before banding.
     */
+  /** The banded-bucket stage of [[minhashLsh]] alone — (doc_id, band,
+    * band_hash) rows. Diagnostic surface for scale evidence: candidate-
+    * join size can be computed from bucket occupancies (Σ c·(c−1)/2 per
+    * (band, bh)) WITHOUT materialising the join, which is how
+    * DedupScaleBench proves candidates stay linear in N at 10⁶ docs.
+    * Mirrors minhashLsh's signature/banding stages exactly (same
+    * banding, same xxhash64 signature columns).
+    */
+  def minhashBandBuckets(docs: DataFrame, threshold: Double,
+      targetMiss: Double = 1e-9, dfCap: Int = ShingleDfCap): DataFrame = {
+    val (r, b) = minhashBanding(threshold, targetMiss)
+    val tok = shingleTokens(shingleSets(docs), dfCap)
+    val sigCols = (0 until r * b).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val sigs = tok.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until b).map { band =>
+      struct(lit(band).as("band"),
+        xxhash64((0 until r).map(row => col(s"h${band * r + row}")): _*)
+          .as("bh"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+  }
+
   def minhashLsh(spark: SparkSession, docs: DataFrame, threshold: Double,
       targetMiss: Double = 1e-9, dfCap: Int = ShingleDfCap): DataFrame = {
     val (r, b) = minhashBanding(threshold, targetMiss)
