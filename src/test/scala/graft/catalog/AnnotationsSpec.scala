@@ -99,6 +99,30 @@ class AnnotationsSpec extends SparkSpec {
     assert(top.head.getAs[String]("description") === "gen 10")
   }
 
+  test("mixed-format catalogs: pre-padding import ids are normalized on read") {
+    // catalogs written before the zero-padded format still hold
+    // "import-v9-…" rows; lexicographically "import-v9-x" >
+    // "import-v000010-x", so without read-side normalization the old
+    // generation 9 would beat any new-format import at equal created_at
+    val anns = annsDf(Seq(
+      ann("email", "import-v9-email", "gen 9 (old format)", "E9", false,
+        "2000-01-01 00:00:00"),
+      ann("email", f"import-v${10}%06d-email", "gen 10", "E10", false,
+        "2000-01-01 00:00:00")))
+    val top = Annotations.latest(anns).collect()
+    assert(top.length === 1)
+    assert(top.head.getAs[String]("description") === "gen 10")
+    // the stored id is untouched — only the sort key is normalized
+    assert(top.head.getAs[String]("annotation_id") === "import-v000010-email")
+    // non-import ids are never rewritten by the normalizer
+    val other = annsDf(Seq(
+      ann("age", "zz-manual", "manual wins", "M", false, "2000-01-01 00:00:00"),
+      ann("age", "import-v000002-age", "import", "I", false,
+        "2000-01-01 00:00:00")))
+    assert(Annotations.latest(other).collect()
+      .head.getAs[String]("description") === "manual wins")
+  }
+
   test("searchAnnotated carries the latest annotation per hit") {
     val anns = annsDf(Seq(
       ann("email", "a1", "old mail", "M1", false, "2024-01-01 00:00:00"),

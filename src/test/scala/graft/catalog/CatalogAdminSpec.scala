@@ -114,6 +114,27 @@ class CatalogAdminSpec extends SparkSpec {
     assert(meta.map(_.getString(1)).toSeq === Seq("Kept"))
   }
 
+  test("clear drops __rewrite/__old remnants — no rename-swap resurrection") {
+    val outDir = Files.createTempDirectory("graft_admin6").toString
+    seed(outDir)
+    // simulate a crash mid-rewrite while live was still authoritative:
+    // a stale partial __rewrite that read-recovery must never promote
+    val stale = java.nio.file.Paths.get(s"$outDir/fields__rewrite")
+    Files.createDirectories(stale)
+    Files.write(stale.resolve("part-zombie.parquet"), Array[Byte](1, 2, 3))
+    val old = java.nio.file.Paths.get(s"$outDir/versions__old")
+    Files.createDirectories(old)
+
+    CatalogAdmin.clear(spark, outDir)
+    assert(!Files.exists(stale), "__rewrite remnant survived clear")
+    assert(!Files.exists(old), "__old remnant survived clear")
+    // read after clear: nothing to recover, no zombie promotion
+    val cat = new ParquetCatalog(outDir)
+    assert(cat.read(spark, "fields").isEmpty)
+    assert(CatalogAdmin.stats(spark, outDir).collect()
+      .forall(_.getLong(1) === 0L))
+  }
+
   test("clear drops dictionary_meta too — no stale metadata resurrection") {
     val outDir = Files.createTempDirectory("graft_admin4").toString
     seed(outDir)
