@@ -50,7 +50,7 @@ object DedupScaleBench {
 
   final case class Point(kind: String, n: Long, tables: Int, bits: Int,
       candPairs: Double, candPerN: Double, recall: Long, wallSec: Double,
-      steal: Double)
+      steal: Double, plantedTotal: Int = 50)
 
   def embeddingPoint(spark: SparkSession, n: Long): Point = {
     import spark.implicits._
@@ -111,6 +111,43 @@ object DedupScaleBench {
     Point("minhash", n, b, r, cand, cand / (n + planted), found, wall, steal)
   }
 
+  /** IVF-ANN at scale with derived √N sizing ([[TrainingOps.ivfParams]]):
+    * 100 queries, each with 5 planted companions (the q31 contract at
+    * 1000× the universe); recall = companions retrieved in top-5.
+    * candPairs here = candidate rows scored (Σ probed-list occupancy).
+    */
+  def ivfPoint(spark: SparkSession, n: Long): Point = {
+    import spark.implicits._
+    val nQueries = 100
+    val base = spark.range(n).map(id => (id.toLong, vec(id)))
+    val comps = spark.range(nQueries).flatMap { q =>
+      val v = vec(q)
+      (0 until 5).iterator.map { k =>
+        (20000000L + q * 10 + k,
+          Array.tabulate(64)(i => v(i) + 0.01 * (k + 1) * v((i + 1) % 64)))
+      }
+    }
+    val uni = base.union(comps).toDF("vec_id", "v")
+    val queries = base.filter(_._1 < nQueries).toDF("query_id", "qv")
+    val (lists, probe, trainCap) = TrainingOps.ivfParams(n)
+
+    var found = 0L
+    val t0 = System.nanoTime()
+    val steal = stealPct { () =>
+      found = TrainingOps
+        .ivfAnnTopK(spark, uni, queries, lists, probe, trainCap)
+        .filter(col("neighbor_id") >= 20000000L &&
+          expr("(neighbor_id - 20000000) div 10") === col("query_id")).count()
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+    spark.catalog.clearCache()
+    // candidate volume (rows scored) ≈ nQueries · N · probe/lists — the
+    // derived √N sizing keeps the per-query fraction at probe/lists
+    val cand = nQueries.toDouble * n * probe / lists
+    Point("ivf", n, lists, probe, cand, cand / n, found, wall, steal,
+      plantedTotal = nQueries * 5)
+  }
+
   def main(args: Array[String]): Unit = {
     val small = args.headOption.contains("small")
     val spark = SparkSession.builder()
@@ -129,19 +166,20 @@ object DedupScaleBench {
     embeddingPoint(spark, 2000L)
     minhashPoint(spark, 2000L)
     spark.catalog.clearCache()
+    val ivfNs = if (small) Seq(50000L) else Seq(50000L, 500000L)
     val points = embNs.map(embeddingPoint(spark, _)) ++
       mhNs.map { n =>
         val p = minhashPoint(spark, n)
         spark.catalog.clearCache() // minhashLsh caches sets/tok per run
         p
-      }
+      } ++ ivfNs.map(ivfPoint(spark, _))
     def j(p: Point): String =
       f"""{"kind":"${p.kind}","n":${p.n},"tables":${p.tables},""" +
         f""""bits":${p.bits},"cand_pairs":${p.candPairs}%.0f,""" +
         f""""cand_per_n":${p.candPerN}%.2f,""" +
         f""""cand_per_n_per_table":${p.candPerN / p.tables}%.2f,""" +
         f""""planted_found":${p.recall},""" +
-        f""""planted_total":50,"wall_sec":${p.wallSec}%.2f,""" +
+        f""""planted_total":${p.plantedTotal},"wall_sec":${p.wallSec}%.2f,""" +
         f""""steal_pct":${p.steal}%.2f}"""
     println("[" + points.map(j).mkString(",") + "]")
     spark.stop()

@@ -596,15 +596,29 @@ object TrainingOps {
     * within `uni` (vec_id, v) — same output contract as q18/q19
     * (query_id, neighbor_id, rank).
     */
+  /** Derived IVF sizing for an N-vector corpus: lists ≈ √N (the standard
+    * IVF operating point — probe cost N·probe/lists stays ~√N·probe per
+    * query), training sample 16 vectors per centroid, probe count scaled
+    * to keep ~1/16 of the lists visited. The gate constants above are the
+    * small-N floor of this curve (q31 stays byte-deterministic).
+    */
+  def ivfParams(n: Long): (Int, Int, Int) = {
+    val lists = math.max(IvfLists, math.ceil(math.sqrt(n.toDouble)).toInt)
+    val probe = math.max(IvfProbe, lists / 16)
+    val trainCap = math.max(IvfTrainCap, 16 * lists)
+    (lists, probe, trainCap)
+  }
+
   def ivfAnnTopK(spark: SparkSession, uniIn: DataFrame,
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame, lists: Int = IvfLists, probe: Int = IvfProbe,
+      trainCap: Int = IvfTrainCap): DataFrame = {
     import spark.implicits._
     val uni = uniIn.cache() // reused: codebook sample, assign, verify join
     val e = uni.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
     // codebook from a deterministic sample (vec_id order, capped)
-    val sample = e.sort(col("vec_id")).limit(IvfTrainCap)
+    val sample = e.sort(col("vec_id")).limit(trainCap)
       .collect().map(_._2.toArray)
-    val cents = kmeansTrain(sample, IvfLists, IvfIters)
+    val cents = kmeansTrain(sample, lists, IvfIters)
     val bc = spark.sparkContext.broadcast(cents)
 
     val assigned = e.map { case (id, v) =>
@@ -614,7 +628,7 @@ object TrainingOps {
 
     val probes = queries.select(col("query_id"), col("qv"))
       .as[(Long, Seq[Double])].flatMap { case (id, v) =>
-        nearestLists(v.toArray, bc.value, IvfProbe).iterator.map(l => (id, l))
+        nearestLists(v.toArray, bc.value, probe).iterator.map(l => (id, l))
       }.toDF("query_id", "list_id")
 
     val cand = broadcast(probes).join(assigned, Seq("list_id"))
