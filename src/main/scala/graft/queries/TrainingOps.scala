@@ -563,33 +563,83 @@ object TrainingOps {
 
   def nearestLists(v: Array[Double], cents: Array[Array[Double]],
       p: Int): Array[Int] =
-    cents.indices.sortBy(c => sqDist(v, cents(c))).take(p).toArray
+    if (p == 1) {
+      // hot path: one argmin pass (the per-vector assignment at scale) —
+      // strict < keeps the first index on ties, matching the stable sort
+      var best = 0
+      var bestD = sqDist(v, cents(0))
+      var c = 1
+      while (c < cents.length) {
+        val d = sqDist(v, cents(c))
+        if (d < bestD) { best = c; bestD = d }
+        c += 1
+      }
+      Array(best)
+    } else cents.indices.sortBy(c => sqDist(v, cents(c))).take(p).toArray
 
   /** Deterministic Lloyd's k-means over a driver-side sample (first-k
-    * init; empty clusters keep their previous centroid).
+    * init; empty clusters keep their previous centroid). The assign step
+    * runs on a local thread pool over FIXED 1024-sample chunks whose
+    * partial sums merge in chunk-index order — bit-identical output
+    * regardless of thread scheduling, so the codebook (and therefore the
+    * q31 gate) stays run-to-run deterministic while √N-sized codebooks
+    * (DedupScaleBench: 708 centroids × 11k samples) train in seconds
+    * instead of minutes.
     */
   def kmeansTrain(samples: Array[Array[Double]], k: Int,
       iters: Int): Array[Array[Double]] = {
     require(samples.length >= k, s"need >= $k training vectors")
     val dim = samples.head.length
     var cents = samples.take(k).map(_.clone)
-    var it = 0
-    while (it < iters) {
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Long](k)
-      samples.foreach { v =>
-        val c = nearestLists(v, cents, 1)(0)
-        counts(c) += 1
-        var i = 0
-        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+    val chunk = 1024
+    val nChunks = (samples.length + chunk - 1) / chunk
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(nChunks,
+        Runtime.getRuntime.availableProcessors - 1)))
+    try {
+      var it = 0
+      while (it < iters) {
+        val cur = cents
+        val tasks = (0 until nChunks).map { ci =>
+          pool.submit(new java.util.concurrent.Callable[
+              (Array[Array[Double]], Array[Long])] {
+            def call(): (Array[Array[Double]], Array[Long]) = {
+              val sums = Array.fill(k)(new Array[Double](dim))
+              val counts = new Array[Long](k)
+              var s = ci * chunk
+              val end = math.min(s + chunk, samples.length)
+              while (s < end) {
+                val v = samples(s)
+                val c = nearestLists(v, cur, 1)(0)
+                counts(c) += 1
+                var i = 0
+                while (i < dim) { sums(c)(i) += v(i); i += 1 }
+                s += 1
+              }
+              (sums, counts)
+            }
+          })
+        }
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Long](k)
+        tasks.foreach { f => // merge in chunk order: deterministic fp sums
+          val (ls, lc) = f.get()
+          var c = 0
+          while (c < k) {
+            counts(c) += lc(c)
+            var i = 0
+            while (i < dim) { sums(c)(i) += ls(c)(i); i += 1 }
+            c += 1
+          }
+        }
+        cents = Array.tabulate(k) { c =>
+          if (counts(c) == 0) cents(c)
+          else { val s = sums(c); s.map(_ / counts(c)) }
+        }
+        it += 1
       }
-      cents = Array.tabulate(k) { c =>
-        if (counts(c) == 0) cents(c)
-        else { val s = sums(c); s.map(_ / counts(c)) }
-      }
-      it += 1
-    }
-    cents
+      cents
+    } finally pool.shutdown()
   }
 
   /** IVF approximate top-k cosine neighbours of `queries` (query_id, qv)
