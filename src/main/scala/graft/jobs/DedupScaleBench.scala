@@ -148,6 +148,52 @@ object DedupScaleBench {
       plantedTotal = nQueries * 5)
   }
 
+  /** SimHash (q17's 4×16-bit banding) at scale: candidate volume from
+    * (band, key) occupancies plus the full pipeline over 50 planted
+    * exact dups. Unlike MinHash-LSH, the band count here is FIXED, so
+    * random co-bucketing grows ~N²/65536 per band — this datapoint
+    * measures that curve honestly; 16-bit bands are the ≤ few-million-doc
+    * operating point (the Hamming verify per candidate is one XOR +
+    * popcount, no payload shuffle), and q16 is the tunable-banding path
+    * beyond it.
+    */
+  def simhashPoint(spark: SparkSession, n: Long): Point = {
+    import spark.implicits._
+    val planted = 50
+    val base = spark.range(n).map(id => (id.toLong, docText(id)))
+    val dups = spark.range(planted).map(id => (10000000L + id.toLong, docText(id)))
+    val docs = base.union(dups).toDF("doc_id", "text")
+    val hashed = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .as[(Long, Seq[String])]
+      .map { case (id, toks) => (id, TrainingOps.simhash64(toks)) }
+      .toDF("doc_id", "simhash").cache()
+    val bands = hashed.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "key")))
+    val cand = bands.groupBy("band", "key").count()
+      .agg(sum(expr("count * (count - 1) / 2"))).head.getDouble(0)
+
+    var found = 0L
+    val t0 = System.nanoTime()
+    val steal = stealPct { () =>
+      val pairs = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+          col("a.simhash").as("sh_i"), col("b.simhash").as("sh_j"))
+        .distinct()
+        .withColumn("hamming", bit_count(col("sh_i").bitwiseXOR(col("sh_j"))))
+        .filter(col("hamming") <= 3)
+      found = pairs.filter(col("doc_j") === col("doc_i") + 10000000L &&
+        col("doc_i") < planted).count()
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+    hashed.unpersist()
+    Point("simhash", n, 4, 16, cand, cand / (n + planted), found, wall, steal)
+  }
+
   def main(args: Array[String]): Unit = {
     val small = args.headOption.contains("small")
     val spark = SparkSession.builder()
@@ -167,12 +213,13 @@ object DedupScaleBench {
     minhashPoint(spark, 2000L)
     spark.catalog.clearCache()
     val ivfNs = if (small) Seq(50000L) else Seq(50000L, 500000L)
+    val shNs = if (small) Seq(100000L) else Seq(100000L, 1000000L)
     val points = embNs.map(embeddingPoint(spark, _)) ++
       mhNs.map { n =>
         val p = minhashPoint(spark, n)
         spark.catalog.clearCache() // minhashLsh caches sets/tok per run
         p
-      } ++ ivfNs.map(ivfPoint(spark, _))
+      } ++ ivfNs.map(ivfPoint(spark, _)) ++ shNs.map(simhashPoint(spark, _))
     def j(p: Point): String =
       f"""{"kind":"${p.kind}","n":${p.n},"tables":${p.tables},""" +
         f""""bits":${p.bits},"cand_pairs":${p.candPairs}%.0f,""" +

@@ -87,4 +87,11 @@ class PlanSpec extends SparkSpec {
       "annotation side should be the broadcast build side")
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("q39: region-name enrichment broadcasts, parsed side never shuffles wide") {
+    val p = finalPlan(ProfileQueries.q39Geopackage(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "the 5-row region side must broadcast, not sort-merge")
+  }
 }
