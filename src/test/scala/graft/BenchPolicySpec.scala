@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench harness's contention-witness policy as assertions (the q26
+  * incident regression gate, BENCH.md §"q26 incident"): a poisoned
+  * attempt must read dirty whatever the contention source, and the
+  * structurally wait-heavy streaming rows must not false-positive.
+  */
+class BenchPolicySpec extends AnyFunSuite {
+
+  private def att(sec: Double = 1.0, steal: Double = 0.0,
+      taskSec: Double = 5.0, eff: Double = 0.95) =
+    Bench.Attempt(sec, steal, taskSec, eff, taskSec / sec)
+
+  test("visible hypervisor steal marks an attempt dirty") {
+    assert(att(steal = 1.0).dirty(waitHeavy = false))
+    assert(att(steal = 12.2).dirty(waitHeavy = false))
+    assert(!att(steal = 0.99).dirty(waitHeavy = false))
+  }
+
+  test("in-VM contention (CPU-starved tasks) is dirty even at zero steal") {
+    // the r3 q26 signature: 96 s wall, steal 0.38%, tasks runnable but
+    // not running — cpu_eff collapses
+    assert(att(sec = 96.0, steal = 0.38, taskSec = 90.0, eff = 0.1)
+      .dirty(waitHeavy = false))
+    assert(att(eff = 0.59).dirty(waitHeavy = false))
+    assert(!att(eff = 0.61).dirty(waitHeavy = false))
+  }
+
+  test("tiny task time cannot trigger the cpu_eff rule") {
+    // a 50 ms metadata query has too little task time to judge
+    assert(!att(taskSec = 0.2, eff = 0.1).dirty(waitHeavy = false))
+  }
+
+  test("wait-heavy streaming rows are judged on steal only") {
+    // q37/q40 block on state-store commits: eff ~0.15 by construction
+    assert(!att(eff = 0.15).dirty(waitHeavy = true))
+    assert(att(eff = 0.15, steal = 2.0).dirty(waitHeavy = true))
+    assert(Bench.WaitHeavy("q37_stream_windows"))
+    assert(Bench.WaitHeavy("q40_stream_profile"))
+  }
+}

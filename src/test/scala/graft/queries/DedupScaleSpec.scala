@@ -95,4 +95,39 @@ class DedupScaleSpec extends SparkSpec {
       .select(col("a.vec_id")).distinct().count()
     assert(shared === 50L, s"only $shared/50 planted pairs co-bucketed")
   }
+
+  test("derived IVF sizing: gate constants are the small-N floor of the √N curve") {
+    // small N → the fixed gate constants (q31 itself always uses the
+    // defaults, so the gate stays byte-deterministic regardless)
+    assert(TrainingOps.ivfParams(200) ===
+      ((TrainingOps.IvfLists, TrainingOps.IvfProbe, TrainingOps.IvfTrainCap)))
+    // at scale: lists ≈ √N, probe ≈ lists/16, 16 training samples/centroid
+    val (l50k, p50k, t50k) = TrainingOps.ivfParams(50000)
+    assert(l50k === 224 && p50k === 14 && t50k === 16 * 224)
+    val (l500k, p500k, _) = TrainingOps.ivfParams(500000)
+    assert(l500k === 708 && p500k === 44)
+    // the scored-candidate fraction probe/lists stays ~1/16 as N grows —
+    // the flat cand/N ratio DedupScaleBench measures
+    assert(math.abs(p500k.toDouble / l500k - 1.0 / 16) < 0.01)
+  }
+
+  test("minhashBandBuckets mirrors the LSH stage: planted dups co-bucket, band count matches") {
+    import spark.implicits._
+    def uniq(i: Int) = {
+      val r = new scala.util.Random(5000 + i)
+      Seq.fill(30)("w" + r.nextInt(1000000)).mkString(" ")
+    }
+    val docs = ((0 until 100).map(i => (i.toLong, uniq(i))) ++
+      (0 until 5).map(j => (1000L + j, uniq(j)))).toDF("doc_id", "text")
+    val buckets = TrainingOps.minhashBandBuckets(docs, 0.9).cache()
+    val (r, b) = TrainingOps.minhashBanding(0.9, 1e-9)
+    assert(buckets.select(col("band")).distinct().count() === b.toLong)
+    // every planted pair shares ≥ 1 band bucket (identical content →
+    // identical signature → all b bands collide)
+    val shared = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") + 1000 === col("b.doc_id"))
+      .select(col("a.doc_id")).distinct().count()
+    assert(shared === 5L)
+  }
 }
