@@ -103,9 +103,10 @@ class DedupScaleSpec extends SparkSpec {
       ((TrainingOps.IvfLists, TrainingOps.IvfProbe, TrainingOps.IvfTrainCap)))
     // at scale: lists ≈ √N, probe ≈ lists/16, 16 training samples/centroid
     val (l50k, p50k, t50k) = TrainingOps.ivfParams(50000)
-    assert(l50k === 224 && p50k === 14 && t50k === 16 * 224)
-    val (l500k, p500k, _) = TrainingOps.ivfParams(500000)
-    assert(l500k === 708 && p500k === 44)
+    assert(l50k === 224 && p50k === 14)
+    assert(t50k === math.max(TrainingOps.IvfTrainCap, 16 * 224))
+    val (l500k, p500k, t500k) = TrainingOps.ivfParams(500000)
+    assert(l500k === 708 && p500k === 44 && t500k === 16 * 708)
     // the scored-candidate fraction probe/lists stays ~1/16 as N grows —
     // the flat cand/N ratio DedupScaleBench measures
     assert(math.abs(p500k.toDouble / l500k - 1.0 / 16) < 0.01)
