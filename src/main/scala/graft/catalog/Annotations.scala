@@ -73,10 +73,14 @@ object Annotations {
     // rows, and lexicographically "import-v9-x" > "import-v000010-x", so
     // at equal created_at an old generation 9 would beat any new-format
     // import. Re-pad the version digits of old-format ids on read.
+    // Pad width 12, not the writer's 6: lpad TRUNCATES over-long input, so
+    // a 6-wide pad would collide/mis-order once Imports' %06d grows to 7
+    // digits at version >= 1,000,000 (v999999 -> "999999" sorting above a
+    // truncated "100000"). 12 digits cannot truncate any realistic version.
     val normId = when(col("annotation_id").rlike("^import-v\\d+-"),
       concat(lit("import-v"),
         lpad(regexp_extract(col("annotation_id"), "^import-v(\\d+)-", 1),
-          6, "0"),
+          12, "0"),
         lit("-"),
         regexp_replace(col("annotation_id"), "^import-v\\d+-", "")))
       .otherwise(col("annotation_id"))

@@ -47,6 +47,39 @@ object SqliteWriteProbe {
           (1 to 10).map(i => (i.toLong,
             Seq[Any](null, Array.tabulate[Byte](i * 3)(j => (i + j).toByte)))))),
         applicationId = 0x47504B47L))
-    println(s"""{"probe_dir":"$outDir","files":["single.db","multi.db","empty.db","multi_table.db"]}""")
+    // the exact q39 GeoPackage system-table DDLs (ProfileQueries
+    // .q39Geopackage): no TEXT PK / UNIQUE — those demand implicit-index
+    // b-trees the writer doesn't emit and would fail integrity_check.
+    // This probe pins that the shipped .gpkg shape IS valid SQLite.
+    Files.write(Paths.get(s"$outDir/gpkg_shape.gpkg"),
+      SqliteWrite.databaseMulti(Seq(
+        ("gpkg_spatial_ref_sys",
+          "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, " +
+            "srs_id INTEGER NOT NULL PRIMARY KEY, organization TEXT NOT NULL, " +
+            "organization_coordsys_id INTEGER NOT NULL, " +
+            "definition TEXT NOT NULL, description TEXT)",
+          Seq(4326L, 100001L).map(id => (id,
+            Seq[Any](s"srs $id", null, "EPSG", id, s"EPSG:$id", null)))),
+        ("gpkg_contents",
+          "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL, " +
+            "data_type TEXT NOT NULL, identifier TEXT, " +
+            "description TEXT DEFAULT '', last_change DATETIME, " +
+            "min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, " +
+            "srs_id INTEGER)",
+          Seq((1L, Seq[Any]("feat_a", "features", "A", "",
+            "2023-01-19T00:00:00Z", -10.0, -5.0, 10.0, 5.0, 4326L)))),
+        ("gpkg_geometry_columns",
+          "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, " +
+            "column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, " +
+            "srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL)",
+          Seq((1L, Seq[Any]("feat_a", "geom", "POINT", 4326L, 0L, 1L)))),
+        ("feat_a",
+          "CREATE TABLE feat_a (fid INTEGER PRIMARY KEY, name TEXT, geom BLOB)",
+          (1 to 5).map(i => (i.toLong,
+            Seq[Any](null, s"a_$i",
+              Array[Byte](0x47, 0x50, 0, 1) ++
+                Array.tabulate[Byte](20)(j => (i + j).toByte)))))),
+        applicationId = 0x47504B47L))
+    println(s"""{"probe_dir":"$outDir","files":["single.db","multi.db","empty.db","multi_table.db","gpkg_shape.gpkg"]}""")
   }
 }

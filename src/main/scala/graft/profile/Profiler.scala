@@ -167,8 +167,14 @@ object Profiler {
     * unaffected. The shuffled payload is just the raw records; at real
     * scale (inputs already ≥ cores partitions) this is a no-op.
     */
-  private def spread[T](spark: SparkSession, ds: Dataset[T]): Dataset[T] = {
+  private def spread[T](spark: SparkSession, ds: Dataset[T],
+      limited: Boolean = false): Dataset[T] = {
     val target = spark.sparkContext.defaultParallelism
+    // A record cap (df.limit upstream) collapses the executed plan onto a
+    // few partitions regardless of file size, so the file-index estimate
+    // below would overcount and skip the repartition — leaving the
+    // CPU-bound JSON walk under-parallel. Short-circuit to repartition.
+    if (limited) return ds.repartition(target)
     // Estimate scan parallelism from the logical plan's file index —
     // building the physical RDD (toRdd) just to read getNumPartitions
     // would pay plan-to-RDD conversion on every profile invocation.
@@ -197,7 +203,7 @@ object Profiler {
     val keyed = capped.select(col(jsonCol).cast("string"))
       .withColumn("_rid", monotonically_increasing_id())
       .as[(String, Long)]
-    spread(spark, keyed)
+    spread(spark, keyed, limited = maxRecords > 0)
       .flatMap { case (json, rid) =>
         if (json == null) Iterator.empty
         else JsonWalk.walk(json, mongo).iterator.map(o =>

@@ -484,9 +484,15 @@ object ProfileQueries {
         srsIds.map(id => (id,
           Seq[Any](s"srs $id", null, "EPSG", id, s"EPSG:$id", null))))
       def layerName(nm: String) = "feat_" + nm.toLowerCase.replace(' ', '_')
+      // table_name/identifier carry no PRIMARY KEY/UNIQUE here on purpose:
+      // SqliteWrite emits no implicit-index b-trees, so a TEXT PK or UNIQUE
+      // would make the file fail PRAGMA integrity_check in external sqlite3
+      // (the constraint demands a sqlite_autoindex). Plain rowid tables keep
+      // the produced .gpkg a valid single-file database; uniqueness is by
+      // construction (one row per nation).
       val contents = ("gpkg_contents",
-        "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY KEY, " +
-          "data_type TEXT NOT NULL, identifier TEXT UNIQUE, " +
+        "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL, " +
+          "data_type TEXT NOT NULL, identifier TEXT, " +
           "description TEXT DEFAULT '', last_change DATETIME, " +
           "min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, " +
           "srs_id INTEGER)",

@@ -140,7 +140,16 @@ object TrainingOps {
   def minhashBandBuckets(docs: DataFrame, threshold: Double,
       targetMiss: Double = 1e-9, dfCap: Int = ShingleDfCap): DataFrame = {
     val (r, b) = minhashBanding(threshold, targetMiss)
-    val tok = shingleTokens(shingleSets(docs), dfCap)
+    bandedBuckets(shingleTokens(shingleSets(docs), dfCap), r, b)
+  }
+
+  /** Signature + banding stages shared by [[minhashLsh]] and
+    * [[minhashBandBuckets]] — ONE implementation so the diagnostic
+    * surface (whose bucket occupancies DedupScaleBench presents as exact
+    * candidate-join input sizes) cannot drift from the production
+    * pipeline. Input: (doc_id, s) token rows; output: (doc_id, band, bh).
+    */
+  private def bandedBuckets(tok: DataFrame, r: Int, b: Int): DataFrame = {
     val sigCols = (0 until r * b).map(i =>
       min(xxhash64(lit(i), col("s"))).as(s"h$i"))
     val sigs = tok.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
@@ -158,17 +167,7 @@ object TrainingOps {
     val (r, b) = minhashBanding(threshold, targetMiss)
     val sets = shingleSets(docs).cache()
     val tok = shingleTokens(sets, dfCap).cache()
-    val sigCols = (0 until r * b).map(i =>
-      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
-    val sigs = tok.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    val bandCols = (0 until b).map { band =>
-      struct(lit(band).as("band"),
-        xxhash64((0 until r).map(row => col(s"h${band * r + row}")): _*)
-          .as("bh"))
-    }
-    val buckets = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+    val buckets = bandedBuckets(tok, r, b)
     val candidates = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))

@@ -157,7 +157,7 @@ object StreamingProfileJob {
         .write.mode(SaveMode.Append).parquet(in)
       runOnce(spark, in, out, ckpt) // lifecycle 2: resumes from checkpoint
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    spark.read.parquet(s"$out/current")
+    val projected = spark.read.parquet(s"$out/current")
       .select(
         col("fieldPath").as("field_path"),
         col("fieldName").as("field_name"),
@@ -172,6 +172,27 @@ object StreamingProfileJob {
         col("nullPercentage").as("null_percentage"),
         col("isNullable").as("is_nullable"))
       .orderBy(col("field_path"))
+    // The per-field profile is small (one row per field path): pin it on
+    // the driver and rebuild the frame so the temp root — a full parquet
+    // copy of the corpus + checkpoint state per invocation, which the
+    // bench harness would otherwise accumulate across warm-up + attempts —
+    // can be deleted before returning.
+    val rows = projected.collect().toSeq
+    val schema = projected.schema
+    deleteRecursively(java.nio.file.Paths.get(root))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
+    ()
   }
 
   def main(args: Array[String]): Unit = {

@@ -55,12 +55,45 @@ def check_multi_table(path):
     print(f"{path}: OK (3 tables, application_id GPKG, blobs exact)")
 
 
+def check_gpkg_shape(path):
+    """The exact q39 system-table DDLs (post r4-ADVICE fix: no TEXT PK /
+    UNIQUE, which would demand implicit-index b-trees the writer doesn't
+    emit). Pins that the shipped .gpkg shape is valid SQLite to external
+    tools, not just to the in-repo scanner."""
+    con = sqlite3.connect(path)
+    c = con.cursor()
+    ok = c.execute("PRAGMA integrity_check").fetchall()
+    assert ok == [("ok",)], f"{path}: integrity_check -> {ok}"
+    app_id = c.execute("PRAGMA application_id").fetchone()[0]
+    assert app_id == 0x47504B47, f"{path}: application_id {app_id:#x}"
+    names = [r[0] for r in c.execute(
+        "SELECT name FROM sqlite_master WHERE type='table' ORDER BY rowid")]
+    assert names == ["gpkg_spatial_ref_sys", "gpkg_contents",
+                     "gpkg_geometry_columns", "feat_a"], f"{path}: {names}"
+    srs = c.execute(
+        "SELECT srs_id, srs_name, organization FROM gpkg_spatial_ref_sys "
+        "ORDER BY srs_id").fetchall()
+    assert srs == [(4326, "srs 4326", "EPSG"),
+                   (100001, "srs 100001", "EPSG")], f"{path}: {srs}"
+    cont = c.execute(
+        "SELECT table_name, data_type, identifier, srs_id FROM gpkg_contents"
+    ).fetchall()
+    assert cont == [("feat_a", "features", "A", 4326)], f"{path}: {cont}"
+    feats = c.execute(
+        "SELECT fid, name, geom FROM feat_a ORDER BY fid").fetchall()
+    assert len(feats) == 5 and all(
+        f[2][:4] == b"GP\x00\x01" for f in feats), f"{path}: {feats}"
+    con.close()
+    print(f"{path}: OK (q39 gpkg shape, integrity ok)")
+
+
 def main(probe_dir):
     d = Path(probe_dir)
     check(d / "single.db", 20)
     check(d / "multi.db", 600)
     check(d / "empty.db", 0)
     check_multi_table(d / "multi_table.db")
+    check_gpkg_shape(d / "gpkg_shape.gpkg")
     print("ALL OK")
     return 0
 
