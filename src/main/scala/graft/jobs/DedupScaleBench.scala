@@ -148,14 +148,15 @@ object DedupScaleBench {
       plantedTotal = nQueries * 5)
   }
 
-  /** SimHash (q17's 4×16-bit banding) at scale: candidate volume from
-    * (band, key) occupancies plus the full pipeline over 50 planted
-    * exact dups. Unlike MinHash-LSH, the band count here is FIXED, so
-    * random co-bucketing grows ~N²/65536 per band — this datapoint
-    * measures that curve honestly; 16-bit bands are the ≤ few-million-doc
-    * operating point (the Hamming verify per candidate is one XOR +
-    * popcount, no payload shuffle), and q16 is the tunable-banding path
-    * beyond it.
+  /** SimHash at scale with DERIVED banding (r4 verdict item 1): block
+    * count b comes from [[TrainingOps.simhashBlocks]] (n≤2.6e5 → the
+    * legacy 4 tables × 16-bit keys; 1M → 10 tables × ≥25-bit keys; …),
+    * so per-table random co-bucketing falls as 2^−keyWidth instead of
+    * growing ~n²/65536 (the r4-measured 304M pairs at 1M docs).
+    * Candidate volume is computed exactly from (table, key) occupancies
+    * — the same diagnostic [[TrainingOps.simhashBandBuckets]] surface
+    * the production [[TrainingOps.simhashPairs]] joins on — plus the
+    * full pipeline over 50 planted exact dups for recall.
     */
   def simhashPoint(spark: SparkSession, n: Long): Point = {
     import spark.implicits._
@@ -168,18 +169,18 @@ object DedupScaleBench {
       .as[(Long, Seq[String])]
       .map { case (id, toks) => (id, TrainingOps.simhash64(toks)) }
       .toDF("doc_id", "simhash").cache()
-    val bands = hashed.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("band", "key")))
-    val cand = bands.groupBy("band", "key").count()
+    val b = TrainingOps.simhashBlocks(n + planted, maxHamming = 3)
+    val minKeyWidth =
+      TrainingOps.simhashBlockWidths(b).sorted.take(b - 3).sum
+    val bands = TrainingOps.simhashBandBuckets(hashed, b, maxHamming = 3)
+    val cand = bands.groupBy("table", "key").count()
       .agg(sum(expr("count * (count - 1) / 2"))).head.getDouble(0)
 
     var found = 0L
     val t0 = System.nanoTime()
     val steal = stealPct { () =>
       val pairs = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.table") === col("b.table") && col("a.key") === col("b.key") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
           col("a.simhash").as("sh_i"), col("b.simhash").as("sh_j"))
@@ -191,7 +192,8 @@ object DedupScaleBench {
     }
     val wall = (System.nanoTime() - t0) / 1e9
     hashed.unpersist()
-    Point("simhash", n, 4, 16, cand, cand / (n + planted), found, wall, steal)
+    Point("simhash", n, b, minKeyWidth, cand, cand / (n + planted), found,
+      wall, steal)
   }
 
   def main(args: Array[String]): Unit = {

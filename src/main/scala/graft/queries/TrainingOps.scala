@@ -200,14 +200,112 @@ object TrainingOps {
     minhashLsh(spark, t(spark, dir, "documents"), 0.9)
       .orderBy(col("doc_i"), col("doc_j"))
 
+  /** Derived SimHash banding (the Manku/Jain/Das Sarma WWW'07 block-
+    * permutation scheme, re-expressed over contiguous blocks): split the
+    * 64-bit simhash into `b` blocks and key each of C(b, b−h) tables on
+    * the exact values of a distinct (b−h)-block combination. A pair
+    * within Hamming distance h differs in at most h blocks, so at least
+    * one combination avoids every differing bit (pigeonhole) — the
+    * candidate stage stays COMPLETE for Hamming ≤ h at EVERY b ≥ h+1,
+    * while the key widens with b: random co-keyed pairs per table fall
+    * as 2^−keyWidth. `simhashBlocks` picks the smallest b whose expected
+    * random candidates stay linear in n (≤ perDocCap per doc):
+    * h=3 → b=4 (4 tables × 16-bit keys) through n≈2.6e5 — the exact
+    * legacy 4×16 banding — then b=5 (10 × ≥25-bit) to n≈5e7, b=6
+    * (20 × ≥31-bit) to n≈1.7e9, … b=10 (120 × ≥43-bit) past 10¹²,
+    * trading a slowly-growing table count for collision mass that no
+    * longer scales with n². This is the same derive-from-N discipline as
+    * [[minhashBanding]]/[[lshParams]]/[[ivfParams]].
+    */
+  def simhashBlocks(n: Long, maxHamming: Int = 3,
+      perDocCap: Double = 8.0): Int = {
+    val h = maxHamming
+    (h + 1 to 32).find { b =>
+      val k = b - h
+      val minKeyWidth = simhashBlockWidths(b).sorted.take(k).sum
+      val tables = (BigInt(1) to BigInt(k)).foldLeft(BigInt(1)) { (acc, i) =>
+        acc * (b - k + i) / i
+      }.toDouble
+      tables * (n.toDouble / 2.0) * math.pow(2.0, -minKeyWidth) <= perDocCap
+    }.getOrElse(32)
+  }
+
+  /** Widths of the `b` contiguous simhash blocks (sums to 64; the
+    * remainder bits widen the low blocks first).
+    */
+  def simhashBlockWidths(b: Int): Seq[Int] = {
+    val q = 64 / b
+    val r = 64 % b
+    (0 until b).map(i => if (i < r) q + 1 else q)
+  }
+
+  /** The (table, key) rows for derived-banding SimHash: one row per
+    * (doc, block-combination), key = concatenated exact block values.
+    * Diagnostic surface mirroring [[minhashBandBuckets]] — candidate-join
+    * input size is Σ c·(c−1)/2 over (table, key) occupancies, which is
+    * how DedupScaleBench measures the collision curve without
+    * materialising the join. Input must carry (doc_id, simhash).
+    */
+  def simhashBandBuckets(hashed: DataFrame, b: Int,
+      maxHamming: Int = 3): DataFrame = {
+    val widths = simhashBlockWidths(b)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    def blockVal(i: Int): Column =
+      shiftright(col("simhash"), offsets(i))
+        .bitwiseAND(lit((1L << widths(i)) - 1))
+    val combos = (0 until b).combinations(b - maxHamming).toSeq
+    val tabCols = combos.zipWithIndex.map { case (combo, t) =>
+      struct(lit(t).as("table"),
+        combo.foldLeft(lit(0L): Column) { (acc, bi) =>
+          shiftleft(acc, widths(bi)).bitwiseOR(blockVal(bi))
+        }.as("key"))
+    }
+    hashed.select(col("doc_id"), col("simhash"),
+        explode(array(tabCols: _*)).as("tk"))
+      .select(col("doc_id"), col("simhash"),
+        col("tk.table").as("table"), col("tk.key").as("key"))
+  }
+
+  /** SimHash near-dup pairs with banding derived from corpus size:
+    * deterministically {pairs : hamming(simhash_i, simhash_j) ≤
+    * maxHamming} for every n, because the block-combination candidate
+    * stage is complete at any derived b (scaladoc at [[simhashBlocks]])
+    * and the exact Hamming filter runs on candidates. The join key is
+    * (table, key) — bucketed, never all-pairs; the verify is one XOR +
+    * popcount per candidate, no payload shuffle.
+    */
+  def simhashPairs(spark: SparkSession, docs: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    import spark.implicits._
+    val hashed = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .as[(Long, Seq[String])]
+      .map { case (id, toks) => (id, TrainingOps.simhash64(toks)) }
+      .toDF("doc_id", "simhash")
+      .cache()
+    val b = simhashBlocks(hashed.count(), maxHamming)
+    val buckets = simhashBandBuckets(hashed, b, maxHamming)
+    buckets.as("a").join(buckets.as("b"),
+        col("a.table") === col("b.table") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
+        col("a.simhash").as("sh_i"), col("b.simhash").as("sh_j"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_i").bitwiseXOR(col("sh_j"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_i"), col("doc_j"), col("hamming"))
+  }
+
   /** q17 — SimHash near-dup pairs, EXACT by construction. 64-bit simhash
     * over token hashes (per-bit majority vote, term-frequency weighted),
-    * banded into 4×16-bit keys: any pair within Hamming distance 3 can
-    * differ in at most 3 bands, so it shares ≥1 exact band (pigeonhole) —
-    * the candidate stage is COMPLETE for Hamming ≤ 3, and after the true
-    * Hamming filter the output is deterministically {pairs : hamming ≤ 3},
-    * which the DuckDB oracle recomputes from scratch (token hash = lower
-    * 64 bits of MD5, chosen precisely because both engines compute it
+    * candidates via the derived block-combination banding
+    * ([[simhashBlocks]]; at gate scale n=500 → the legacy 4×16-bit
+    * plan): any pair within Hamming distance 3 shares ≥1 exact table key
+    * (pigeonhole) — the candidate stage is COMPLETE for Hamming ≤ 3, and
+    * after the true Hamming filter the output is deterministically
+    * {pairs : hamming ≤ 3} independent of the derived b, which the
+    * DuckDB oracle recomputes from scratch (token hash = lower 64 bits
+    * of MD5, chosen precisely because both engines compute it
     * bit-identically — DuckDB `md5_number_lower` = little-endian of MD5
     * digest bytes 8..15).
     *
@@ -216,30 +314,9 @@ object TrainingOps {
     * mapPartitions-tier exception, SURVEY.md §2.9), everything else stays
     * Catalyst.
     */
-  def q17Simhash(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val docs = t(spark, dir, "documents")
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
-      .as[(Long, Seq[String])]
-    val hashed = docs.map { case (id, toks) =>
-      (id, TrainingOps.simhash64(toks))
-    }.toDF("doc_id", "simhash")
-    val bands = hashed.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("band", "key")))
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"),
-        col("a.simhash").as("sh_i"), col("b.simhash").as("sh_j"))
-      .distinct()
-    cand
-      .withColumn("hamming", bit_count(col("sh_i").bitwiseXOR(col("sh_j"))))
-      .filter(col("hamming") <= 3)
-      .select(col("doc_i"), col("doc_j"), col("hamming"))
+  def q17Simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashPairs(spark, t(spark, dir, "documents"), maxHamming = 3)
       .orderBy(col("doc_i"), col("doc_j"))
-  }
 
   /** Lower 64 bits of MD5(s) — little-endian over digest bytes 8..15,
     * matching DuckDB's `md5_number_lower` so the simhash oracle can

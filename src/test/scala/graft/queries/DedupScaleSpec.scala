@@ -131,4 +131,69 @@ class DedupScaleSpec extends SparkSpec {
       .select(col("a.doc_id")).distinct().count()
     assert(shared === 5L)
   }
+
+  test("simhashBlocks derives block count from N; gate scale keeps legacy 4×16") {
+    // the curve (h=3, perDocCap=8): thresholds where expected random
+    // co-keyed pairs per doc would exceed the cap
+    assert(TrainingOps.simhashBlocks(500) === 4)     // gate scale: legacy plan
+    assert(TrainingOps.simhashBlocks(262144) === 4)  // 4 tables × 16-bit keys
+    assert(TrainingOps.simhashBlocks(262145) === 5)  // 10 tables × ≥25-bit
+    assert(TrainingOps.simhashBlocks(1000000) === 5)
+    assert(TrainingOps.simhashBlocks(100000000L) === 6) // 20 × ≥31-bit
+    assert(TrainingOps.simhashBlocks(2000000000L) === 7)
+    assert(TrainingOps.simhashBlocks(1000000000000L) === 10) // 10¹² docs
+    // widths always cover all 64 bits
+    (4 to 12).foreach(b =>
+      assert(TrainingOps.simhashBlockWidths(b).sum === 64))
+  }
+
+  test("simhash block-combination banding is pigeonhole-complete for every derived b") {
+    import spark.implicits._
+    // random 64-bit hashes + a partner with exactly d ≤ 3 flipped bits;
+    // completeness: every such pair must share ≥ 1 (table, key) at every
+    // block count the derivation can pick in the 10¹²-doc range
+    val rnd = new scala.util.Random(42)
+    val pairs = (0 until 200).map { i =>
+      val h = rnd.nextLong()
+      val d = i % 4 // Hamming distances 0..3
+      val flips = rnd.shuffle((0 until 64).toList).take(d)
+      val h2 = flips.foldLeft(h)((acc, bit) => acc ^ (1L << bit))
+      (i.toLong, h, h2)
+    }
+    for (b <- 4 to 10) {
+      val hashed = pairs.flatMap { case (i, h, h2) =>
+        Seq((2 * i, h), (2 * i + 1, h2))
+      }.toDF("doc_id", "simhash")
+      val buckets = TrainingOps.simhashBandBuckets(hashed, b, maxHamming = 3)
+      val shared = buckets.as("a").join(buckets.as("b"),
+          col("a.table") === col("b.table") && col("a.key") === col("b.key") &&
+            col("a.doc_id") + 1 === col("b.doc_id") &&
+            col("a.doc_id") % 2 === 0)
+        .select(col("a.doc_id")).distinct().count()
+      assert(shared === 200L,
+        s"b=$b: only $shared/200 Hamming≤3 pairs co-keyed — banding incomplete")
+    }
+  }
+
+  test("simhashPairs output is banding-invariant: derived plan equals brute force") {
+    import spark.implicits._
+    // near-identical docs (one token appended) land within Hamming ≤ 3;
+    // the OUTPUT contract {pairs : hamming ≤ 3} must not depend on b
+    def words(i: Int, n: Int) = {
+      val r = new scala.util.Random(7000 + i)
+      Seq.fill(n)("w" + r.nextInt(500)).mkString(" ")
+    }
+    val docs = ((0 until 60).map(i => (i.toLong, words(i, 40))) ++
+      (0 until 8).map(j => (500L + j, words(j, 40) + " extra"))).toDF("doc_id", "text")
+    val got = TrainingOps.simhashPairs(spark, docs, maxHamming = 3)
+      .select("doc_i", "doc_j", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sh = docs.collect().map(r => (r.getLong(0),
+      TrainingOps.simhash64(r.getString(1).trim.split("\\s+").toSeq)))
+    val brute = (for {
+      (i, hi) <- sh; (j, hj) <- sh if i < j
+      d = java.lang.Long.bitCount(hi ^ hj) if d <= 3
+    } yield (i, j, d)).toSet
+    assert(got === brute)
+  }
 }
