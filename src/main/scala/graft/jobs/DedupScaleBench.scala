@@ -214,7 +214,7 @@ object DedupScaleBench {
     embeddingPoint(spark, 2000L)
     minhashPoint(spark, 2000L)
     spark.catalog.clearCache()
-    val ivfNs = if (small) Seq(50000L) else Seq(50000L, 500000L)
+    val ivfNs = if (small) Seq(50000L) else Seq(50000L, 500000L, 1000000L)
     val shNs = if (small) Seq(100000L) else Seq(100000L, 1000000L)
     val points = embNs.map(embeddingPoint(spark, _)) ++
       mhNs.map { n =>

@@ -718,6 +718,94 @@ object TrainingOps {
     } finally pool.shutdown()
   }
 
+  /** Executor-side deterministic Lloyd's k-means (r4 verdict item 2):
+    * the assign/partial-sum step runs on EXECUTORS over the same fixed
+    * 1024-row chunks of the vec_id-ordered sample that [[kmeansTrain]]
+    * fed its thread pool, and the sparse per-chunk partials merge on the
+    * driver in (chunk, cluster) order — bit-identical output to
+    * [[kmeansTrain]] by construction: same chunk boundaries, same
+    * within-chunk row order (chunk-aligned repartition +
+    * sortWithinPartitions), same per-cluster merge order across chunks,
+    * and skipping an empty chunk's exact +0.0 contribution leaves every
+    * IEEE sum unchanged. q31's codebook therefore stays byte-stable
+    * while the O(sample·k·dim) distance work leaves the driver: at 10⁹
+    * vectors ([[ivfParams]] → ~506k samples × 31.6k centroids ≈ 10¹⁰
+    * distance ops/iter) the driver now holds only the k×dim codebook
+    * plus ~0.5 MB of sparse partials per chunk, never the sample.
+    */
+  def kmeansTrainDist(spark: SparkSession, sampleIn: DataFrame, k: Int,
+      iters: Int): Array[Array[Double]] = {
+    import spark.implicits._
+    val chunkSz = 1024
+    // (chunk, ord, v): ord = dense position in vec_id order — the sorted
+    // input is one TakeOrdered partition here (sample ≤ trainCap rows),
+    // so zipWithIndex preserves exactly kmeansTrain's sample order
+    val samples = spark.createDataset(
+      sampleIn.select(col("vec_id"), col("v"))
+        .sort(col("vec_id")).as[(Long, Seq[Double])].rdd
+        .zipWithIndex.map { case ((_, v), ord) =>
+          (ord / chunkSz, ord, v.toArray)
+        })
+      .toDF("chunk", "ord", "v")
+      .repartition(col("chunk"))
+      .sortWithinPartitions(col("chunk"), col("ord"))
+      .as[(Long, Long, Array[Double])]
+      .cache()
+    val m = samples.count()
+    require(m >= k, s"need >= $k training vectors, got $m")
+    var cents = samples.filter(_._2 < k).collect().sortBy(_._2)
+      .map(_._3.clone)
+    val dim = cents.head.length
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val partials = samples.mapPartitions { rows =>
+        val cur = bc.value
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, Long, Array[Double])]
+        var curChunk = -1L
+        var acc = new java.util.TreeMap[Int, (Array[Double], Long)]()
+        def flush(): Unit = {
+          if (curChunk >= 0) {
+            val itr = acc.entrySet().iterator()
+            while (itr.hasNext) {
+              val e = itr.next()
+              out += ((curChunk, e.getKey, e.getValue._2, e.getValue._1))
+            }
+            acc = new java.util.TreeMap[Int, (Array[Double], Long)]()
+          }
+        }
+        rows.foreach { case (chunk, _, v) =>
+          if (chunk != curChunk) { flush(); curChunk = chunk }
+          val c = nearestLists(v, cur, 1)(0)
+          val slot = acc.get(c)
+          val (sum, cnt) =
+            if (slot == null) (new Array[Double](v.length), 0L) else slot
+          var i = 0
+          while (i < v.length) { sum(i) += v(i); i += 1 }
+          acc.put(c, (sum, cnt + 1))
+        }
+        flush()
+        out.iterator
+      }.collect().sortBy(p => (p._1, p._2))
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      partials.foreach { case (_, c, cnt, s) =>
+        counts(c) += cnt
+        var i = 0
+        while (i < dim) { sums(c)(i) += s(i); i += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else { val s = sums(c); s.map(_ / counts(c)) }
+      }
+      bc.destroy()
+      it += 1
+    }
+    samples.unpersist()
+    cents
+  }
+
   /** IVF approximate top-k cosine neighbours of `queries` (query_id, qv)
     * within `uni` (vec_id, v) — same output contract as q18/q19
     * (query_id, neighbor_id, rank).
@@ -741,10 +829,12 @@ object TrainingOps {
     import spark.implicits._
     val uni = uniIn.cache() // reused: codebook sample, assign, verify join
     val e = uni.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
-    // codebook from a deterministic sample (vec_id order, capped)
-    val sample = e.sort(col("vec_id")).limit(trainCap)
-      .collect().map(_._2.toArray)
-    val cents = kmeansTrain(sample, lists, IvfIters)
+    // codebook from a deterministic sample (vec_id order, capped),
+    // trained executor-side; KmeansParitySpec pins byte-identity with
+    // the legacy driver-side kmeansTrain, so the q31 gate is unchanged
+    val cents = kmeansTrainDist(spark,
+      e.sort(col("vec_id")).limit(trainCap).toDF("vec_id", "v"),
+      lists, IvfIters)
     val bc = spark.sparkContext.broadcast(cents)
 
     val assigned = e.map { case (id, v) =>

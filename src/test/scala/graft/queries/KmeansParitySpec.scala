@@ -1,0 +1,69 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Byte-identity of the executor-side codebook training
+  * ([[TrainingOps.kmeansTrainDist]]) with the legacy driver-side
+  * [[TrainingOps.kmeansTrain]] — the property that keeps the q31 gate
+  * (whose IVF probes depend on the exact codebook) stable across the
+  * r5 distribution of the k-means. The cases cover: a sample smaller
+  * than one chunk, a sample crossing chunk boundaries (so the
+  * chunk-ordered partial merge is load-bearing), non-uniform cluster
+  * sizes, and empty clusters (count-0 centroids keep their previous
+  * value on both paths).
+  */
+class KmeansParitySpec extends SparkSpec {
+
+  private def vecs(n: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(n)(Array.fill(dim)(r.nextGaussian()))
+  }
+
+  private def distTrain(vs: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    import spark.implicits._
+    val df = vs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+      .toDF("vec_id", "v")
+      .repartition(7) // scramble physical layout: the sort must restore order
+    TrainingOps.kmeansTrainDist(spark, df, k, iters)
+  }
+
+  private def assertIdentical(a: Array[Array[Double]],
+      b: Array[Array[Double]]): Unit = {
+    assert(a.length === b.length)
+    a.zip(b).zipWithIndex.foreach { case ((x, y), c) =>
+      assert(x.length === y.length)
+      x.zip(y).zipWithIndex.foreach { case ((xa, ya), i) =>
+        assert(java.lang.Double.doubleToRawLongBits(xa) ===
+          java.lang.Double.doubleToRawLongBits(ya),
+          s"centroid $c dim $i: $xa != $ya (bit-level)")
+      }
+    }
+  }
+
+  test("single-chunk sample: distributed codebook is bit-identical") {
+    val vs = vecs(300, 16, seed = 1)
+    assertIdentical(
+      distTrain(vs, k = 8, iters = 8),
+      TrainingOps.kmeansTrain(vs, 8, 8))
+  }
+
+  test("multi-chunk sample (crosses 1024 boundaries): bit-identical") {
+    val vs = vecs(2500, 12, seed = 2)
+    assertIdentical(
+      distTrain(vs, k = 40, iters = 8),
+      TrainingOps.kmeansTrain(vs, 40, 8))
+  }
+
+  test("empty clusters: duplicate-heavy data, k near n — bit-identical") {
+    val r = new scala.util.Random(3)
+    // many exact duplicates → several first-k init centroids never win a
+    // point and must keep their previous value on both paths
+    val base = vecs(10, 8, seed = 4)
+    val vs = Array.fill(1500)(base(r.nextInt(10)).clone) ++ vecs(30, 8, 5)
+    assertIdentical(
+      distTrain(vs, k = 30, iters = 8),
+      TrainingOps.kmeansTrain(vs, 30, 8))
+  }
+}
