@@ -209,7 +209,20 @@ object Bench {
     val minEff = (1.0 +: results.collect {
       case r if r._2.taskSec > MinJudgeTaskSec && !WaitHeavy(r._1) =>
         r._2.cpuEff }).min
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"steal":$steals,"cpu_eff":$effs,"par":$pars,"attempts":$atts,"spread":$spreads,"max_steal_pct":${r3(maxSteal)},"min_cpu_eff":${r3(minEff)},"witness":"cpu_eff=executorCpuTime/(executorRunTime-gc) of best attempt; <${CleanCpuEff} with task time means the row was CPU-starved (any contention source, incl. in-VM) and should be discounted; streaming rows (${WaitHeavy.mkString(",")}) block by construction and are judged on steal+par+spread; spread=max/min wall across attempts","sf":"$sfDir"}""")
+    // auto-demoted rows: best attempt STILL contention-poisoned after all
+    // retries (cpu_eff < CleanCpuEff with judgeable task time) — their
+    // walls are in the record but should be discounted by the reader
+    val suspect = results.collect {
+      case r if r._2.taskSec > MinJudgeTaskSec && !WaitHeavy(r._1) &&
+        r._2.cpuEff < CleanCpuEff => "\"" + r._1 + "\""
+    }.mkString("[", ",", "]")
+    val json =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"steal":$steals,"cpu_eff":$effs,"par":$pars,"attempts":$atts,"spread":$spreads,"max_steal_pct":${r3(maxSteal)},"min_cpu_eff":${r3(minEff)},"suspect":$suspect,"witness":"cpu_eff=executorCpuTime/(executorRunTime-gc) of best attempt; <${CleanCpuEff} with task time means the row was CPU-starved (any contention source, incl. in-VM) and should be discounted — such rows are listed in suspect; streaming rows (${WaitHeavy.mkString(",")}) block by construction and are judged on steal+par+spread; spread=max/min wall across attempts","sf":"$sfDir"}"""
+    // r4 ADVICE/verdict item 8: the record JSON must be the FINAL stdout
+    // line so the driver's tail-window parser captures it whole — print
+    // after spark.stop() so no Spark shutdown chatter can follow it.
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

@@ -62,7 +62,9 @@ object SparkEntry {
     "q38_xlsx_roundtrip" -> (ProfileQueries.q38XlsxRoundtrip(_, _)),
     "q39_geopackage" -> (ProfileQueries.q39Geopackage(_, _)),
     "q40_stream_profile" ->
-      (graft.streaming.StreamingProfileJob.q40StreamProfile(_, _))
+      (graft.streaming.StreamingProfileJob.q40StreamProfile(_, _)),
+    "q41_xsd_validate" -> (ProfileQueries.q41XsdValidate(_, _)),
+    "q42_xsd_enhance" -> (ProfileQueries.q42XsdEnhance(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -572,6 +574,47 @@ object SparkEntry {
            UNION ALL SELECT 'profile.segment', 'segment', 'profile', 1,
                   'string', 100.0, CAST(NULL AS VARCHAR), FALSE, n, 0, 0.0,
                   FALSE FROM tot
-         ) ORDER BY field_path"""
+         ) ORDER BY field_path""",
+    // q41: the engine validates nation-built XML docs with planted
+    // violations through the real Xerces validator; the oracle recomputes
+    // is_valid / error counts from the construction arithmetic (each
+    // planted violation yields exactly one validator error).
+    "q41_xsd_validate" ->
+      """SELECT n_name AS nation_name, CAST(i AS BIGINT) AS doc_idx,
+           (n_nationkey + i) % 3 = 0 AS is_valid,
+           CAST(CASE WHEN (n_nationkey + i) % 3 = 0 THEN 0 ELSE 1 END
+             AS BIGINT) AS n_errors
+         FROM nation, (SELECT unnest(range(4)) AS i)
+         WHERE i < n_nationkey % 3 + 2
+         ORDER BY nation_name, doc_idx""",
+    // q42: profile side = q22's pinned type contract; schema side = the
+    // XSD metadata recomputed from the same nation arithmetic the engine
+    // built (and then PARSED) the schema text from.
+    "q42_xsd_enhance" ->
+      """WITH prof AS (
+           SELECT 'balance' AS field_path, 'balance' AS field_name,
+                  'float' AS data_type
+           UNION ALL SELECT 'email', 'email', 'string'
+           UNION ALL SELECT 'name', 'name', 'string'
+           UNION ALL SELECT 'profile', 'profile', 'object'
+           UNION ALL SELECT 'profile.segment', 'segment', 'string'
+         ),
+         meta AS (
+           SELECT CASE n_nationkey WHEN 0 THEN 'name' WHEN 1 THEN 'balance'
+                    WHEN 2 THEN 'profile' WHEN 3 THEN 'segment'
+                    ELSE 'email' END AS field_name,
+                  CASE WHEN n_nationkey % 2 = 0 THEN 'xs:string'
+                    ELSE 'xs:decimal' END AS xsd_type,
+                  CASE WHEN n_nationkey % 3 = 0 THEN '0' ELSE '1' END
+                    AS xsd_min_occurs,
+                  CASE WHEN n_nationkey % 4 = 0 THEN 'unbounded' ELSE '1' END
+                    AS xsd_max_occurs,
+                  n_nationkey % 5 = 0 AS xsd_nillable
+           FROM nation WHERE n_nationkey < 5
+         )
+         SELECT p.field_path, p.field_name, p.data_type, m.xsd_type,
+                m.xsd_min_occurs, m.xsd_max_occurs, m.xsd_nillable
+         FROM prof p LEFT JOIN meta m USING (field_name)
+         ORDER BY field_path"""
   )
 }

@@ -63,10 +63,15 @@ object QualityFilter {
       .as[FileRecord]
   }
 
-  /** Score langid + perplexity for every row (single mapPartitions). */
+  /** Score langid + perplexity for every row (single mapPartitions).
+    * `saltBuckets` ≤ 1 disables the skew salt (repo-only repartition) —
+    * ONLY for ScalingBench's skew A/B evidence; production callers keep
+    * the default.
+    */
   def score(spark: SparkSession, input: Dataset[FileRecord],
       langB: Broadcast[LangId.Model], knB: Broadcast[KnLm.Model],
-      repartition: Boolean = true): Dataset[Scored] = {
+      repartition: Boolean = true,
+      saltBuckets: Int = SaltBuckets): Dataset[Scored] = {
     import spark.implicits._
     // Explicit partition count: this stage is CPU-bound (regex bank + two
     // model scorers per row), so AQE's byte-based coalescing must NOT fold
@@ -76,8 +81,9 @@ object QualityFilter {
     val part =
       if (repartition) {
         val parts = spark.sparkContext.defaultParallelism * 2
-        input.repartition(parts, col("repo"),
-          pmod(hash(col("path")), lit(SaltBuckets)))
+        if (saltBuckets <= 1) input.repartition(parts, col("repo"))
+        else input.repartition(parts, col("repo"),
+          pmod(hash(col("path")), lit(saltBuckets)))
       } else input
     part.mapPartitions { it =>
       val lm = langB.value
@@ -100,8 +106,9 @@ object QualityFilter {
     */
   def verdicts(spark: SparkSession, input: Dataset[FileRecord],
       langB: Broadcast[LangId.Model], knB: Broadcast[KnLm.Model],
-      repartition: Boolean = true): DataFrame = {
-    val scored = score(spark, input, langB, knB, repartition)
+      repartition: Boolean = true,
+      saltBuckets: Int = SaltBuckets): DataFrame = {
+    val scored = score(spark, input, langB, knB, repartition, saltBuckets)
     val c = col("content")
     val modelReasons = concat(
       when(col("lang_margin") < LangId.MinMargin, array(lit("lang_uncertain")))

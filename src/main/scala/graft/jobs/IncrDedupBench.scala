@@ -1,0 +1,86 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.queries.{IncrementalDedup, TrainingOps}
+
+/** Incremental-dedup scale datapoint (r4 verdict item 6): a corpus of N
+  * docs is signed once into a parquet signature catalog; then a delta of
+  * N/100 new docs (with planted cross dups into the corpus) is
+  * deduplicated two ways —
+  *
+  *   1. INCREMENTAL: [[IncrementalDedup.deltaStep]] — sign the delta,
+  *      bucket-join it against the catalog, exact-verify candidates;
+  *   2. FULL RECOMPUTE: [[TrainingOps.minhashLsh]] over corpus ∪ delta.
+  *
+  * Both must find exactly the planted pairs; the report is the wall
+  * ratio, which at 100 TB is the difference between touching the delta
+  * and re-signing the corpus on every crawl.
+  *
+  * Run: sbt -batch "runMain graft.jobs.IncrDedupBench [n]"
+  */
+object IncrDedupBench {
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(200000L)
+    val deltaN = math.max(1000L, n / 100)
+    val planted = 50
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_incr_bench").toString
+    val corpus = spark.range(n)
+      .map(id => (id.toLong, DedupScaleBench.docText(id)))
+      .toDF("doc_id", "text")
+    // delta: new ids, `planted` of them exact dups of corpus docs
+    val delta = spark.range(deltaN).map { id =>
+      val i = id.toLong
+      if (i < planted) (100000000L + i, DedupScaleBench.docText(i))
+      else (100000000L + i, DedupScaleBench.docText(50000000L + i))
+    }.toDF("doc_id", "text")
+
+    // one-time corpus signing (the "existing catalog" precondition) —
+    // timed separately: it happens once, not per crawl
+    val t0 = System.nanoTime()
+    val (cb, cs) = IncrementalDedup.signatures(corpus, 0.9)
+    cb.write.mode("overwrite").parquet(s"$root/catalog/buckets/batch=0")
+    cs.write.mode("overwrite").parquet(s"$root/catalog/sets/batch=0")
+    val signSec = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val incrPairs = IncrementalDedup
+      .deltaStep(spark, delta, 1L, s"$root/catalog", 0.9)
+      .count()
+    val incrSec = (System.nanoTime() - t1) / 1e9
+
+    val t2 = System.nanoTime()
+    val fullPairs = TrainingOps
+      .minhashLsh(spark, corpus.union(delta), 0.9)
+      .count()
+    val fullSec = (System.nanoTime() - t2) / 1e9
+    spark.catalog.clearCache()
+
+    println(
+      f"""{"metric":"incr_dedup","n":$n,"delta_n":$deltaN,"planted":$planted,""" +
+        f""""incr_pairs":$incrPairs,"full_pairs":$fullPairs,""" +
+        f""""sign_corpus_sec":$signSec%.2f,"incr_delta_sec":$incrSec%.2f,""" +
+        f""""full_recompute_sec":$fullSec%.2f,""" +
+        f""""speedup":${fullSec / incrSec}%.2f}""")
+
+    val p = java.nio.file.Paths.get(root)
+    val s = java.nio.file.Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    finally s.close()
+    spark.stop()
+  }
+}

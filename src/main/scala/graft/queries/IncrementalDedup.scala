@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental MinHash near-dup dedup (r4 verdict item 6): the 100 TB
+  * operational shape is "new docs vs existing corpus", not full
+  * recompute. The corpus keeps a SIGNATURE CATALOG — the banded bucket
+  * rows of [[TrainingOps.minhashBandBuckets]] plus the DF-capped hashed
+  * shingle sets — and each delta batch:
+  *
+  *   1. computes signatures for the NEW docs only (O(delta)),
+  *   2. joins new buckets against catalog ∪ new buckets on (band, bh) —
+  *      candidates are new×all, so old×old pairs (already reported) are
+  *      never re-generated,
+  *   3. exact-verifies candidates on the stored shingle sets with the
+  *      same Jaccard arithmetic as [[TrainingOps.minhashLsh]],
+  *   4. appends the new signatures to the catalog.
+  *
+  * Per-doc signatures depend only on the doc itself (banding is fixed by
+  * (threshold, targetMiss)), so delta(B vs A∪B) ∪ full(A) ≡ full(A∪B)
+  * EXACTLY — IncrementalDedupSpec pins the set equality. The one
+  * snapshot-relative knob is the hot-shingle DF cap: the catalog freezes
+  * each doc's capped token set at signature time (boilerplate sets are
+  * stable operationally; a cap-set refresh is a catalog rebuild, not a
+  * delta).
+  *
+  * Scale: step 2 shuffles only (band, bh) keys of the DELTA against the
+  * bucket catalog — the big side arrives hash-partitioned by the same
+  * key from its own write, and candidates stay bounded by the same
+  * banding guarantees as the full pipeline; nothing rescans old content.
+  */
+object IncrementalDedup {
+
+  /** Signature-catalog rows for `docs`: (buckets, sets) =
+    * ((doc_id, band, bh), (doc_id, shingles)). Both are pure per-doc
+    * functions given (threshold, targetMiss, dfCap).
+    */
+  def signatures(docs: DataFrame, threshold: Double,
+      targetMiss: Double = 1e-9,
+      dfCap: Int = TrainingOps.ShingleDfCap): (DataFrame, DataFrame) = {
+    val buckets = TrainingOps.minhashBandBuckets(docs, threshold,
+      targetMiss, dfCap)
+    val sets = TrainingOps.shingleTokens(TrainingOps.shingleSets(docs), dfCap)
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("s")).as("shingles"))
+    (buckets, sets)
+  }
+
+  /** Near-dup pairs involving at least one NEW doc: new buckets × all
+    * buckets (all = catalog ∪ new) on (band, bh), normalized to
+    * doc_i < doc_j, exact-verified on the stored sets. Output schema ==
+    * [[TrainingOps.minhashLsh]] (doc_i, doc_j, n_inter, n_union,
+    * jaccard).
+    */
+  def deltaPairs(newBuckets: DataFrame, allBuckets: DataFrame,
+      allSets: DataFrame, threshold: Double): DataFrame = {
+    val cand = newBuckets.as("a").join(allBuckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_i"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_j"))
+      .distinct()
+    cand
+      .join(allSets.select(col("doc_id").as("doc_i"),
+        col("shingles").as("sa")), "doc_i")
+      .join(allSets.select(col("doc_id").as("doc_j"),
+        col("shingles").as("sb")), "doc_j")
+      .withColumn("n_inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("n_union",
+        size(col("sa")).cast("long") + size(col("sb")) - col("n_inter"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_i"), col("doc_j"), col("n_inter"), col("n_union"),
+        col("jaccard"))
+  }
+
+  /** One delta step against a parquet signature catalog rooted at
+    * `catalogDir` (subdirs `buckets/`, `sets/`): commits THIS batch's
+    * signatures under `batch=<batchId>` (overwrite — a replayed batch
+    * rewrites the same paths, so crash-replay is idempotent), then
+    * returns the delta pairs computed against the full catalog snapshot
+    * (prior batches ∪ this batch). A file-source checkpoint replays a
+    * batch with identical contents, so both the signature commit and the
+    * recomputed pairs are stable across restarts.
+    */
+  def deltaStep(spark: SparkSession, batchDocs: DataFrame, batchId: Long,
+      catalogDir: String, threshold: Double): DataFrame = {
+    val (newB, newS) = signatures(batchDocs, threshold)
+    val bDir = s"$catalogDir/buckets/batch=$batchId"
+    val sDir = s"$catalogDir/sets/batch=$batchId"
+    // commit THIS batch's signatures first (idempotent per-batch path);
+    // prior batches are whatever is already under the catalog root
+    newB.write.mode("overwrite").parquet(bDir)
+    newS.write.mode("overwrite").parquet(sDir)
+    def readAll(sub: String): DataFrame =
+      spark.read.parquet(s"$catalogDir/$sub")
+    val allB = readAll("buckets")
+    val allS = readAll("sets")
+    // re-read the batch's own committed rows as the "new" side so both
+    // join inputs come from the same snapshot
+    deltaPairs(spark.read.parquet(bDir), allB, allS, threshold)
+  }
+}

@@ -550,4 +550,101 @@ object ProfileQueries {
         col("srs_count"), col("user_tables"), col("valid_flag"))
       .orderBy(col("region_name"), col("layer_name"))
   }
+
+  /** q41 — XSD full-document validation E2E (S12's validator half;
+    * reference `xml_schema_parser.py:290-404` error-list contract, which
+    * was spec-only through r4): per nation, an XSD (nation-keyed element
+    * name, so each schema text is distinct) and 2-4 XML documents with
+    * PLANTED violations are built in executors from nation-row
+    * arithmetic and pushed through
+    * [[graft.sources.XmlSchema.validateXml]]. Violation plan for doc i
+    * of nation k — (k+i)%3: 0 → valid (0 errors); 1 → missing required
+    * second element (exactly 1 error: content-not-complete); 2 → one
+    * unexpected trailing element (exactly 1 error: invalid-content).
+    * The projected is_valid / n_errors come from the VALIDATOR's
+    * returned error list; the oracle recomputes both from the
+    * construction arithmetic, so a validator that under- or over-reports
+    * errors, or loses the error list, fails the hash.
+    */
+  def q41XsdValidate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.XmlSchema
+    val nation = t(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"))
+      .as[(Long, String)]
+    nation.flatMap { case (k, name) =>
+      val xsd =
+        s"""<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+           |  <xs:element name="rec">
+           |    <xs:complexType>
+           |      <xs:sequence>
+           |        <xs:element name="f$k" type="xs:string"/>
+           |        <xs:element name="qty" type="xs:integer"/>
+           |      </xs:sequence>
+           |    </xs:complexType>
+           |  </xs:element>
+           |</xs:schema>""".stripMargin
+      val d = (k % 3 + 2).toInt
+      (0 until d).map { i =>
+        val xml = ((k + i) % 3) match {
+          case 0 => s"<rec><f$k>v$i</f$k><qty>${k + i}</qty></rec>"
+          case 1 => s"<rec><f$k>v$i</f$k></rec>"
+          case _ => s"<rec><f$k>v$i</f$k><qty>${k + i}</qty><zz/></rec>"
+        }
+        val (ok, errs) = XmlSchema.validateXml(xml, xsd)
+        (name, i.toLong, ok, errs.size.toLong)
+      }
+    }.toDF("nation_name", "doc_idx", "is_valid", "n_errors")
+      .orderBy(col("nation_name"), col("doc_idx"))
+  }
+
+  /** q42 — S13/J5 schema-enhancement join E2E (reference
+    * `xml_schema_parser.py:407-509`, spec-only through r4): an XSD whose
+    * five top-level elements target the q22 profile's field names is
+    * built from nation-row arithmetic (type by k%2, minOccurs by k%3,
+    * maxOccurs by k%4, nillable by k%5), parsed with
+    * [[graft.sources.XmlSchema.parseXsd]], and broadcast-joined onto the
+    * REAL profile of the q22 customer corpus via
+    * [[graft.sources.XmlSchema.enhance]]. Projected xsd_* columns come
+    * from the PARSED schema model riding the join; the oracle recomputes
+    * the same metadata from the nation table and the q22 type contract.
+    * PlanSpec asserts the join stays a broadcast (never shuffles the
+    * profile side).
+    */
+  def q42XsdEnhance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.sources.XmlSchema
+    val fieldNames = Seq("name", "balance", "profile", "segment", "email")
+    val keys = t(spark, dir, "nation")
+      .select(col("n_nationkey").cast("long"))
+      .where(col("n_nationkey") < 5).as[Long].collect().sorted
+    val elems = keys.map { k =>
+      val tpe = if (k % 2 == 0) "xs:string" else "xs:decimal"
+      val minO = if (k % 3 == 0) " minOccurs=\"0\"" else ""
+      val maxO = if (k % 4 == 0) " maxOccurs=\"unbounded\"" else ""
+      val nil = if (k % 5 == 0) " nillable=\"true\"" else ""
+      s"""<xs:element name="${fieldNames(k.toInt)}" type="$tpe"$minO$maxO$nil/>"""
+    }.mkString("\n")
+    val xsd = XmlSchema.parseXsd(
+      s"""<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+         |$elems
+         |</xs:schema>""".stripMargin)
+    val docs = t(spark, dir, "customer").select(
+      to_json(
+        struct(
+          col("c_name").as("name"),
+          col("c_acctbal").as("balance"),
+          struct(col("c_mktsegment").as("segment")).as("profile"),
+          when(col("c_custkey") % 10 === 0, lit(null).cast("string"))
+            .otherwise(concat(lower(regexp_replace(col("c_name"), "#", "")),
+              lit("@example.com"))).as("email")),
+        Map("ignoreNullFields" -> "false")).as("doc"))
+    XmlSchema.enhance(Profiler.profile(spark, docs, "doc"), xsd)
+      .select(col("fieldPath").as("field_path"),
+        col("fieldName").as("field_name"),
+        col("dataType").as("data_type"),
+        col("xsd_type"), col("xsd_min_occurs"), col("xsd_max_occurs"),
+        col("xsd_nillable"))
+      .orderBy(col("field_path"))
+  }
 }

@@ -206,18 +206,41 @@ object Queries {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .offset(100).limit(20)
 
+  /** A1/P9 cardinality profile with an explicit exactness knob (r4
+    * verdict item 7). `exact = true` (the default, and the only mode any
+    * gate query uses) is `countDistinct` — the reference's pandas
+    * `nunique` contract, one expand + shuffle per distinct column.
+    * `exact = false` is the opt-in 100 TB relaxation: HyperLogLog++
+    * `approx_count_distinct(rsd)` — single-pass, fixed 2^p registers per
+    * column regardless of cardinality, full map-side partial
+    * aggregation, no per-key shuffle growth. Documented error: rsd is
+    * the relative standard deviation (default 5%; observed error is
+    * within ~3·rsd with overwhelming probability —
+    * CardinalityProfileSpec pins both modes against each other at gate
+    * scale).
+    */
+  def cardinalityProfile(df: DataFrame, fields: Seq[(String, Column)],
+      exact: Boolean = true, rsd: Double = 0.05): DataFrame = {
+    def cd(c: Column) =
+      if (exact) countDistinct(c) else approx_count_distinct(c, rsd)
+    val aggs = fields.flatMap { case (n, c) =>
+      Seq(cd(c).as(s"distinct_$n"),
+        (cd(c).cast("double") / count(lit(1)))
+          .as(s"${n}_cardinality_ratio"))
+    }
+    df.agg(count(lit(1)).as("total_count"), aggs: _*)
+  }
+
   /** q13 — cardinality profile (P9/A1): exact countDistinct (matches the
-    * reference's pandas `nunique`); switch to approx_count_distinct only as
-    * an explicit relaxation at scale.
+    * reference's pandas `nunique`) through [[cardinalityProfile]];
+    * `exact = false` there is the explicit approx relaxation at scale.
     */
   def q13OrdersCardinality(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "orders")
-      .agg(
-        count(lit(1)).as("total_count"),
-        countDistinct(col("o_custkey")).as("distinct_custkey"),
-        (countDistinct(col("o_custkey")).cast("double") / count(lit(1)))
-          .as("custkey_cardinality_ratio"),
-        countDistinct(col("o_orderpriority")).as("distinct_priority"))
+    cardinalityProfile(t(spark, dir, "orders"),
+      Seq("custkey" -> col("o_custkey"), "priority" -> col("o_orderpriority")),
+      exact = true)
+      .select(col("total_count"), col("distinct_custkey"),
+        col("custkey_cardinality_ratio"), col("distinct_priority"))
 
   /** q26 — multi-level rollup (beyond the reference's flat A4 rollups):
     * ROLLUP(event_type, day) in ONE pass — Catalyst expands grouping sets

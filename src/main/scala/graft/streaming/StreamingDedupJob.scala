@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.queries.IncrementalDedup
+
+/** Incremental near-dup dedup on the availableNow streaming path (r4
+  * verdict item 6): new-document drops land as parquet files under
+  * `inDir`; each micro-batch runs one [[IncrementalDedup.deltaStep]] —
+  * signatures for the batch only, delta-vs-catalog candidate join,
+  * exact verify — and commits pairs + signatures per batchId (overwrite
+  * paths, so checkpoint replay after a crash rewrites identical output
+  * instead of duplicating it). Restarting the job with the same
+  * checkpoint resumes from the first unprocessed drop; the catalog is
+  * the persistent state, the checkpoint only tracks file offsets.
+  *
+  * At 100 TB this is the operational shape: the full corpus is signed
+  * once (a batch like any other), then every incremental crawl joins
+  * only its delta's buckets against the bucket catalog — no rescan of
+  * old content, no recompute of old signatures.
+  */
+object StreamingDedupJob {
+
+  val DocSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** Run one availableNow lifecycle: ingest every unprocessed drop in
+    * `inDir`, emit pairs under `outDir/pairs/batch=<id>` and signatures
+    * under `catalogDir`. Returns the number of batches processed.
+    */
+  def runOnce(spark: SparkSession, inDir: String, catalogDir: String,
+      outDir: String, ckptDir: String, threshold: Double): Long = {
+    val batches = spark.sparkContext.longAccumulator("dedup_batches")
+    val stream = spark.readStream.schema(DocSchema).parquet(inDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pairs = IncrementalDedup.deltaStep(spark, batch, batchId,
+          catalogDir, threshold)
+        pairs.write.mode("overwrite")
+          .parquet(s"$outDir/pairs/batch=$batchId")
+        batches.add(1)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches.value
+  }
+
+  /** All pairs discovered so far (union of every batch's delta pairs). */
+  def allPairs(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/pairs")
+      .select(col("doc_i"), col("doc_j"), col("n_inter"), col("n_union"),
+        col("jaccard"))
+}

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The A1 cardinality knob (r4 verdict item 7): exact mode must equal
+  * the q13 gate contract; approx mode (HyperLogLog++) must land within
+  * its documented error envelope at gate scale AND must not expand the
+  * plan per distinct column (the property that makes it the 100 TB
+  * mode).
+  */
+class CardinalityProfileSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.01"
+
+  private lazy val orders = spark.read.parquet(s"$dir/orders.parquet")
+  private val fields = Seq(
+    "custkey" -> col("o_custkey"), "priority" -> col("o_orderpriority"))
+
+  test("exact mode reproduces the q13 contract") {
+    val r = Queries.cardinalityProfile(orders, fields, exact = true).head()
+    val total = orders.count()
+    val exactCk = orders.select("o_custkey").distinct().count()
+    val exactPr = orders.select("o_orderpriority").distinct().count()
+    assert(r.getAs[Long]("total_count") === total)
+    assert(r.getAs[Long]("distinct_custkey") === exactCk)
+    assert(r.getAs[Long]("distinct_priority") === exactPr)
+    assert(r.getAs[Double]("custkey_cardinality_ratio") ===
+      exactCk.toDouble / total)
+  }
+
+  test("approx mode lands within 3·rsd of exact at gate scale") {
+    val rsd = 0.05
+    val ex = Queries.cardinalityProfile(orders, fields, exact = true).head()
+    val ap = Queries.cardinalityProfile(orders, fields, exact = false,
+      rsd = rsd).head()
+    assert(ap.getAs[Long]("total_count") === ex.getAs[Long]("total_count"))
+    for (c <- Seq("distinct_custkey", "distinct_priority")) {
+      val e = ex.getAs[Long](c).toDouble
+      val a = ap.getAs[Long](c).toDouble
+      assert(math.abs(a - e) <= math.max(3 * rsd * e, 2.0),
+        s"$c: approx $a vs exact $e outside 3·rsd envelope")
+    }
+  }
+
+  test("approx plan has no expand and keeps partial aggregation") {
+    val ap = Queries.cardinalityProfile(orders, fields, exact = false)
+    val plan = ap.queryExecution.executedPlan.toString
+    // exact multi-column countDistinct plans through Expand (one replica
+    // of every row per distinct column); HLL sketches aggregate in place
+    assert(!plan.contains("Expand"),
+      "approx mode must not expand rows per distinct column")
+    val exPlan = Queries.cardinalityProfile(orders, fields, exact = true)
+      .queryExecution.executedPlan.toString
+    assert(exPlan.contains("Expand"),
+      "exact multi-distinct is expected to plan through Expand " +
+        "(if Catalyst changed strategy, re-check the scaladoc claim)")
+  }
+}

@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+/** Incremental near-dup dedup (r4 verdict item 6): delta-vs-corpus must
+  * be EXACTLY equivalent to full recompute — full(A) ∪ delta(B vs A∪B)
+  * ≡ full(A∪B) — because per-doc signatures are pure functions of the
+  * doc. Also: the delta never regenerates old×old pairs, and the
+  * availableNow streaming wrapper reaches the same answer across two
+  * lifecycles sharing one checkpoint (restart between drops).
+  */
+class IncrementalDedupSpec extends SparkSpec {
+
+  private def words(i: Int) = {
+    val r = new scala.util.Random(9000 + i)
+    Seq.fill(30)("w" + r.nextInt(1000000)).mkString(" ")
+  }
+
+  // corpus A: 80 base docs + 3 planted dups inside A
+  private def corpusA: Seq[(Long, String)] =
+    (0 until 80).map(i => (i.toLong, words(i))) ++
+      (0 until 3).map(j => (1000L + j, words(j)))
+  // delta B: 30 new docs + one dup inside B + one cross A→B dup
+  private def corpusB: Seq[(Long, String)] =
+    (0 until 30).map(i => (2000L + i, words(100 + i))) ++
+      Seq((3000L, words(100)), (3001L, words(5)))
+
+  private def pairSet(rows: Array[Row]): Set[(Long, Long, Long, Long)] =
+    rows.map(r => (r.getAs[Long]("doc_i"), r.getAs[Long]("doc_j"),
+      r.getAs[Long]("n_inter"), r.getAs[Long]("n_union"))).toSet
+
+  test("full(A) ∪ delta(B vs A∪B) equals full(A∪B); delta has no old×old") {
+    import spark.implicits._
+    val a = corpusA.toDF("doc_id", "text")
+    val b = corpusB.toDF("doc_id", "text")
+    val all = (corpusA ++ corpusB).toDF("doc_id", "text")
+
+    val full = pairSet(TrainingOps.minhashLsh(spark, all, 0.9).collect())
+    val fullA = pairSet(TrainingOps.minhashLsh(spark, a, 0.9).collect())
+
+    val (bucketsA, setsA) = IncrementalDedup.signatures(a, 0.9)
+    val (bucketsB, setsB) = IncrementalDedup.signatures(b, 0.9)
+    val delta = pairSet(IncrementalDedup.deltaPairs(
+      bucketsB, bucketsA.union(bucketsB), setsA.union(setsB), 0.9).collect())
+
+    // sanity: planted pairs where we put them
+    assert(fullA.map(p => (p._1, p._2)) ===
+      Set((0L, 1000L), (1L, 1001L), (2L, 1002L)))
+    assert(delta.map(p => (p._1, p._2)) ===
+      Set((2000L, 3000L), (5L, 3001L)))
+    // the contract: delta ∪ full(A) ≡ full recompute, disjointly
+    assert(delta.intersect(fullA) === Set.empty)
+    assert(fullA.union(delta) === full)
+  }
+
+  test("streaming delta job: two lifecycles + restart reach the full answer") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val (in, cat, out, ckpt) =
+      (s"$root/in", s"$root/catalog", s"$root/out", s"$root/ckpt")
+    try {
+      corpusA.toDF("doc_id", "text")
+        .write.mode("append").parquet(in)
+      val b1 = graft.streaming.StreamingDedupJob.runOnce(
+        spark, in, cat, out, ckpt, 0.9)
+      assert(b1 >= 1L) // availableNow may split a drop into several batches
+      corpusB.toDF("doc_id", "text")
+        .write.mode("append").parquet(in)
+      // NEW lifecycle, same checkpoint: resumes at the unprocessed drop
+      val b2 = graft.streaming.StreamingDedupJob.runOnce(
+        spark, in, cat, out, ckpt, 0.9)
+      assert(b2 >= 1L)
+
+      val all = (corpusA ++ corpusB).toDF("doc_id", "text")
+      val full = pairSet(TrainingOps.minhashLsh(spark, all, 0.9).collect())
+      val got = pairSet(
+        graft.streaming.StreamingDedupJob.allPairs(spark, out).collect())
+      assert(got === full)
+    } finally {
+      val p = java.nio.file.Paths.get(root)
+      val s = java.nio.file.Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally s.close()
+    }
+  }
+}

@@ -94,4 +94,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "the 5-row region side must broadcast, not sort-merge")
   }
+
+  test("q42: schema-enhancement join broadcasts the XSD metadata side") {
+    // the S13/J5 contract under the gate (r4 verdict item 4): the profile
+    // side must NOT shuffle for the enhancement join — the schema metadata
+    // (≤ hundreds of rows) is the broadcast build side
+    val p = finalPlan(ProfileQueries.q42XsdEnhance(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("LeftOuter, BuildRight"),
+      "XSD metadata should be the broadcast build side of the left join")
+    assert(!p.contains("SortMergeJoin"))
+  }
 }
