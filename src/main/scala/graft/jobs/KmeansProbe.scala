@@ -1,0 +1,56 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+
+import graft.queries.TrainingOps
+
+/** Isolates codebook-training cost: legacy driver thread-pool
+  * [[TrainingOps.kmeansTrain]] vs executor-side
+  * [[TrainingOps.kmeansTrainDist]] at the 500k-vector IVF operating
+  * point (708 centroids × 11,328 samples × 8 iters, dim 64), plus a
+  * bit-identity check on the resulting codebooks.
+  *
+  * Run: sbt -batch "runMain graft.jobs.KmeansProbe [k] [samples]"
+  */
+object KmeansProbe {
+  def main(args: Array[String]): Unit = {
+    val k = args.headOption.map(_.toInt).getOrElse(708)
+    val m = args.drop(1).headOption.map(_.toInt).getOrElse(11328)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def vec(seed: Long): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextGaussian())
+    }
+    val local = Array.tabulate(m)(i => vec(i.toLong))
+    val df = spark.range(m).map(id => (id.toLong, vec(id).toSeq))
+      .toDF("vec_id", "v").cache()
+    df.count()
+
+    // warmup both paths once (JIT) at a smaller shape
+    TrainingOps.kmeansTrain(local.take(2000), 64, 2)
+    TrainingOps.kmeansTrainDist(spark, df.limit(2000), 64, 2)
+
+    val t0 = System.nanoTime()
+    val a = TrainingOps.kmeansTrain(local, k, TrainingOps.IvfIters)
+    val tPool = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val b = TrainingOps.kmeansTrainDist(spark, df, k, TrainingOps.IvfIters)
+    val tDist = (System.nanoTime() - t1) / 1e9
+    val identical = a.length == b.length && a.indices.forall(c =>
+      a(c).indices.forall(i =>
+        java.lang.Double.doubleToRawLongBits(a(c)(i)) ==
+          java.lang.Double.doubleToRawLongBits(b(c)(i))))
+    println(f"""{"metric":"kmeans_probe","k":$k,"samples":$m,""" +
+      f""""pool_sec":$tPool%.2f,"dist_sec":$tDist%.2f,""" +
+      f""""bit_identical":$identical}""")
+    spark.stop()
+  }
+}

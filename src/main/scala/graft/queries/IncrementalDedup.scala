@@ -39,10 +39,14 @@ object IncrementalDedup {
   def signatures(docs: DataFrame, threshold: Double,
       targetMiss: Double = 1e-9,
       dfCap: Int = TrainingOps.ShingleDfCap): (DataFrame, DataFrame) = {
-    val buckets = TrainingOps.minhashBandBuckets(docs, threshold,
-      targetMiss, dfCap)
-    val sets = TrainingOps.shingleTokens(TrainingOps.shingleSets(docs), dfCap)
-      .groupBy(col("doc_id"))
+    val (r, b) = TrainingOps.minhashBanding(threshold, targetMiss)
+    // ONE cached token stage feeds both outputs — the shingle walk +
+    // xxhash64 is the expensive part of signing; recomputing it per
+    // output doubled the one-time corpus-signing cost
+    val tok = TrainingOps
+      .shingleTokens(TrainingOps.shingleSets(docs), dfCap).cache()
+    val buckets = TrainingOps.bandedBuckets(tok, r, b)
+    val sets = tok.groupBy(col("doc_id"))
       .agg(collect_set(col("s")).as("shingles"))
     (buckets, sets)
   }
@@ -55,17 +59,23 @@ object IncrementalDedup {
     */
   def deltaPairs(newBuckets: DataFrame, allBuckets: DataFrame,
       allSets: DataFrame, threshold: Double): DataFrame = {
-    val cand = newBuckets.as("a").join(allBuckets.as("b"),
+    // The delta side is small by definition (bands × |delta| rows) and
+    // the catalog is huge: BROADCAST the delta so the catalog bucket scan
+    // never shuffles — at 10¹² corpus rows a shuffle of the catalog per
+    // crawl would dwarf the crawl itself. Candidates (≲ bands × |delta| ×
+    // occupancy) stay broadcast-sized for the verify joins too, so the
+    // sets catalog also streams map-side.
+    val cand = allBuckets.as("b").join(broadcast(newBuckets.as("a")),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_i"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_j"))
       .distinct()
-    cand
-      .join(allSets.select(col("doc_id").as("doc_i"),
-        col("shingles").as("sa")), "doc_i")
-      .join(allSets.select(col("doc_id").as("doc_j"),
-        col("shingles").as("sb")), "doc_j")
+    val withA = allSets.select(col("doc_id").as("doc_i"),
+        col("shingles").as("sa"))
+      .join(broadcast(cand), "doc_i")
+    allSets.select(col("doc_id").as("doc_j"), col("shingles").as("sb"))
+      .join(broadcast(withA), "doc_j")
       .withColumn("n_inter",
         size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("n_union",

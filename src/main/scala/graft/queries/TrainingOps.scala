@@ -149,7 +149,7 @@ object TrainingOps {
     * candidate-join input sizes) cannot drift from the production
     * pipeline. Input: (doc_id, s) token rows; output: (doc_id, band, bh).
     */
-  private def bandedBuckets(tok: DataFrame, r: Int, b: Int): DataFrame = {
+  private[queries] def bandedBuckets(tok: DataFrame, r: Int, b: Int): DataFrame = {
     val sigCols = (0 until r * b).map(i =>
       min(xxhash64(lit(i), col("s"))).as(s"h$i"))
     val sigs = tok.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
@@ -806,6 +806,38 @@ object TrainingOps {
     cents
   }
 
+  /** Sample-size threshold for the codebook-trainer strategy switch.
+    * Both trainers are BIT-IDENTICAL (KmeansParitySpec), so this is
+    * purely an execution choice: at ≤ this many samples the driver
+    * thread-pool wins (KmeansProbe: 0.79 s pool vs 5.7 s executor-side
+    * at 708×11,328 — per-iteration Spark job dispatch dominates small
+    * samples), while above it the sample must not live on the driver at
+    * all (ivfParams grows it as 16·√N: ~506k×64 doubles and ~10¹⁰
+    * distance ops/iter at 10⁹ vectors) and [[kmeansTrainDist]] keeps
+    * the O(sample·k·dim) work on executors.
+    */
+  val KmeansDriverSampleCap = 100000L
+
+  /** Codebook trainer with the size-based strategy switch above. The
+    * result is the same bit pattern either way, so the q31 gate and
+    * every recall measurement are invariant to which path ran.
+    */
+  def kmeansTrainAuto(spark: SparkSession, sampleIn: DataFrame, k: Int,
+      iters: Int): Array[Array[Double]] = {
+    import spark.implicits._
+    val sample = sampleIn.cache()
+    val m = sample.count()
+    val cents =
+      if (m <= KmeansDriverSampleCap) {
+        val arr = sample.select(col("vec_id"), col("v"))
+          .sort(col("vec_id")).as[(Long, Seq[Double])]
+          .collect().map(_._2.toArray)
+        kmeansTrain(arr, k, iters)
+      } else kmeansTrainDist(spark, sample, k, iters)
+    sample.unpersist()
+    cents
+  }
+
   /** IVF approximate top-k cosine neighbours of `queries` (query_id, qv)
     * within `uni` (vec_id, v) — same output contract as q18/q19
     * (query_id, neighbor_id, rank).
@@ -829,10 +861,10 @@ object TrainingOps {
     import spark.implicits._
     val uni = uniIn.cache() // reused: codebook sample, assign, verify join
     val e = uni.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
-    // codebook from a deterministic sample (vec_id order, capped),
-    // trained executor-side; KmeansParitySpec pins byte-identity with
-    // the legacy driver-side kmeansTrain, so the q31 gate is unchanged
-    val cents = kmeansTrainDist(spark,
+    // codebook from a deterministic sample (vec_id order, capped);
+    // trainer strategy switches on sample size (kmeansTrainAuto) and both
+    // strategies are bit-identical, so the q31 gate is unchanged
+    val cents = kmeansTrainAuto(spark,
       e.sort(col("vec_id")).limit(trainCap).toDF("vec_id", "v"),
       lists, IvfIters)
     val bc = spark.sparkContext.broadcast(cents)

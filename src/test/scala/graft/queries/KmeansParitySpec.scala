@@ -56,6 +56,16 @@ class KmeansParitySpec extends SparkSpec {
       TrainingOps.kmeansTrain(vs, 40, 8))
   }
 
+  test("kmeansTrainAuto: the size-switch wiring returns the same bits") {
+    import spark.implicits._
+    val vs = vecs(1500, 10, seed = 6)
+    val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toSeq.toDF("vec_id", "v").repartition(5)
+    assertIdentical(
+      TrainingOps.kmeansTrainAuto(spark, df, 20, 8), // ≤ cap → pool path
+      TrainingOps.kmeansTrain(vs, 20, 8))
+  }
+
   test("empty clusters: duplicate-heavy data, k near n — bit-identical") {
     val r = new scala.util.Random(3)
     // many exact duplicates → several first-k init centroids never win a
