@@ -38,6 +38,12 @@ object ScalingBench {
   val BenchRows = 200000L
   val BenchCorpus = "fixtures/data/corpus_bench"
   val ProfileCorpus = "fixtures/data/corpus_profile"
+  // Skew A/B runs 12 timed cells (3 rounds × 2 levels × 2 variants) + 4
+  // warm-ups, so it gets its OWN right-sized corpus instead of whatever
+  // scale corpus_bench was last regenerated at (1M rows after the r4
+  // QualityFilterJob run — 16 multi-minute passes would be pointless:
+  // the skew signal is the ~32% mega-repo share, which is scale-free).
+  val SkewCorpus = "fixtures/data/corpus_skew"
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -65,11 +71,12 @@ object ScalingBench {
     * `saltBuckets` = 1 runs the repo-only (UNsalted) repartition — the
     * skew-mode comparator showing what the salt rescues.
     */
-  private def timedPass(spark: SparkSession, saltBuckets: Int): Double = {
+  private def timedPass(spark: SparkSession, saltBuckets: Int,
+                        corpus: String = BenchCorpus): Double = {
     import spark.implicits._
     val lm = spark.sparkContext.broadcast(LangId.load(BuildFixtures.LangIdModelPath))
     val km = spark.sparkContext.broadcast(KnLm.load(BuildFixtures.KnLmModelPath))
-    val input = spark.read.parquet(BenchCorpus).as[FileRecord]
+    val input = spark.read.parquet(corpus).as[FileRecord]
     val t0 = System.nanoTime()
     val v = QualityFilter.verdicts(spark, input, lm, km,
       saltBuckets = saltBuckets)
@@ -179,6 +186,9 @@ object ScalingBench {
     if (mode == "profile") {
       if (!new java.io.File(ProfileCorpus).exists())
         writeProfileCorpus(s0, rows)
+    } else if (mode == "skew") {
+      if (!new java.io.File(SkewCorpus).exists())
+        Corpus.writeCorpus(s0, rows, SkewCorpus)
     } else if (!new java.io.File(BenchCorpus).exists())
       Corpus.writeCorpus(s0, rows, BenchCorpus)
     s0.stop()
@@ -274,8 +284,8 @@ object ScalingBench {
   }
 
   /** Skew-rescue A/B (SURVEY §7.4 risk 5, VERDICT r4 task 5): the SAME
-    * two-level N-vs-4N protocol over the standard bench corpus — whose
-    * head repo "megacorp/monorepo" holds ~32% of rows by construction —
+    * two-level N-vs-4N protocol over a dedicated right-sized corpus with
+    * the standard construction — head repo "megacorp/monorepo" ~32% of rows —
     * run once with the production salted repartition and once with the
     * naive repo-only repartition (saltBuckets=1). Repo-only puts the
     * mega-repo in ONE task, so its wall is straggler-bound (~0.32·total
@@ -296,8 +306,8 @@ object ScalingBench {
       cal(cpus) = math.max(cal(cpus), calibrate(cpus))
       for ((vn, sb) <- variants) {
         val s = session(cpus)
-        if (warmed.add((vn, cpus))) timedPass(s, sb) // untimed JIT warm-up
-        val t = timedPass(s, sb)
+        if (warmed.add((vn, cpus))) timedPass(s, sb, SkewCorpus) // untimed JIT warm-up
+        val t = timedPass(s, sb, SkewCorpus)
         s.stop()
         best((vn, cpus)) = math.min(best((vn, cpus)), t)
         System.err.println(
