@@ -198,6 +198,13 @@ object DedupScaleBench {
 
   def main(args: Array[String]): Unit = {
     val small = args.headOption.contains("small")
+    // "simhash <n> [n2 ...]": just the SimHash curve at the given sizes —
+    // used for the third (10M-doc) derived-banding datapoint without
+    // re-running the whole table.
+    val shOnly: Option[Seq[Long]] =
+      if (args.headOption.contains("simhash"))
+        Some(args.drop(1).map(_.toLong).toSeq)
+      else None
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -207,21 +214,28 @@ object DedupScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val embNs = if (small) Seq(10000L, 50000L) else Seq(50000L, 500000L)
-    val mhNs = if (small) Seq(10000L, 100000L) else Seq(100000L, 1000000L)
-    // discarded warmup: JIT + codegen for both pipelines, so the first
-    // measured point isn't 4× inflated by first-run compilation
-    embeddingPoint(spark, 2000L)
-    minhashPoint(spark, 2000L)
-    spark.catalog.clearCache()
-    val ivfNs = if (small) Seq(50000L) else Seq(50000L, 500000L, 1000000L)
-    val shNs = if (small) Seq(100000L) else Seq(100000L, 1000000L)
-    val points = embNs.map(embeddingPoint(spark, _)) ++
-      mhNs.map { n =>
-        val p = minhashPoint(spark, n)
-        spark.catalog.clearCache() // minhashLsh caches sets/tok per run
-        p
-      } ++ ivfNs.map(ivfPoint(spark, _)) ++ shNs.map(simhashPoint(spark, _))
+    val points = shOnly match {
+      case Some(ns) =>
+        simhashPoint(spark, 10000L) // discarded JIT warmup
+        spark.catalog.clearCache()
+        ns.map(simhashPoint(spark, _))
+      case None =>
+        val embNs = if (small) Seq(10000L, 50000L) else Seq(50000L, 500000L)
+        val mhNs = if (small) Seq(10000L, 100000L) else Seq(100000L, 1000000L)
+        // discarded warmup: JIT + codegen for both pipelines, so the first
+        // measured point isn't 4× inflated by first-run compilation
+        embeddingPoint(spark, 2000L)
+        minhashPoint(spark, 2000L)
+        spark.catalog.clearCache()
+        val ivfNs = if (small) Seq(50000L) else Seq(50000L, 500000L, 1000000L)
+        val shNs = if (small) Seq(100000L) else Seq(100000L, 1000000L)
+        embNs.map(embeddingPoint(spark, _)) ++
+          mhNs.map { n =>
+            val p = minhashPoint(spark, n)
+            spark.catalog.clearCache() // minhashLsh caches sets/tok per run
+            p
+          } ++ ivfNs.map(ivfPoint(spark, _)) ++ shNs.map(simhashPoint(spark, _))
+    }
     def j(p: Point): String =
       f"""{"kind":"${p.kind}","n":${p.n},"tables":${p.tables},""" +
         f""""bits":${p.bits},"cand_pairs":${p.candPairs}%.0f,""" +
