@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ProfileQueries, Queries, TrainingOps}
+import graft.queries.{IncrementalDedup, ProfileQueries, Queries, TrainingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -64,7 +64,9 @@ object SparkEntry {
     "q40_stream_profile" ->
       (graft.streaming.StreamingProfileJob.q40StreamProfile(_, _)),
     "q41_xsd_validate" -> (ProfileQueries.q41XsdValidate(_, _)),
-    "q42_xsd_enhance" -> (ProfileQueries.q42XsdEnhance(_, _))
+    "q42_xsd_enhance" -> (ProfileQueries.q42XsdEnhance(_, _)),
+    "q43_incremental_dedup" ->
+      (IncrementalDedup.q43IncrementalDedup(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -615,6 +617,25 @@ object SparkEntry {
          SELECT p.field_path, p.field_name, p.data_type, m.xsd_type,
                 m.xsd_min_occurs, m.xsd_max_occurs, m.xsd_nillable
          FROM prof p LEFT JOIN meta m USING (field_name)
-         ORDER BY field_path"""
+         ORDER BY field_path""",
+    // q43: incremental dedup ≡ the exact q16 scan RESTRICTED to pairs
+    // touching the delta (doc_id % 10 = 0): per-doc signatures are
+    // split-invariant and the delta join generates exactly new×all
+    // (IncrementalDedupSpec), so with the q16 miss bound (p ≤ 8.6e-10)
+    // the catalog-committed incremental path must equal this oracle.
+    "q43_incremental_dedup" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS shingles
+                FROM toks WHERE len(t) >= 3),
+         tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+         inter AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS n_inter
+                   FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT doc_i, doc_j, n_inter, sa.n + sb.n - n_inter AS n_union,
+                CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+         FROM inter JOIN sizes sa ON doc_i = sa.doc_id JOIN sizes sb ON doc_j = sb.doc_id
+         WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.9
+           AND (doc_i % 10 = 0 OR doc_j % 10 = 0)
+         ORDER BY doc_i, doc_j"""
   )
 }

@@ -86,24 +86,32 @@ object IncrementalDedup {
         col("jaccard"))
   }
 
-  /** One delta step against a parquet signature catalog rooted at
-    * `catalogDir` (subdirs `buckets/`, `sets/`): commits THIS batch's
-    * signatures under `batch=<batchId>` (overwrite — a replayed batch
-    * rewrites the same paths, so crash-replay is idempotent), then
-    * returns the delta pairs computed against the full catalog snapshot
-    * (prior batches ∪ this batch). A file-source checkpoint replays a
-    * batch with identical contents, so both the signature commit and the
-    * recomputed pairs are stable across restarts.
+  /** Commit one batch's signatures under the catalog's per-batch paths
+    * (overwrite — a replayed batch rewrites the same paths, so
+    * crash-replay is idempotent). Returns (bucketsDir, setsDir). Also the
+    * way an EXISTING corpus is seeded into a fresh catalog (batch 0).
     */
-  def deltaStep(spark: SparkSession, batchDocs: DataFrame, batchId: Long,
-      catalogDir: String, threshold: Double): DataFrame = {
+  def commitBatch(batchDocs: DataFrame, batchId: Long,
+      catalogDir: String, threshold: Double): (String, String) = {
     val (newB, newS) = signatures(batchDocs, threshold)
     val bDir = s"$catalogDir/buckets/batch=$batchId"
     val sDir = s"$catalogDir/sets/batch=$batchId"
-    // commit THIS batch's signatures first (idempotent per-batch path);
-    // prior batches are whatever is already under the catalog root
     newB.write.mode("overwrite").parquet(bDir)
     newS.write.mode("overwrite").parquet(sDir)
+    (bDir, sDir)
+  }
+
+  /** One delta step against a parquet signature catalog rooted at
+    * `catalogDir` (subdirs `buckets/`, `sets/`): commits THIS batch's
+    * signatures via [[commitBatch]], then returns the delta pairs
+    * computed against the full catalog snapshot (prior batches ∪ this
+    * batch). A file-source checkpoint replays a batch with identical
+    * contents, so both the signature commit and the recomputed pairs are
+    * stable across restarts.
+    */
+  def deltaStep(spark: SparkSession, batchDocs: DataFrame, batchId: Long,
+      catalogDir: String, threshold: Double): DataFrame = {
+    val (bDir, _) = commitBatch(batchDocs, batchId, catalogDir, threshold)
     def readAll(sub: String): DataFrame =
       spark.read.parquet(s"$catalogDir/$sub")
     val allB = readAll("buckets")
@@ -111,5 +119,45 @@ object IncrementalDedup {
     // re-read the batch's own committed rows as the "new" side so both
     // join inputs come from the same snapshot
     deltaPairs(spark.read.parquet(bDir), allB, allS, threshold)
+  }
+
+  /** q43: the incremental path E2E under the DuckDB gate. The documents
+    * table is split deterministically — delta = doc_id % 10 == 0 (the
+    * "new crawl batch"), corpus = the rest — the corpus is seeded into a
+    * fresh parquet signature catalog as batch 0 ([[commitBatch]], the
+    * operational precondition), and ONE [[deltaStep]] runs the delta
+    * against the catalog snapshot. Because banding is derived so a true
+    * ≥0.9 pair is missed with p ≤ 8.6e-10 (q16's argument) and the delta
+    * join generates exactly the new×all restriction
+    * (IncrementalDedupSpec), the output provably equals the EXACT
+    * pairwise-Jaccard scan restricted to pairs touching the delta — which
+    * is what the oracle recomputes. Result is small (near-dup pairs):
+    * collected, the temp catalog deleted, and rebuilt as a local frame
+    * (q40's lifecycle pattern — bench attempts must not accumulate
+    * catalogs in /tmp).
+    */
+  def q43IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Queries.t(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft_q43").toString
+    commitBatch(corpus, 0L, root, 0.9)
+    val pairs = deltaStep(spark, delta, 1L, root, 0.9)
+      .orderBy(col("doc_i"), col("doc_j"))
+    val rows = pairs.collect().toSeq
+    val schema = pairs.schema
+    deleteRecursively(java.nio.file.Paths.get(root))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
+    ()
   }
 }
