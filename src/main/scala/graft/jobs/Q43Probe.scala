@@ -1,0 +1,39 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.queries.{IncrementalDedup, Queries}
+
+/** Stage-level timing probe for q43 (diagnostic; found the uncached
+  * shingle-generator re-evaluation that made signing 10x slower — see
+  * IncrementalDedup.signatures scaladoc).
+  */
+object Q43Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[q43probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    // two full q43 passes with a cache clear between: steady-state cost
+    // without cross-run cache substitution
+    for (i <- 1 to 2) {
+      time(s"q43 full pass $i") {
+        println("rows=" +
+          IncrementalDedup.q43IncrementalDedup(spark, dir).count())
+      }
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -39,16 +39,31 @@ object IncrementalDedup {
   def signatures(docs: DataFrame, threshold: Double,
       targetMiss: Double = 1e-9,
       dfCap: Int = TrainingOps.ShingleDfCap): (DataFrame, DataFrame) = {
+    val (b, s, _) = signatureStages(docs, threshold, targetMiss, dfCap)
+    (b, s)
+  }
+
+  /** [[signatures]] plus a cleanup thunk releasing the two cached
+    * intermediates — call it AFTER both outputs are materialized
+    * ([[commitBatch]] does), so a long-running delta job doesn't
+    * accumulate cached signing stages across batches.
+    */
+  private def signatureStages(docs: DataFrame, threshold: Double,
+      targetMiss: Double, dfCap: Int)
+      : (DataFrame, DataFrame, () => Unit) = {
     val (r, b) = TrainingOps.minhashBanding(threshold, targetMiss)
-    // ONE cached token stage feeds both outputs — the shingle walk +
-    // xxhash64 is the expensive part of signing; recomputing it per
-    // output doubled the one-time corpus-signing cost
-    val tok = TrainingOps
-      .shingleTokens(TrainingOps.shingleSets(docs), dfCap).cache()
+    // Cache the shingle-ARRAY stage before tokenizing (minhashLsh's
+    // shape, and load-bearing): the shingle generator
+    // (transform+array_distinct over every doc) feeds an explode whose
+    // uncached plan re-derives the arrays on BOTH sides of the hot-df
+    // anti-join — measured 21.7 s vs 2.0 s for the signing stage at
+    // sf0.1 (Q43Probe). One cached token stage then feeds both outputs.
+    val sets0 = TrainingOps.shingleSets(docs).cache()
+    val tok = TrainingOps.shingleTokens(sets0, dfCap).cache()
     val buckets = TrainingOps.bandedBuckets(tok, r, b)
     val sets = tok.groupBy(col("doc_id"))
       .agg(collect_set(col("s")).as("shingles"))
-    (buckets, sets)
+    (buckets, sets, () => { sets0.unpersist(); tok.unpersist(); () })
   }
 
   /** Near-dup pairs involving at least one NEW doc: new buckets × all
@@ -93,11 +108,13 @@ object IncrementalDedup {
     */
   def commitBatch(batchDocs: DataFrame, batchId: Long,
       catalogDir: String, threshold: Double): (String, String) = {
-    val (newB, newS) = signatures(batchDocs, threshold)
+    val (newB, newS, release) = signatureStages(batchDocs, threshold,
+      targetMiss = 1e-9, dfCap = TrainingOps.ShingleDfCap)
     val bDir = s"$catalogDir/buckets/batch=$batchId"
     val sDir = s"$catalogDir/sets/batch=$batchId"
     newB.write.mode("overwrite").parquet(bDir)
     newS.write.mode("overwrite").parquet(sDir)
+    release()
     (bDir, sDir)
   }
 

@@ -105,4 +105,21 @@ class PlanSpec extends SparkSpec {
       "XSD metadata should be the broadcast build side of the left join")
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("q43: incremental-dedup joins broadcast the delta; catalog never shuffles") {
+    // the 100 TB contract behind q43: the signature catalog (the big
+    // side) must stream map-side through every join — a sort-merge join
+    // would shuffle the whole corpus catalog per crawl batch
+    import org.apache.spark.sql.functions.col
+    val docs = Queries.t(spark, dir, "documents")
+    val (cb, cs) = IncrementalDedup.signatures(
+      docs.filter(col("doc_id") % 10 =!= 0), 0.9)
+    val (db, ds) = IncrementalDedup.signatures(
+      docs.filter(col("doc_id") % 10 === 0), 0.9)
+    val p = finalPlan(IncrementalDedup.deltaPairs(
+      db, cb.union(db), cs.union(ds), 0.9))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "catalog side shuffled for a join — the delta must broadcast")
+  }
 }
