@@ -140,7 +140,11 @@ object TrainingOps {
   def minhashBandBuckets(docs: DataFrame, threshold: Double,
       targetMiss: Double = 1e-9, dfCap: Int = ShingleDfCap): DataFrame = {
     val (r, b) = minhashBanding(threshold, targetMiss)
-    bandedBuckets(shingleTokens(shingleSets(docs), dfCap), r, b)
+    // cache the shingle-array stage before tokenizing: the uncached
+    // generator is re-derived on both sides of the hot-df anti-join
+    // (measured 10×; see IncrementalDedup.signatureStages). Callers are
+    // diagnostics/bench (clearCache between points), so no leak.
+    bandedBuckets(shingleTokens(shingleSets(docs).cache(), dfCap), r, b)
   }
 
   /** Signature + banding stages shared by [[minhashLsh]] and

@@ -122,4 +122,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "catalog side shuffled for a join — the delta must broadcast")
   }
+
+  test("q43 signing reads the token stage from cache, not the raw generator") {
+    // regression pin for the r5 10× fix: the shingle generator must be
+    // cached before the explode/anti-join consume it — an uncached plan
+    // re-derives the arrays on both sides (Q43Probe: 21.7 s vs 2.0 s)
+    import org.apache.spark.sql.functions.col
+    val (b, _) = IncrementalDedup.signatures(
+      Queries.t(spark, dir, "documents").filter(col("doc_id") >= 0), 0.9)
+    val p = finalPlan(b)
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "signing stages must come from the cached token frame:\n" + p)
+  }
 }
