@@ -198,11 +198,16 @@ object DedupScaleBench {
 
   def main(args: Array[String]): Unit = {
     val small = args.headOption.contains("small")
-    // "simhash <n> [n2 ...]": just the SimHash curve at the given sizes —
-    // used for the third (10M-doc) derived-banding datapoint without
-    // re-running the whole table.
+    // "simhash <n> [n2 ...]" / "ivf <n> [n2 ...]": just that family's
+    // curve at the given sizes — used for extra datapoints (the 10M-doc
+    // SimHash point; clean-window IVF walls) without re-running the
+    // whole table.
     val shOnly: Option[Seq[Long]] =
       if (args.headOption.contains("simhash"))
+        Some(args.drop(1).map(_.toLong).toSeq)
+      else None
+    val ivfOnly: Option[Seq[Long]] =
+      if (args.headOption.contains("ivf"))
         Some(args.drop(1).map(_.toLong).toSeq)
       else None
     val spark = SparkSession.builder()
@@ -214,12 +219,20 @@ object DedupScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val points = shOnly match {
-      case Some(ns) =>
+    val points = (shOnly, ivfOnly) match {
+      case (Some(ns), _) =>
         simhashPoint(spark, 10000L) // discarded JIT warmup
         spark.catalog.clearCache()
         ns.map(simhashPoint(spark, _))
-      case None =>
+      case (_, Some(ns)) =>
+        ivfPoint(spark, 10000L) // discarded JIT warmup
+        spark.catalog.clearCache()
+        ns.map { n =>
+          val p = ivfPoint(spark, n)
+          spark.catalog.clearCache()
+          p
+        }
+      case _ =>
         val embNs = if (small) Seq(10000L, 50000L) else Seq(50000L, 500000L)
         val mhNs = if (small) Seq(10000L, 100000L) else Seq(100000L, 1000000L)
         // discarded warmup: JIT + codegen for both pipelines, so the first
