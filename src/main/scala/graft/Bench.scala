@@ -60,7 +60,8 @@ object Bench {
     * structurally ~0.15 there, so it can't serve as a contention
     * witness; steal% + par + spread still cover them.
     */
-  val WaitHeavy: Set[String] = Set("q37_stream_windows", "q40_stream_profile")
+  val WaitHeavy: Set[String] =
+    Set("q37_stream_windows", "q40_stream_profile", "q44_stream_dedup")
   /** two attempts within this ratio agree → machine is stable, stop. */
   val AgreeRatio = 1.15
 

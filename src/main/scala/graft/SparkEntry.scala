@@ -66,7 +66,9 @@ object SparkEntry {
     "q41_xsd_validate" -> (ProfileQueries.q41XsdValidate(_, _)),
     "q42_xsd_enhance" -> (ProfileQueries.q42XsdEnhance(_, _)),
     "q43_incremental_dedup" ->
-      (IncrementalDedup.q43IncrementalDedup(_, _))
+      (IncrementalDedup.q43IncrementalDedup(_, _)),
+    "q44_stream_dedup" ->
+      (graft.streaming.StreamingDedupJob.q44StreamDedup(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -636,6 +638,23 @@ object SparkEntry {
          FROM inter JOIN sizes sa ON doc_i = sa.doc_id JOIN sizes sb ON doc_j = sb.doc_id
          WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.9
            AND (doc_i % 10 = 0 OR doc_j % 10 = 0)
+         ORDER BY doc_i, doc_j""",
+    // q44: two availableNow lifecycles over one checkpoint reconstruct
+    // the FULL near-dup set (batches partition the corpus; each emits
+    // new×all) — so the streaming engine must equal the exact scan over
+    // all documents, q16's oracle verbatim.
+    "q44_stream_dedup" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS shingles
+                FROM toks WHERE len(t) >= 3),
+         tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+         inter AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS n_inter
+                   FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         SELECT doc_i, doc_j, n_inter, sa.n + sb.n - n_inter AS n_union,
+                CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
+         FROM inter JOIN sizes sa ON doc_i = sa.doc_id JOIN sizes sb ON doc_j = sb.doc_id
+         WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.9
          ORDER BY doc_i, doc_j"""
   )
 }

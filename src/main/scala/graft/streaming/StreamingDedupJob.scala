@@ -57,4 +57,46 @@ object StreamingDedupJob {
     spark.read.parquet(s"$outDir/pairs")
       .select(col("doc_i"), col("doc_j"), col("n_inter"), col("n_union"),
         col("jaccard"))
+
+  /** q44: the streaming incremental-dedup path E2E under the gate. The
+    * documents table arrives as TWO parquet drops (corpus = doc_id % 10
+    * != 0, then delta = the rest) processed by two availableNow
+    * lifecycles over ONE checkpoint — so the second lifecycle is a real
+    * restart that resumes at the unprocessed drop. Because each batch's
+    * [[IncrementalDedup.deltaStep]] emits exactly the new×all pairs and
+    * batches partition the corpus, the union over batches reconstructs
+    * EXACTLY the full-corpus near-dup set (IncrementalDedupSpec pins the
+    * set equality) — which is what the oracle recomputes: the exact
+    * pairwise-Jaccard scan over ALL documents at the same threshold,
+    * i.e. q16's oracle through the streaming engine instead of the batch
+    * one. Temp state follows q40's collect-delete-rebuild lifecycle.
+    */
+  def q44StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_q44").toString
+    val (in, cat, out, ckpt) =
+      (s"$root/in", s"$root/cat", s"$root/out", s"$root/ckpt")
+    val docs = graft.queries.Queries.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") % 10 =!= 0).write.mode("append").parquet(in)
+    runOnce(spark, in, cat, out, ckpt, 0.9)
+    docs.filter(col("doc_id") % 10 === 0).write.mode("append").parquet(in)
+    runOnce(spark, in, cat, out, ckpt, 0.9)
+    val projected = allPairs(spark, out)
+      .orderBy(col("doc_i"), col("doc_j"))
+    val rows = projected.collect().toSeq
+    val schema = projected.schema
+    deleteRecursively(java.nio.file.Paths.get(root))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
+    ()
+  }
 }
