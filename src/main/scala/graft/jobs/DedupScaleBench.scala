@@ -50,7 +50,7 @@ object DedupScaleBench {
 
   final case class Point(kind: String, n: Long, tables: Int, bits: Int,
       candPairs: Double, candPerN: Double, recall: Long, wallSec: Double,
-      steal: Double, plantedTotal: Int = 50)
+      steal: Double, plantedTotal: Int = 50, blocks: Int = 0)
 
   def embeddingPoint(spark: SparkSession, n: Long): Point = {
     import spark.implicits._
@@ -192,8 +192,12 @@ object DedupScaleBench {
     }
     val wall = (System.nanoTime() - t0) / 1e9
     hashed.unpersist()
-    Point("simhash", n, b, minKeyWidth, cand, cand / (n + planted), found,
-      wall, steal)
+    // tables = the REAL table count C(b, b-maxHamming) keyed by the join
+    // (r5 ADVICE: recording b here mislabeled the collision-curve
+    // evidence); the block count rides separately as `blocks`.
+    val nTables = (0 until b).combinations(b - 3).size
+    Point("simhash", n, nTables, minKeyWidth, cand, cand / (n + planted),
+      found, wall, steal, blocks = b)
   }
 
   def main(args: Array[String]): Unit = {
@@ -251,6 +255,7 @@ object DedupScaleBench {
     }
     def j(p: Point): String =
       f"""{"kind":"${p.kind}","n":${p.n},"tables":${p.tables},""" +
+        (if (p.blocks > 0) f""""blocks":${p.blocks},""" else "") +
         f""""bits":${p.bits},"cand_pairs":${p.candPairs}%.0f,""" +
         f""""cand_per_n":${p.candPerN}%.2f,""" +
         f""""cand_per_n_per_table":${p.candPerN / p.tables}%.2f,""" +

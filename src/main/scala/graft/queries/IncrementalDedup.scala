@@ -158,12 +158,16 @@ object IncrementalDedup {
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     val delta = docs.filter(col("doc_id") % 10 === 0)
     val root = java.nio.file.Files.createTempDirectory("graft_q43").toString
-    commitBatch(corpus, 0L, root, 0.9)
-    val pairs = deltaStep(spark, delta, 1L, root, 0.9)
-      .orderBy(col("doc_i"), col("doc_j"))
-    val rows = pairs.collect().toSeq
-    val schema = pairs.schema
-    deleteRecursively(java.nio.file.Paths.get(root))
+    // finally-scoped: a throw mid-compute must not leak the signature
+    // catalog copy into /tmp (r5 ADVICE) — the collect-delete-rebuild
+    // lifecycle only holds if the delete runs on every path
+    val (rows, schema) =
+      try {
+        commitBatch(corpus, 0L, root, 0.9)
+        val pairs = deltaStep(spark, delta, 1L, root, 0.9)
+          .orderBy(col("doc_i"), col("doc_j"))
+        (pairs.collect().toSeq, pairs.schema)
+      } finally deleteRecursively(java.nio.file.Paths.get(root))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 

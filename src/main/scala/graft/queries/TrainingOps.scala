@@ -281,6 +281,12 @@ object TrainingOps {
   def simhashPairs(spark: SparkSession, docs: DataFrame,
       maxHamming: Int = 3): DataFrame = {
     import spark.implicits._
+    // `hashed` stays cached past this call (same contract as
+    // minhashBandBuckets): the count() that derives b forces it, and the
+    // returned plan reads it on BOTH sides of the candidate self-join —
+    // unpersisting before materialization would re-run the MD5 simhash
+    // map twice. Harness-level spark.catalog.clearCache() between bench
+    // attempts releases it.
     val hashed = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .as[(Long, Seq[String])]

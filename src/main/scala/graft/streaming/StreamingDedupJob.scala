@@ -73,19 +73,22 @@ object StreamingDedupJob {
     */
   def q44StreamDedup(spark: SparkSession, dir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft_q44").toString
-    val (in, cat, out, ckpt) =
-      (s"$root/in", s"$root/cat", s"$root/out", s"$root/ckpt")
-    val docs = graft.queries.Queries.t(spark, dir, "documents")
-      .select(col("doc_id"), col("text"))
-    docs.filter(col("doc_id") % 10 =!= 0).write.mode("append").parquet(in)
-    runOnce(spark, in, cat, out, ckpt, 0.9)
-    docs.filter(col("doc_id") % 10 === 0).write.mode("append").parquet(in)
-    runOnce(spark, in, cat, out, ckpt, 0.9)
-    val projected = allPairs(spark, out)
-      .orderBy(col("doc_i"), col("doc_j"))
-    val rows = projected.collect().toSeq
-    val schema = projected.schema
-    deleteRecursively(java.nio.file.Paths.get(root))
+    // finally-scoped: a throw mid-lifecycle must not leak the drop dirs /
+    // catalog / checkpoint into /tmp (r5 ADVICE)
+    val (rows, schema) =
+      try {
+        val (in, cat, out, ckpt) =
+          (s"$root/in", s"$root/cat", s"$root/out", s"$root/ckpt")
+        val docs = graft.queries.Queries.t(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        docs.filter(col("doc_id") % 10 =!= 0).write.mode("append").parquet(in)
+        runOnce(spark, in, cat, out, ckpt, 0.9)
+        docs.filter(col("doc_id") % 10 === 0).write.mode("append").parquet(in)
+        runOnce(spark, in, cat, out, ckpt, 0.9)
+        val projected = allPairs(spark, out)
+          .orderBy(col("doc_i"), col("doc_j"))
+        (projected.collect().toSeq, projected.schema)
+      } finally deleteRecursively(java.nio.file.Paths.get(root))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
