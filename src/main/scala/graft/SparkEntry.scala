@@ -210,8 +210,9 @@ object SparkEntry {
          ORDER BY query_id, "rank"""",
     // q19: each query's exact top-5 is its 5 planted companions (cosine
     // >= 0.9987, adjacent rank gaps >= 1.4e-4; everything else sits at
-    // ~0.4), and LSH misses a companion with p ~ 5e-20 — so the
-    // approximate pipeline's ranked output equals this exact scan.
+    // ~0.4), and LSH at the derived 18-table × 4-bit gate shape misses a
+    // companion with p ~ 3e-22 — so the approximate pipeline's ranked
+    // output equals this exact scan.
     "q19_lsh_ann" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 500),
          q AS (SELECT vec_id, v FROM e WHERE vec_id < 20),

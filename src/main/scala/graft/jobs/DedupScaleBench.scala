@@ -148,6 +148,129 @@ object DedupScaleBench {
       plantedTotal = nQueries * 5)
   }
 
+  /** Past-the-old-cap occupancy evidence (r5 verdict item 1): run the
+    * [[TrainingOps.lshParams]] derivation with targetBucket scaled DOWN
+    * so that N/targetBucket > 2¹⁶ at a locally-runnable N — the regime
+    * the old Int-bucket 16-bit cap could not reach (4M vectors at
+    * targetBucket 16 ≡ 34M-equivalent sizing at 512·16). Reports:
+    *
+    *  - candidate mass from (tbl, bucket) occupancies at the DERIVED
+    *    bits (bounded: cand/N/table ≈ targetBucket/2), and at the old
+    *    capped 16 bits on the same data (growing: ≈ N/2¹⁷ per table) —
+    *    the ratio is the blow-up the lift removes;
+    *  - candidate-stage recall on 50 planted near-dup pairs via the
+    *    bucket join restricted to planted ids (the verify stage is exact,
+    *    so candidate recall IS pipeline recall).
+    *
+    * Uses threshold 0.99 (planted pairs sit at cosine ≈ 0.995) so the
+    * derived table count stays bench-sized; the derivation curve itself
+    * is spec-pinned at 0.95 in DedupScaleSpec.
+    */
+  def embCapPoint(spark: SparkSession, n: Long, targetBucket: Int): String = {
+    import spark.implicits._
+    val threshold = 0.99
+    val planted = 50
+    val base = spark.range(n).map(id => (id.toLong, vec(id)))
+    val dups = spark.range(planted).map { id =>
+      val v = vec(id)
+      (10000000L + id, Array.tabulate(64)(i => v(i) + 0.1 * v((i + 1) % 64)))
+    }
+    val emb = base.union(dups).toDF("vec_id", "embedding")
+      .as[(Long, Seq[Double])].cache()
+
+    val (tables, bits) =
+      TrainingOps.lshParams(n + planted, threshold, targetBucket = targetBucket)
+    require(bits > 16, s"embcap must exercise the lifted cap (bits=$bits)")
+    val pl = TrainingOps.allPlanes(tables, bits)
+
+    var cand = 0.0
+    var found = 0L
+    val t0 = System.nanoTime()
+    val steal = stealPct { () =>
+      val buckets = emb.flatMap { case (id, v) =>
+        pl.indices.iterator.map(t => (id, t, TrainingOps.lshBucket(v, pl(t))))
+      }.toDF("vec_id", "tbl", "bucket").cache()
+      cand = buckets.groupBy("tbl", "bucket").count()
+        .agg(sum(expr("count * (count - 1) / 2"))).head.getDouble(0)
+      // planted-pair candidate recall: bucket join restricted to the 100
+      // planted ids (broadcast-sized) — completeness of the candidate
+      // stage, which the exact verify preserves
+      val b2 = buckets.filter(col("vec_id") >= 10000000L ||
+        col("vec_id") < planted).cache()
+      found = b2.as("a").join(b2.as("b"),
+          col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") + 10000000L === col("b.vec_id"))
+        .select(col("a.vec_id")).distinct().count()
+      buckets.unpersist()
+      b2.unpersist()
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+    // the counterfactual: same data under the OLD 16-bit cap (one table
+    // is enough — occupancy is table-independent in expectation)
+    val plCap = TrainingOps.allPlanes(1, 16)
+    val candCap = emb.flatMap { case (id, v) =>
+      Iterator.single((0, TrainingOps.lshBucket(v, plCap(0))))
+    }.toDF("tbl", "bucket")
+      .groupBy("tbl", "bucket").count()
+      .agg(sum(expr("count * (count - 1) / 2"))).head.getDouble(0)
+    emb.unpersist()
+    f"""{"kind":"embcap","n":$n,"target_bucket":$targetBucket,""" +
+      f""""tables":$tables,"bits":$bits,"cand_pairs":$cand%.0f,""" +
+      f""""cand_per_n_per_table":${cand / (n + planted) / tables}%.2f,""" +
+      f""""capped16_cand_per_n_per_table":${candCap / (n + planted)}%.2f,""" +
+      f""""planted_found":$found,"planted_total":$planted,""" +
+      f""""wall_sec":$wall%.2f,"steal_pct":$steal%.2f}"""
+  }
+
+  /** ANN-query-path scale point (r5 verdict item 3): [[TrainingOps
+    * .lshAnnTopK]] with DERIVED (tables, bits) over n base vectors + 100
+    * queries × 5 planted companions. Reports measured candidates per
+    * query (distinct, pre-verify — the quantity that must stay sublinear
+    * in N), companion recall through the full pipeline, and wall.
+    */
+  def lshannPoint(spark: SparkSession, n: Long): Point = {
+    import spark.implicits._
+    val nQueries = 100
+    val base = spark.range(n).map(id => (id.toLong, vec(id)))
+    val comps = spark.range(nQueries).flatMap { q =>
+      val v = vec(q)
+      (0 until 5).iterator.map { k =>
+        (20000000L + q * 10 + k,
+          Array.tabulate(64)(i => v(i) + 0.01 * (k + 1) * v((i + 1) % 64)))
+      }
+    }
+    val uni = base.union(comps).toDF("vec_id", "v")
+    val queries = base.filter(_._1 < nQueries).toDF("query_id", "qv")
+    val nTotal = n + nQueries * 5
+    val (tables, bits) = TrainingOps.lshAnnParams(nTotal)
+    // measured candidates/query from the same bucket surface the
+    // pipeline joins on (distinct pre-verify pairs)
+    val pl = TrainingOps.allPlanes(tables, bits)
+    val buckets = uni.as[(Long, Seq[Double])].flatMap { case (id, v) =>
+      pl.indices.iterator.map(t => (id, t, TrainingOps.lshBucket(v, pl(t))))
+    }.toDF("vec_id", "tbl", "bucket")
+    val qb = queries.as[(Long, Seq[Double])].flatMap { case (id, v) =>
+      pl.indices.iterator.map(t => (id, t, TrainingOps.lshBucket(v, pl(t))))
+    }.toDF("query_id", "tbl", "bucket")
+    val cand = broadcast(qb).join(buckets, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct().count()
+
+    var found = 0L
+    val t0 = System.nanoTime()
+    val steal = stealPct { () =>
+      found = TrainingOps
+        .lshAnnTopK(spark, uni, queries, nHint = Some(nTotal))
+        .filter(col("neighbor_id") >= 20000000L &&
+          expr("(neighbor_id - 20000000) div 10") === col("query_id")).count()
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+    spark.catalog.clearCache()
+    Point("lshann", n, tables, bits, cand.toDouble,
+      cand.toDouble / nQueries, found, wall, steal,
+      plantedTotal = nQueries * 5)
+  }
+
   /** SimHash at scale with DERIVED banding (r4 verdict item 1): block
     * count b comes from [[TrainingOps.simhashBlocks]] (n≤2.6e5 → the
     * legacy 4 tables × 16-bit keys; 1M → 10 tables × ≥25-bit keys; …),
@@ -214,6 +337,18 @@ object DedupScaleBench {
       if (args.headOption.contains("ivf"))
         Some(args.drop(1).map(_.toLong).toSeq)
       else None
+    // "embcap <n> <targetBucket> [n2 tb2 ...]": past-the-old-cap
+    // occupancy evidence (emits its own JSON rows, no Point)
+    val embCapOnly: Option[Seq[(Long, Int)]] =
+      if (args.headOption.contains("embcap"))
+        Some(args.drop(1).grouped(2).collect {
+          case Array(n, tb) => (n.toLong, tb.toInt) }.toSeq)
+      else None
+    // "lshann <n> [n2 ...]": derived ANN query-path curve
+    val lshannOnly: Option[Seq[Long]] =
+      if (args.headOption.contains("lshann"))
+        Some(args.drop(1).map(_.toLong).toSeq)
+      else None
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -223,12 +358,32 @@ object DedupScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val points = (shOnly, ivfOnly) match {
-      case (Some(ns), _) =>
+    if (embCapOnly.isDefined) {
+      // warmup with targetBucket=2 so bits>16 holds at warmup size too
+      embCapPoint(spark, 200000L, 2) // discarded JIT warmup
+      spark.catalog.clearCache()
+      println("[" + embCapOnly.get.map { case (n, tb) =>
+        val row = embCapPoint(spark, n, tb)
+        spark.catalog.clearCache()
+        row
+      }.mkString(",") + "]")
+      spark.stop()
+      return
+    }
+    val points = (shOnly, ivfOnly, lshannOnly) match {
+      case (_, _, Some(ns)) =>
+        lshannPoint(spark, 10000L) // discarded JIT warmup
+        spark.catalog.clearCache()
+        ns.map { n =>
+          val p = lshannPoint(spark, n)
+          spark.catalog.clearCache()
+          p
+        }
+      case (Some(ns), _, _) =>
         simhashPoint(spark, 10000L) // discarded JIT warmup
         spark.catalog.clearCache()
         ns.map(simhashPoint(spark, _))
-      case (_, Some(ns)) =>
+      case (_, Some(ns), _) =>
         ivfPoint(spark, 10000L) // discarded JIT warmup
         spark.catalog.clearCache()
         ns.map { n =>

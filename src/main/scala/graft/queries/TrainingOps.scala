@@ -400,26 +400,33 @@ object TrainingOps {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  // Default LSH shape for the ANN query path on this corpus: uniform-
-  // random vectors are LSH's worst case (true neighbours sit at cosine
-  // ≈0.4, per-bit agreement ~0.63; 4 bits / 16 tables gives ~0.94
-  // recall@5 there). Where a recall CONTRACT is needed (q19's planted
-  // companions at cosine ≥ 0.9987: per-bit agreement 0.984, miss ≤
-  // (1-0.984⁴)¹⁶ ≈ 5e-20) the same shape is provably near-exhaustive.
-  // For data-dependent sizing use [[lshParams]] (embeddingNearDups).
-  val LshTables = 16
-  val LshBits = 4
   private val LshSeed = 42
+
+  /** Hard ceiling on hyperplane-LSH key width: buckets are Long-keyed,
+    * and 48 bits keeps bucket occupancy ≈ targetBucket out to
+    * N ≈ 512·2⁴⁸ ≈ 1.4e17 vectors — far past any corpus this engine
+    * will meet (10¹² docs is the design point). Until r6 this ceiling
+    * sat at 16 (Int buckets), which past N ≈ 34M silently returned the
+    * candidate join to ~N²/2¹⁶-per-table mass — the r5-flagged
+    * scale-killer, same defect class as the fixed SimHash banding r5
+    * itself fixed.
+    */
+  val LshMaxBits = 48
 
   /** Derive (tables, bits) from corpus size and similarity threshold:
     * bits grow with log2(N / targetBucket) so bucket occupancy — and with
     * it the O(Σ bucketSize²) candidate join — stays bounded as N grows;
     * tables then buy back recall to `targetMiss` at the threshold, using
     * the random-hyperplane collision probability p = 1 - acos(t)/π.
+    * Regime table at threshold 0.95, targetBucket 512 (tables grow as
+    * (N/targetBucket)^log2(1/p) ≈ N^0.154 — the price of holding BOTH
+    * recall and occupancy as N grows):
+    *   N ≤ 8k → (14, 4); 1M → (38, 11); 34M → (78, 17) [past the old
+    *   Int-bucket cap]; 1e9 → (123, 21); 1e12 → (369, 31).
     */
   def lshParams(n: Long, threshold: Double, targetMiss: Double = 1e-6,
       targetBucket: Int = 512): (Int, Int) = {
-    val bits = math.max(4, math.min(16,
+    val bits = math.max(4, math.min(LshMaxBits,
       math.ceil(math.log(math.max(n, 1).toDouble / targetBucket) /
         math.log(2.0)).toInt))
     val p = 1.0 - math.acos(math.min(threshold, 1.0)) / math.Pi
@@ -428,6 +435,24 @@ object TrainingOps {
       math.ceil(math.log(targetMiss) / math.log(1.0 - perTable)).toInt)
     (tables, bits)
   }
+
+  /** ANN-query-path sizing (r5 verdict item 3): same derivation as
+    * [[lshParams]], but the "threshold" is a DESIGN similarity — the
+    * cosine at which the table count must hold per-neighbour miss ≤
+    * targetMiss — rather than a user-supplied dedup threshold (top-k has
+    * none). 0.9 is the near-neighbour operating point this engine's ANN
+    * contracts quote (q19's planted companions sit ≥ 0.9987, where the
+    * derived shape is ~exhaustive: miss ≈ (1−0.984^bits)^tables). At the
+    * gate floor (bits = 4) this yields 18 tables — one more than the
+    * legacy fixed 16×4 — and recall on uniform-random corpora (true
+    * neighbours near cosine 0.4, LSH's worst case) stays ≥ 0.95/pair:
+    * (1−0.631⁴)¹⁸ ≈ 0.045 miss. Candidates per query stay ≈ tables ×
+    * targetBucket — sublinear in N (tables ~ N^0.22 at designCos 0.9)
+    * instead of the old fixed shape's N/2¹⁶ blow-up past 34M vectors.
+    */
+  def lshAnnParams(n: Long, designCos: Double = 0.9,
+      targetMiss: Double = 1e-6): (Int, Int) =
+    lshParams(n, designCos, targetMiss)
 
   /** Deterministic random hyperplanes for one table: seeded per (table,
     * bits) so the same table index yields the same planes on driver and
@@ -443,8 +468,12 @@ object TrainingOps {
   def allPlanes(tables: Int, bits: Int): Array[Array[Array[Double]]] =
     Array.tabulate(tables)(planesFor(_, bits))
 
-  def lshBucket(v: Seq[Double], planes: Array[Array[Double]]): Int = {
-    var bucket = 0
+  /** Long-keyed bucket (up to [[LshMaxBits]] sign bits): Int keys capped
+    * the derivation at 16 bits, which is exactly the occupancy blow-up
+    * lshParams exists to prevent.
+    */
+  def lshBucket(v: Seq[Double], planes: Array[Array[Double]]): Long = {
+    var bucket = 0L
     var b = 0
     while (b < planes.length) {
       val p = planes(b)
@@ -452,7 +481,7 @@ object TrainingOps {
       var i = 0
       val n = math.min(v.length, p.length)
       while (i < n) { d += v(i) * p(i); i += 1 }
-      if (d >= 0) bucket |= (1 << b)
+      if (d >= 0) bucket |= (1L << b)
       b += 1
     }
     bucket
@@ -464,14 +493,21 @@ object TrainingOps {
     * Same output shape as q18 so recall is directly measurable.
     *
     * Scale: replaces q18's O(Q·N) scan with per-bucket joins — the
-    * shuffle key is (table, bucket), load bounded by bucket occupancy;
-    * more tables buy recall, more bits buy selectivity ([[lshParams]]).
+    * shuffle key is (table, bucket), load bounded by bucket occupancy.
+    * (tables, bits) are DERIVED from the universe size by
+    * [[lshAnnParams]] (r5 verdict item 3: the fixed 16×4 shape made
+    * candidates-per-query ≈ N past 34M vectors); `nHint` passes a known
+    * corpus rowcount (coarse is fine — it only steers log2 sizing),
+    * None falls back to one count() over the cached universe.
     */
   def lshAnnTopK(spark: SparkSession, uniIn: DataFrame,
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame, nHint: Option[Long] = None,
+      designCos: Double = 0.9, targetMiss: Double = 1e-6): DataFrame = {
     import spark.implicits._
-    val pl = allPlanes(LshTables, LshBits)
-    val uni = uniIn.cache() // reused: bucketing pass + verify join
+    val uni = uniIn.cache() // reused: sizing count + bucketing + verify join
+    val (tables, bits) =
+      lshAnnParams(nHint.getOrElse(uni.count()), designCos, targetMiss)
+    val pl = allPlanes(tables, bits)
     val e = uni.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
     val buckets = e.flatMap { case (id, v) =>
       pl.indices.iterator.map(t => (id, t, lshBucket(v, pl(t))))
@@ -536,13 +572,18 @@ object TrainingOps {
   }
 
   /** q19 — LSH ANN E2E with a provable-recall contract (the q28 recipe)
-    * over [[annPlantedUniverse]]: LSH misses a companion with p ≈ 5e-20,
-    * so the approximate pipeline's ranked output equals the oracle's
-    * exact brute-force scan.
+    * over [[annPlantedUniverse]]: at the derived gate shape (18 tables ×
+    * 4 bits from [[lshAnnParams]] at N=600) LSH misses a companion
+    * (cosine ≥ 0.9987 → per-bit agreement 0.984) with p =
+    * (1−0.984⁴)¹⁸ ≈ 3e-22, so the approximate pipeline's ranked output
+    * equals the oracle's exact brute-force scan. The universe size is
+    * pinned (500 base + 20×5 companions), so the gate plan never pays
+    * the sizing count and stays byte-deterministic.
     */
   def q19LshAnn(spark: SparkSession, dir: String): DataFrame = {
     val (uni, queries) = annPlantedUniverse(spark, dir)
-    lshAnnTopK(spark, uni, queries)
+    lshAnnTopK(spark, uni, queries,
+      nHint = Some(500L + NQueries.toLong * AnnCompanions))
   }
 
   /** Embedding-cosine near-duplicate pairs (dedup family): all pairs with

@@ -96,6 +96,59 @@ class DedupScaleSpec extends SparkSpec {
     assert(shared === 50L, s"only $shared/50 planted pairs co-bucketed")
   }
 
+  test("lshParams: the 16-bit cap is lifted — bits keep growing past 34M vectors") {
+    // r5 verdict item 1: until r6, bits = min(16, …) meant that past
+    // N ≈ targetBucket·2¹⁶ ≈ 34M vectors bucket occupancy grew linearly
+    // and the candidate join reverted to ~N²/2¹⁶ per table. The regime
+    // table now continues (threshold 0.95, targetBucket 512):
+    assert(TrainingOps.lshParams(8192, 0.95) === ((14, 4)))
+    assert(TrainingOps.lshParams(1000000, 0.95) === ((38, 11)))
+    assert(TrainingOps.lshParams(34000000, 0.95) === ((78, 17))) // past old cap
+    assert(TrainingOps.lshParams(1000000000L, 0.95) === ((123, 21)))
+    assert(TrainingOps.lshParams(1000000000000L, 0.95) === ((369, 31)))
+    // occupancy invariant: N / 2^bits ≤ targetBucket at every regime point
+    for (n <- Seq(34000000L, 1000000000L, 1000000000000L)) {
+      val (_, bits) = TrainingOps.lshParams(n, 0.95)
+      assert(n.toDouble / math.pow(2, bits) <= 512.0,
+        s"n=$n: expected occupancy exceeds targetBucket")
+    }
+    // the Long-bucket ceiling is 48 bits (≈1.4e17 vectors), not 16
+    assert(TrainingOps.LshMaxBits === 48)
+    val (_, bitsHuge) = TrainingOps.lshParams(Long.MaxValue, 0.95)
+    assert(bitsHuge === 48)
+  }
+
+  test("lshBucket produces Long keys: bits > 31 set high bucket bits without overflow") {
+    // a plane set with 40 bits must be able to reach buckets ≥ 2³² —
+    // with Int keys (the old cap's type) this was unrepresentable
+    val planes = TrainingOps.allPlanes(1, 40)(0)
+    val r = new scala.util.Random(11)
+    val buckets = (0 until 200).map { _ =>
+      TrainingOps.lshBucket(Seq.fill(64)(r.nextGaussian()), planes)
+    }
+    assert(buckets.forall(b => b >= 0L && b < (1L << 40)))
+    assert(buckets.exists(_ > Int.MaxValue.toLong),
+      "no bucket used bits past 31 — keys are effectively still Int-width")
+  }
+
+  test("lshAnnParams: ANN query path derives (tables, bits) from N — sublinear candidates") {
+    // gate floor: N=600 → 4 bits, 18 tables (the q19 shape; miss at the
+    // planted cosine 0.9987 is (1−0.984⁴)¹⁸ ≈ 3e-22)
+    assert(TrainingOps.lshAnnParams(600) === ((18, 4)))
+    // candidates/query ≈ tables × targetBucket: tables grow ~N^0.22 at
+    // designCos 0.9 while N/2^bits stays ≤ 512 — sublinear in N
+    assert(TrainingOps.lshAnnParams(100000) === ((41, 8)))
+    assert(TrainingOps.lshAnnParams(1000000) === ((69, 11)))
+    assert(TrainingOps.lshAnnParams(10000000) === ((135, 15)))
+    val candAt = (n: Long) => {
+      val (t, b) = TrainingOps.lshAnnParams(n)
+      t.toDouble * math.max(n.toDouble / math.pow(2, b), 1.0)
+    }
+    // 100× more vectors → far less than 100× more candidates per query
+    assert(candAt(10000000) / candAt(100000) < 8.0,
+      s"candidates/query grew ${candAt(10000000) / candAt(100000)}x over a 100x N step")
+  }
+
   test("derived IVF sizing: gate constants are the small-N floor of the √N curve") {
     // small N → the fixed gate constants (q31 itself always uses the
     // defaults, so the gate stays byte-deterministic regardless)
