@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
   * operational shape is "new docs vs existing corpus", not full
   * recompute. The corpus keeps a SIGNATURE CATALOG — the banded bucket
   * rows of [[TrainingOps.minhashBandBuckets]] plus the DF-capped hashed
-  * shingle sets — and each delta batch:
+  * shingle sets, plus the FROZEN hot-shingle cap set — and each delta
+  * batch:
   *
-  *   1. computes signatures for the NEW docs only (O(delta)),
+  *   1. computes signatures for the NEW docs only (O(delta)), capped by
+  *      the catalog's frozen hot set — NOT a batch-local one,
   *   2. joins new buckets against catalog ∪ new buckets on (band, bh) —
   *      candidates are new×all, so old×old pairs (already reported) are
   *      never re-generated,
@@ -17,49 +19,85 @@ import org.apache.spark.sql.functions._
   *      same Jaccard arithmetic as [[TrainingOps.minhashLsh]],
   *   4. appends the new signatures to the catalog.
   *
-  * Per-doc signatures depend only on the doc itself (banding is fixed by
-  * (threshold, targetMiss)), so delta(B vs A∪B) ∪ full(A) ≡ full(A∪B)
-  * EXACTLY — IncrementalDedupSpec pins the set equality. The one
-  * snapshot-relative knob is the hot-shingle DF cap: the catalog freezes
-  * each doc's capped token set at signature time (boilerplate sets are
-  * stable operationally; a cap-set refresh is a catalog rebuild, not a
-  * delta).
+  * Exactness: per-doc signatures depend only on (doc, banding, capSet).
+  * Banding is fixed by (threshold, targetMiss), and the cap set is
+  * FROZEN at seed time and persisted with the catalog
+  * (`$catalogDir/hot`), so every doc — seed or delta, whatever batch it
+  * arrived in — is signed by the same pure function. Therefore
+  * delta(B vs A∪B) ∪ full(A) ≡ full(A∪B) EXACTLY, where "full" means
+  * the pipeline under the catalog's frozen cap set —
+  * IncrementalDedupSpec pins the set equality, including a corpus whose
+  * hot shingles appear in only one split (r5 ADVICE: per-batch cap
+  * sets silently diverged there). A shingle that becomes corpus-hot
+  * only AFTER the seed keeps generating (bounded, DF-capped at
+  * verify-set level — see below) candidates until the documented
+  * cap-set refresh, which is a catalog [[rebuild]], not a delta.
   *
   * Scale: step 2 shuffles only (band, bh) keys of the DELTA against the
-  * bucket catalog — the big side arrives hash-partitioned by the same
-  * key from its own write, and candidates stay bounded by the same
-  * banding guarantees as the full pipeline; nothing rescans old content.
+  * bucket catalog when the delta is crawl-sized ([[deltaPairs]]
+  * broadcasts the delta so the catalog never shuffles); a delta past
+  * [[BroadcastDeltaMaxRows]] bucket rows (e.g. a 10% corpus drop) falls
+  * back to a shuffle join on (band, bh) rather than OOMing the driver
+  * (r5 verdict item 2). Candidates stay bounded by the same banding
+  * guarantees as the full pipeline; nothing rescans old content.
   */
 object IncrementalDedup {
 
+  /** Delta-side bucket-row ceiling for the broadcast plan: 5M rows of
+    * (doc_id, band, bh) ≈ 120 MB — comfortably under Spark's broadcast
+    * limit with headroom for the candidate-pair broadcast that follows.
+    * At 16 bands that is ~300k delta docs per crawl; a larger drop takes
+    * the shuffle join instead (correct either way — the switch is purely
+    * an execution strategy).
+    */
+  val BroadcastDeltaMaxRows = 5000000L
+
   /** Signature-catalog rows for `docs`: (buckets, sets) =
-    * ((doc_id, band, bh), (doc_id, shingles)). Both are pure per-doc
-    * functions given (threshold, targetMiss, dfCap).
+    * ((doc_id, band, bh), (doc_id, shingles)). Pure per-doc functions
+    * given (threshold, targetMiss, capSet); this overload derives the
+    * cap set from `docs` itself (the standalone / seed shape — catalog
+    * deltas go through [[commitBatch]], which applies the frozen set).
     */
   def signatures(docs: DataFrame, threshold: Double,
       targetMiss: Double = 1e-9,
       dfCap: Int = TrainingOps.ShingleDfCap): (DataFrame, DataFrame) = {
-    val (b, s, _) = signatureStages(docs, threshold, targetMiss, dfCap)
+    val (b, s, _) = signatureStages(docs, threshold, targetMiss,
+      hotOf(docs, dfCap))
     (b, s)
   }
 
-  /** [[signatures]] plus a cleanup thunk releasing the two cached
-    * intermediates — call it AFTER both outputs are materialized
-    * ([[commitBatch]] does), so a long-running delta job doesn't
-    * accumulate cached signing stages across batches.
+  /** The hot-shingle cap set of `docs` at `dfCap` (xxhash64 tokens). */
+  def hotOf(docs: DataFrame, dfCap: Int): DataFrame =
+    TrainingOps.shingleHot(TrainingOps.shingleSets(docs), dfCap)
+
+  /** [[signatures]] against an EXPLICIT frozen cap set — the pure
+    * per-doc signing function the catalog applies to every batch. Public
+    * so the full-recompute-under-frozen-cap reference (the exact
+    * equivalence target of the incremental path) is constructible.
+    */
+  def signaturesFrozen(docs: DataFrame, threshold: Double,
+      hot: DataFrame, targetMiss: Double = 1e-9): (DataFrame, DataFrame) = {
+    val (b, s, _) = signatureStages(docs, threshold, targetMiss, hot)
+    (b, s)
+  }
+
+  /** [[signatures]] against an EXPLICIT frozen cap set plus a cleanup
+    * thunk releasing the two cached intermediates — call it AFTER both
+    * outputs are materialized ([[commitBatch]] does), so a long-running
+    * delta job doesn't accumulate cached signing stages across batches.
     */
   private def signatureStages(docs: DataFrame, threshold: Double,
-      targetMiss: Double, dfCap: Int)
+      targetMiss: Double, hot: DataFrame)
       : (DataFrame, DataFrame, () => Unit) = {
     val (r, b) = TrainingOps.minhashBanding(threshold, targetMiss)
     // Cache the shingle-ARRAY stage before tokenizing (minhashLsh's
     // shape, and load-bearing): the shingle generator
     // (transform+array_distinct over every doc) feeds an explode whose
-    // uncached plan re-derives the arrays on BOTH sides of the hot-df
+    // uncached plan re-derives the arrays on BOTH sides of the hot-set
     // anti-join — measured 21.7 s vs 2.0 s for the signing stage at
     // sf0.1 (Q43Probe). One cached token stage then feeds both outputs.
     val sets0 = TrainingOps.shingleSets(docs).cache()
-    val tok = TrainingOps.shingleTokens(sets0, dfCap).cache()
+    val tok = TrainingOps.shingleTokensFrozen(sets0, hot).cache()
     val buckets = TrainingOps.bandedBuckets(tok, r, b)
     val sets = tok.groupBy(col("doc_id"))
       .agg(collect_set(col("s")).as("shingles"))
@@ -71,16 +109,26 @@ object IncrementalDedup {
     * doc_i < doc_j, exact-verified on the stored sets. Output schema ==
     * [[TrainingOps.minhashLsh]] (doc_i, doc_j, n_inter, n_union,
     * jaccard).
+    *
+    * `broadcastDelta = true` (the crawl shape): the delta buckets and
+    * then the candidate PAIR frame broadcast, so neither the bucket
+    * catalog nor the sets catalog ever shuffles — at 10¹² corpus rows a
+    * shuffle of the catalog per crawl would dwarf the crawl itself. The
+    * verify joins broadcast only the bare (doc_i, doc_j) frame (r5
+    * ADVICE: broadcasting candidate×shingle-set payloads bypassed the
+    * size threshold); the two candidate-sized set-carrying frames then
+    * shuffle-join each other on the pair key — proportional to
+    * candidates, never to the catalog.
+    *
+    * `broadcastDelta = false` (a bulk drop): plain shuffle joins on
+    * (band, bh) and doc keys; AQE picks the physical strategy.
     */
   def deltaPairs(newBuckets: DataFrame, allBuckets: DataFrame,
-      allSets: DataFrame, threshold: Double): DataFrame = {
-    // The delta side is small by definition (bands × |delta| rows) and
-    // the catalog is huge: BROADCAST the delta so the catalog bucket scan
-    // never shuffles — at 10¹² corpus rows a shuffle of the catalog per
-    // crawl would dwarf the crawl itself. Candidates (≲ bands × |delta| ×
-    // occupancy) stay broadcast-sized for the verify joins too, so the
-    // sets catalog also streams map-side.
-    val cand = allBuckets.as("b").join(broadcast(newBuckets.as("a")),
+      allSets: DataFrame, threshold: Double,
+      broadcastDelta: Boolean = true): DataFrame = {
+    def hint(df: DataFrame): DataFrame =
+      if (broadcastDelta) broadcast(df) else df
+    val cand = allBuckets.as("b").join(hint(newBuckets.as("a")),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") =!= col("b.doc_id"))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_i"),
@@ -88,9 +136,11 @@ object IncrementalDedup {
       .distinct()
     val withA = allSets.select(col("doc_id").as("doc_i"),
         col("shingles").as("sa"))
-      .join(broadcast(cand), "doc_i")
-    allSets.select(col("doc_id").as("doc_j"), col("shingles").as("sb"))
-      .join(broadcast(withA), "doc_j")
+      .join(hint(cand), "doc_i")
+    val withB = allSets.select(col("doc_id").as("doc_j"),
+        col("shingles").as("sb"))
+      .join(hint(cand), "doc_j")
+    withA.join(withB, Seq("doc_i", "doc_j"))
       .withColumn("n_inter",
         size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .withColumn("n_union",
@@ -101,15 +151,40 @@ object IncrementalDedup {
         col("jaccard"))
   }
 
+  private def fs(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def hotPath(catalogDir: String) = s"$catalogDir/hot"
+
   /** Commit one batch's signatures under the catalog's per-batch paths
     * (overwrite — a replayed batch rewrites the same paths, so
     * crash-replay is idempotent). Returns (bucketsDir, setsDir). Also the
     * way an EXISTING corpus is seeded into a fresh catalog (batch 0).
+    *
+    * Cap-set lifecycle: the FIRST commit against a fresh catalog
+    * computes the hot-shingle set from its own docs and persists it
+    * under `$catalogDir/hot` BEFORE signing; every commit (including
+    * that first one) then signs against the PERSISTED set — so a replay
+    * that crashed between the hot write and the signature write
+    * recomputes byte-identical output, and every later batch is capped
+    * by the same frozen function.
     */
   def commitBatch(batchDocs: DataFrame, batchId: Long,
-      catalogDir: String, threshold: Double): (String, String) = {
+      catalogDir: String, threshold: Double,
+      dfCap: Int = TrainingOps.ShingleDfCap): (String, String) = {
+    val spark = batchDocs.sparkSession
+    recover(spark, catalogDir) // roll forward an interrupted compaction
+    val hDir = hotPath(catalogDir)
+    val (hfs, hp) = fs(spark, s"$hDir/_SUCCESS")
+    if (!hfs.exists(hp)) {
+      // fresh catalog: freeze the cap set from the seed batch
+      hotOf(batchDocs, dfCap).write.mode("overwrite").parquet(hDir)
+    }
+    val hot = spark.read.parquet(hDir)
     val (newB, newS, release) = signatureStages(batchDocs, threshold,
-      targetMiss = 1e-9, dfCap = TrainingOps.ShingleDfCap)
+      targetMiss = 1e-9, hot = hot)
     val bDir = s"$catalogDir/buckets/batch=$batchId"
     val sDir = s"$catalogDir/sets/batch=$batchId"
     newB.write.mode("overwrite").parquet(bDir)
@@ -119,39 +194,175 @@ object IncrementalDedup {
   }
 
   /** One delta step against a parquet signature catalog rooted at
-    * `catalogDir` (subdirs `buckets/`, `sets/`): commits THIS batch's
-    * signatures via [[commitBatch]], then returns the delta pairs
-    * computed against the full catalog snapshot (prior batches ∪ this
-    * batch). A file-source checkpoint replays a batch with identical
-    * contents, so both the signature commit and the recomputed pairs are
-    * stable across restarts.
+    * `catalogDir` (subdirs `buckets/`, `sets/`, `hot/`): commits THIS
+    * batch's signatures via [[commitBatch]], then returns the delta
+    * pairs computed against the full catalog snapshot (prior batches ∪
+    * this batch). A file-source checkpoint replays a batch with
+    * identical contents, so both the signature commit and the recomputed
+    * pairs are stable across restarts. The delta side broadcasts only
+    * while its bucket rowcount stays under `broadcastMaxRows`
+    * ([[BroadcastDeltaMaxRows]]); a bulk drop takes the shuffle join.
     */
   def deltaStep(spark: SparkSession, batchDocs: DataFrame, batchId: Long,
-      catalogDir: String, threshold: Double): DataFrame = {
-    val (bDir, _) = commitBatch(batchDocs, batchId, catalogDir, threshold)
+      catalogDir: String, threshold: Double,
+      dfCap: Int = TrainingOps.ShingleDfCap,
+      broadcastMaxRows: Long = BroadcastDeltaMaxRows): DataFrame = {
+    val (bDir, _) = commitBatch(batchDocs, batchId, catalogDir, threshold,
+      dfCap)
     def readAll(sub: String): DataFrame =
       spark.read.parquet(s"$catalogDir/$sub")
     val allB = readAll("buckets")
     val allS = readAll("sets")
     // re-read the batch's own committed rows as the "new" side so both
     // join inputs come from the same snapshot
-    deltaPairs(spark.read.parquet(bDir), allB, allS, threshold)
+    val newB = spark.read.parquet(bDir)
+    deltaPairs(newB, allB, allS, threshold,
+      broadcastDelta = newB.count() <= broadcastMaxRows)
+  }
+
+  // ---- catalog lifecycle: compaction + cap-set rebuild (r5 verdict
+  // item 5). One parquet dir per crawl batch is the right write shape
+  // (idempotent replay, no read-modify-write), but after 10⁴ crawls the
+  // bucket read degrades into a small-files scan; `compact` rewrites
+  // batches [0..upTo] into ONE batch dir under a crash-safe marker
+  // protocol (write tmp → write marker → swap → drop marker; every
+  // reader first rolls an interrupted swap forward via [[recover]]).
+
+  private def markerPath(catalogDir: String) = s"$catalogDir/COMPACT"
+  private def tmpPath(catalogDir: String) = s"$catalogDir/compact_tmp"
+
+  /** Batch ids currently present under `$catalogDir/$sub`. */
+  private[queries] def batchIds(spark: SparkSession, catalogDir: String,
+      sub: String): Seq[Long] = {
+    val (f, p) = fs(spark, s"$catalogDir/$sub")
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).sorted
+  }
+
+  /** Compact the signature catalog: batches [0..upTo] are rewritten into
+    * the single dir `batch=upTo` (buckets and sets alike), so the
+    * steady-state layout is one big seed dir plus the recent crawl tail.
+    * Pairs output is INVARIANT: compaction permutes file layout, never
+    * rows (IncrementalDedupSpec pins set equality through a compaction).
+    *
+    * Contract: `upTo` must be ≤ the last checkpoint-COMMITTED batch id —
+    * compacting a batch that a crashed stream may still replay would let
+    * the replay's per-batch overwrite duplicate rows already folded into
+    * the compacted dir. (The streaming checkpoint, not this catalog, is
+    * the source of truth for what is committed.)
+    *
+    * Crash safety: data lands under `compact_tmp/` first; the marker
+    * file names `upTo` and is written only after both tmp writes
+    * complete; the swap (delete old batch dirs, rename tmp into place,
+    * drop marker) is idempotent and rolled forward by [[recover]] from
+    * any interruption point. A crash BEFORE the marker leaves the
+    * catalog untouched (stale tmp is overwritten by the next compact).
+    */
+  def compact(spark: SparkSession, catalogDir: String, upTo: Long): Unit = {
+    recover(spark, catalogDir) // roll forward any interrupted swap first
+    if (batchIds(spark, catalogDir, "buckets")
+        .count(_ <= upTo) <= 1) return // nothing to fold
+    writeCompactTmp(spark, catalogDir, upTo)
+    writeMarker(spark, catalogDir, upTo)
+    finishCompaction(spark, catalogDir, upTo)
+  }
+
+  /** Phase 1 of [[compact]]: materialize the folded batches under
+    * `compact_tmp/` (catalog untouched; a crash here is a no-op).
+    */
+  private[queries] def writeCompactTmp(spark: SparkSession,
+      catalogDir: String, upTo: Long): Unit = {
+    val ids = batchIds(spark, catalogDir, "buckets").filter(_ <= upTo)
+    val par = spark.sparkContext.defaultParallelism
+    def readBatches(sub: String): DataFrame =
+      ids.map(i => spark.read.parquet(s"$catalogDir/$sub/batch=$i"))
+        .reduce(_ unionByName _)
+    readBatches("buckets").repartition(par)
+      .write.mode("overwrite").parquet(s"${tmpPath(catalogDir)}/buckets")
+    readBatches("sets").repartition(par)
+      .write.mode("overwrite").parquet(s"${tmpPath(catalogDir)}/sets")
+  }
+
+  /** Phase 2 of [[compact]]: the commit point — once the marker exists,
+    * every reader rolls the swap forward.
+    */
+  private[queries] def writeMarker(spark: SparkSession, catalogDir: String,
+      upTo: Long): Unit = {
+    val (f, mp) = fs(spark, markerPath(catalogDir))
+    val out = f.create(mp, true)
+    try out.write(s"$upTo\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The swap half of [[compact]] — idempotent, so [[recover]] can rerun
+    * it from any crash point once the marker exists.
+    */
+  private[queries] def finishCompaction(spark: SparkSession,
+      catalogDir: String, upTo: Long): Unit = {
+    val (f, _) = fs(spark, catalogDir)
+    for (sub <- Seq("buckets", "sets")) {
+      for (i <- batchIds(spark, catalogDir, sub); if i <= upTo)
+        f.delete(new org.apache.hadoop.fs.Path(
+          s"$catalogDir/$sub/batch=$i"), true)
+      val tmp = new org.apache.hadoop.fs.Path(s"${tmpPath(catalogDir)}/$sub")
+      if (f.exists(tmp)) {
+        val dstParent = new org.apache.hadoop.fs.Path(s"$catalogDir/$sub")
+        if (!f.exists(dstParent)) f.mkdirs(dstParent)
+        f.rename(tmp,
+          new org.apache.hadoop.fs.Path(s"$catalogDir/$sub/batch=$upTo"))
+      }
+    }
+    f.delete(new org.apache.hadoop.fs.Path(tmpPath(catalogDir)), true)
+    f.delete(new org.apache.hadoop.fs.Path(markerPath(catalogDir)), false)
+    ()
+  }
+
+  /** Roll an interrupted compaction swap forward (no-op without a
+    * marker). [[deltaStep]] and [[commitBatch]] run this before touching
+    * the catalog, so a reader never sees the half-swapped layout.
+    */
+  def recover(spark: SparkSession, catalogDir: String): Unit = {
+    val (f, mp) = fs(spark, markerPath(catalogDir))
+    if (f.exists(mp)) {
+      val in = f.open(mp)
+      val upTo =
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
+      finishCompaction(spark, catalogDir, upTo)
+    }
+  }
+
+  /** The documented cap-set refresh: a REBUILD, not a delta. Drops the
+    * whole catalog (signatures, hot set, batch history) and re-seeds it
+    * from `corpus` as batch 0 with a freshly computed hot set — the only
+    * operation that may change the frozen signing function. Run it when
+    * the new-hot diagnostic (shingles whose corpus-wide df crossed the
+    * cap after the seed) says boilerplate drift has accumulated.
+    */
+  def rebuild(spark: SparkSession, corpus: DataFrame, catalogDir: String,
+      threshold: Double,
+      dfCap: Int = TrainingOps.ShingleDfCap): (String, String) = {
+    val (f, p) = fs(spark, catalogDir)
+    f.delete(p, true)
+    commitBatch(corpus, 0L, catalogDir, threshold, dfCap)
   }
 
   /** q43: the incremental path E2E under the DuckDB gate. The documents
     * table is split deterministically — delta = doc_id % 10 == 0 (the
     * "new crawl batch"), corpus = the rest — the corpus is seeded into a
     * fresh parquet signature catalog as batch 0 ([[commitBatch]], the
-    * operational precondition), and ONE [[deltaStep]] runs the delta
-    * against the catalog snapshot. Because banding is derived so a true
-    * ≥0.9 pair is missed with p ≤ 8.6e-10 (q16's argument) and the delta
-    * join generates exactly the new×all restriction
-    * (IncrementalDedupSpec), the output provably equals the EXACT
-    * pairwise-Jaccard scan restricted to pairs touching the delta — which
-    * is what the oracle recomputes. Result is small (near-dup pairs):
-    * collected, the temp catalog deleted, and rebuilt as a local frame
-    * (q40's lifecycle pattern — bench attempts must not accumulate
-    * catalogs in /tmp).
+    * operational precondition, which also freezes the cap set), and ONE
+    * [[deltaStep]] runs the delta against the catalog snapshot. Because
+    * banding is derived so a true ≥0.9 pair is missed with p ≤ 8.6e-10
+    * (q16's argument) and the delta join generates exactly the new×all
+    * restriction (IncrementalDedupSpec), the output provably equals the
+    * EXACT pairwise-Jaccard scan restricted to pairs touching the delta
+    * — which is what the oracle recomputes. Result is small (near-dup
+    * pairs): collected, the temp catalog deleted (finally-scoped), and
+    * rebuilt as a local frame (q40's lifecycle pattern — bench attempts
+    * must not accumulate catalogs in /tmp).
     */
   def q43IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Queries.t(spark, dir, "documents")

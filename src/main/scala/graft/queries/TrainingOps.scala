@@ -49,19 +49,40 @@ object TrainingOps {
     * a pathological corpus), so it broadcasts; the anti-join keeps the
     * big side shuffle-free.
     */
-  private[queries] def shingleTokens(sets: DataFrame, dfCap: Int): DataFrame = {
-    // Shingles ride as xxhash64 longs from here on: every downstream
-    // shuffle (df-cap agg, inverted-index self-join, signature agg,
-    // verify-set agg) moves 8 bytes per shingle instead of a ~25-byte
-    // string — ~5× less shuffle payload on the biggest dedup stage.
-    // Collision risk is |shingles|²/2⁶⁴ per doc pair, far below the
-    // banding miss bounds the consumers already carry.
-    val tok = sets.select(col("doc_id"), explode(col("shingles")).as("str"))
-      .select(col("doc_id"), xxhash64(col("str")).as("s"))
-    val hot = tok.groupBy(col("s")).agg(count(lit(1)).as("df"))
+  private[queries] def shingleTokens(sets: DataFrame, dfCap: Int): DataFrame =
+    shingleTokensFrozen(sets, shingleHot(sets, dfCap))
+
+  /** The hot-shingle set of `sets` at `dfCap`: xxhash64 shingle tokens
+    * whose document frequency exceeds the cap. Small by construction
+    * (Zipf head; ≤ total-occurrences / dfCap entries even adversarially).
+    * [[graft.queries.IncrementalDedup]] persists this frame with the
+    * signature catalog so every delta batch is capped by the SAME frozen
+    * set as the seed corpus (r5 ADVICE: per-batch caps silently diverge
+    * from full recompute when a shingle is hot in one split only).
+    */
+  private[queries] def shingleHot(sets: DataFrame, dfCap: Int): DataFrame =
+    rawTokens(sets).groupBy(col("s")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("s"))
-    tok.join(broadcast(hot), Seq("s"), "left_anti")
-  }
+
+  /** Exploded distinct (doc_id, shingle-hash) pairs with an EXPLICIT hot
+    * set removed via a broadcast anti-join — the per-doc signing function
+    * given a frozen cap set. The anti-join keeps the big side
+    * shuffle-free.
+    */
+  private[queries] def shingleTokensFrozen(sets: DataFrame,
+      hot: DataFrame): DataFrame =
+    rawTokens(sets).join(broadcast(hot.select(col("s"))), Seq("s"), "left_anti")
+
+  /** Uncapped (doc_id, s) token rows. Shingles ride as xxhash64 longs
+    * from here on: every downstream shuffle (df-cap agg, inverted-index
+    * self-join, signature agg, verify-set agg) moves 8 bytes per shingle
+    * instead of a ~25-byte string — ~5× less shuffle payload on the
+    * biggest dedup stage. Collision risk is |shingles|²/2⁶⁴ per doc
+    * pair, far below the banding miss bounds the consumers already carry.
+    */
+  private def rawTokens(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), explode(col("shingles")).as("str"))
+      .select(col("doc_id"), xxhash64(col("str")).as("s"))
 
   /** q15 — exact n-gram Jaccard near-dup pairs (dedup family, the exact
     * baseline MinHash approximates). Shingle-level inverted index:

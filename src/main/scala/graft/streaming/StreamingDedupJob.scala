@@ -1,9 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 import graft.queries.IncrementalDedup
 
@@ -28,20 +28,53 @@ object StreamingDedupJob {
     StructField("doc_id", LongType),
     StructField("text", StringType)))
 
+  /** Output schema of every pairs batch (== TrainingOps.minhashLsh). */
+  val PairsSchema: StructType = StructType(Seq(
+    StructField("doc_i", LongType),
+    StructField("doc_j", LongType),
+    StructField("n_inter", LongType),
+    StructField("n_union", LongType),
+    StructField("jaccard", DoubleType)))
+
   /** Run one availableNow lifecycle: ingest every unprocessed drop in
     * `inDir`, emit pairs under `outDir/pairs/batch=<id>` and signatures
     * under `catalogDir`. Returns the number of batches processed.
+    *
+    * `seedBatch0 = true` (r5 verdict item 2) is the production bootstrap
+    * for an EXISTING, already-deduplicated corpus: batch 0 is signed
+    * into the catalog via [[IncrementalDedup.commitBatch]] ONLY — no
+    * delta join — so the full corpus seed never rides a broadcast (the
+    * old path pushed the entire corpus's buckets through the delta
+    * broadcast: fine at gate scale, OOM at 10¹² rows). An empty pairs
+    * batch is still committed so downstream unions see every batch id.
+    * Batch 0 must then BE the whole seed drop: write it as one drop and
+    * leave file-count triggers unset (availableNow folds all available
+    * files into batch 0), or pre-seed via commitBatch before starting
+    * the stream. q44 keeps seedBatch0 = false because its oracle is the
+    * full pair set INCLUDING corpus-internal pairs.
     */
   def runOnce(spark: SparkSession, inDir: String, catalogDir: String,
-      outDir: String, ckptDir: String, threshold: Double): Long = {
+      outDir: String, ckptDir: String, threshold: Double,
+      seedBatch0: Boolean = false): Long = {
     val batches = spark.sparkContext.longAccumulator("dedup_batches")
     val stream = spark.readStream.schema(DocSchema).parquet(inDir)
     val q = stream.writeStream
       .option("checkpointLocation", ckptDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val pairs = IncrementalDedup.deltaStep(spark, batch, batchId,
-          catalogDir, threshold)
+        val pairs =
+          if (seedBatch0 && batchId == 0L) {
+            IncrementalDedup.commitBatch(batch, batchId, catalogDir,
+              threshold)
+            // one empty partition (not emptyRDD): forces a part file
+            // with a parquet footer so the pairs tree stays readable
+            // before the first delta batch lands
+            spark.createDataFrame(
+              spark.sparkContext.parallelize(Seq.empty[Row], 1), PairsSchema)
+          } else {
+            IncrementalDedup.deltaStep(spark, batch, batchId,
+              catalogDir, threshold)
+          }
         pairs.write.mode("overwrite")
           .parquet(s"$outDir/pairs/batch=$batchId")
         batches.add(1)
