@@ -725,21 +725,35 @@ object TrainingOps {
       Array(best)
     } else cents.indices.sortBy(c => sqDist(v, cents(c))).take(p).toArray
 
+  /** Chunk geometry shared by BOTH codebook trainers — the canonical
+    * merge order is a fixed two-level tree: rows fold sequentially
+    * within a 1024-row chunk, chunk partials fold in chunk order within
+    * a 64-chunk SUPERCHUNK, superchunk partials fold in superchunk order
+    * at the root. Every bracket is fixed by the sample order alone, so
+    * the result is bit-identical regardless of thread/executor
+    * scheduling AND the root merge receives 64× fewer partials than the
+    * r5 per-chunk collect (the r5 verdict watch item: at the 10⁹-vector
+    * ivfParams sizing, ~8 superchunk partials instead of ~495 per-chunk
+    * ones reach the driver per iteration).
+    */
+  val KmeansChunk = 1024
+  val KmeansSuperFactor = 64
+
   /** Deterministic Lloyd's k-means over a driver-side sample (first-k
     * init; empty clusters keep their previous centroid). The assign step
     * runs on a local thread pool over FIXED 1024-sample chunks whose
-    * partial sums merge in chunk-index order — bit-identical output
-    * regardless of thread scheduling, so the codebook (and therefore the
-    * q31 gate) stays run-to-run deterministic while √N-sized codebooks
-    * (DedupScaleBench: 708 centroids × 11k samples) train in seconds
-    * instead of minutes.
+    * partial sums merge through the canonical two-level tree above —
+    * bit-identical output regardless of thread scheduling, so the
+    * codebook (and therefore the q31 gate) stays run-to-run
+    * deterministic while √N-sized codebooks (DedupScaleBench: 708
+    * centroids × 11k samples) train in seconds instead of minutes.
     */
   def kmeansTrain(samples: Array[Array[Double]], k: Int,
       iters: Int): Array[Array[Double]] = {
     require(samples.length >= k, s"need >= $k training vectors")
     val dim = samples.head.length
     var cents = samples.take(k).map(_.clone)
-    val chunk = 1024
+    val chunk = KmeansChunk
     val nChunks = (samples.length + chunk - 1) / chunk
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(nChunks,
@@ -770,15 +784,34 @@ object TrainingOps {
         }
         val sums = Array.fill(k)(new Array[Double](dim))
         val counts = new Array[Long](k)
-        tasks.foreach { f => // merge in chunk order: deterministic fp sums
-          val (ls, lc) = f.get()
+        // canonical two-level merge: chunk partials fold into their
+        // superchunk in chunk order, superchunks fold at the root in
+        // superchunk order — same brackets as kmeansTrainDist
+        var scStart = 0
+        while (scStart < nChunks) {
+          val scEnd = math.min(scStart + KmeansSuperFactor, nChunks)
+          val scSums = Array.fill(k)(new Array[Double](dim))
+          val scCounts = new Array[Long](k)
+          var ci = scStart
+          while (ci < scEnd) {
+            val (ls, lc) = tasks(ci).get()
+            var c = 0
+            while (c < k) {
+              scCounts(c) += lc(c)
+              var i = 0
+              while (i < dim) { scSums(c)(i) += ls(c)(i); i += 1 }
+              c += 1
+            }
+            ci += 1
+          }
           var c = 0
           while (c < k) {
-            counts(c) += lc(c)
+            counts(c) += scCounts(c)
             var i = 0
-            while (i < dim) { sums(c)(i) += ls(c)(i); i += 1 }
+            while (i < dim) { sums(c)(i) += scSums(c)(i); i += 1 }
             c += 1
           }
+          scStart = scEnd
         }
         cents = Array.tabulate(k) { c =>
           if (counts(c) == 0) cents(c)
@@ -793,25 +826,31 @@ object TrainingOps {
   /** Executor-side deterministic Lloyd's k-means (r4 verdict item 2):
     * the assign/partial-sum step runs on EXECUTORS over the same fixed
     * 1024-row chunks of the vec_id-ordered sample that [[kmeansTrain]]
-    * fed its thread pool, and the sparse per-chunk partials merge on the
-    * driver in (chunk, cluster) order — bit-identical output to
+    * feeds its thread pool, partitioned so a 64-chunk SUPERCHUNK never
+    * splits across executors; each executor folds its chunks into
+    * superchunk partials in chunk order (level 1 of the canonical tree),
+    * and only the SUPERCHUNK partials travel to the root, which folds
+    * them in superchunk order (level 2) — bit-identical output to
     * [[kmeansTrain]] by construction: same chunk boundaries, same
-    * within-chunk row order (chunk-aligned repartition +
-    * sortWithinPartitions), same per-cluster merge order across chunks,
-    * and skipping an empty chunk's exact +0.0 contribution leaves every
-    * IEEE sum unchanged. q31's codebook therefore stays byte-stable
-    * while the O(sample·k·dim) distance work leaves the driver: at 10⁹
-    * vectors ([[ivfParams]] → ~506k samples × 31.6k centroids ≈ 10¹⁰
-    * distance ops/iter) the driver now holds only the k×dim codebook
-    * plus ~0.5 MB of sparse partials per chunk, never the sample.
+    * within-chunk row order (superchunk-aligned repartition +
+    * sortWithinPartitions), same two-level brackets, and skipping an
+    * absent cluster's exact +0.0 contribution leaves every IEEE sum
+    * unchanged. q31's codebook therefore stays byte-stable while the
+    * O(sample·k·dim) distance work leaves the driver: at 10⁹ vectors
+    * ([[ivfParams]] → ~506k samples × 31.6k centroids ≈ 10¹⁰ distance
+    * ops/iter) the root merge receives ~8 sparse superchunk partials per
+    * iteration — 64× less than the r5 per-chunk collect this replaced
+    * (the r5 verdict watch item).
     */
   def kmeansTrainDist(spark: SparkSession, sampleIn: DataFrame, k: Int,
       iters: Int): Array[Array[Double]] = {
     import spark.implicits._
-    val chunkSz = 1024
+    val chunkSz = KmeansChunk
     // (chunk, ord, v): ord = dense position in vec_id order — the sorted
     // input is one TakeOrdered partition here (sample ≤ trainCap rows),
-    // so zipWithIndex preserves exactly kmeansTrain's sample order
+    // so zipWithIndex preserves exactly kmeansTrain's sample order. The
+    // ASSIGN stage stays chunk-partitioned for parallelism (one task per
+    // chunk, like the pool's one callable per chunk).
     val samples = spark.createDataset(
       sampleIn.select(col("vec_id"), col("v"))
         .sort(col("vec_id")).as[(Long, Seq[Double])].rdd
@@ -831,7 +870,8 @@ object TrainingOps {
     var it = 0
     while (it < iters) {
       val bc = spark.sparkContext.broadcast(cents)
-      val partials = samples.mapPartitions { rows =>
+      // stage 1 (assign): per-chunk sparse partials, parallel by chunk
+      val chunkPartials = samples.mapPartitions { rows =>
         val cur = bc.value
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Int, Long, Array[Double])]
@@ -859,7 +899,45 @@ object TrainingOps {
         }
         flush()
         out.iterator
-      }.collect().sortBy(p => (p._1, p._2))
+      }
+      // stage 2 (level-1 reduce, ON EXECUTORS): fold chunk partials into
+      // superchunk partials — per (sc, cluster), contributions arrive
+      // chunk-ascending via the sort, so the fold brackets match the
+      // pool's chunk-order fold exactly. Only these travel to the root.
+      val scPartials = chunkPartials
+        .map { case (chunk, c, cnt, sum) =>
+          (chunk / KmeansSuperFactor, chunk, c, cnt, sum)
+        }
+        .toDF("sc", "chunk", "cluster", "cnt", "sum")
+        .repartition(col("sc"))
+        .sortWithinPartitions(col("sc"), col("cluster"), col("chunk"))
+        .as[(Long, Long, Int, Long, Array[Double])]
+        .mapPartitions { rows =>
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Int, Long, Array[Double])]
+          var curSc = -1L
+          var curCl = -1
+          var sum: Array[Double] = null
+          var cnt = 0L
+          def flush(): Unit = {
+            if (sum != null) out += ((curSc, curCl, cnt, sum))
+            sum = null; cnt = 0L
+          }
+          rows.foreach { case (sc, _, c, n, s) =>
+            if (sc != curSc || c != curCl) {
+              flush(); curSc = sc; curCl = c; sum = s.clone(); cnt = n
+            } else {
+              var i = 0
+              while (i < sum.length) { sum(i) += s(i); i += 1 }
+              cnt += n
+            }
+          }
+          flush()
+          out.iterator
+        }
+      // root: fold superchunk partials in (sc, cluster) order — at the
+      // 10⁹-vector sizing ~8 sparse partials/iter instead of ~495
+      val partials = scPartials.collect().sortBy(p => (p._1, p._2))
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)
       partials.foreach { case (_, c, cnt, s) =>
