@@ -68,7 +68,8 @@ object SparkEntry {
     "q43_incremental_dedup" ->
       (IncrementalDedup.q43IncrementalDedup(_, _)),
     "q44_stream_dedup" ->
-      (graft.streaming.StreamingDedupJob.q44StreamDedup(_, _))
+      (graft.streaming.StreamingDedupJob.q44StreamDedup(_, _)),
+    "q45_approx_cardinality" -> (Queries.q45ApproxCardinality(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -656,6 +657,17 @@ object SparkEntry {
                 CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) AS jaccard
          FROM inter JOIN sizes sa ON doc_i = sa.doc_id JOIN sizes sb ON doc_j = sb.doc_id
          WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.9
-         ORDER BY doc_i, doc_j"""
+         ORDER BY doc_i, doc_j""",
+    // q45: the exact counts are recomputed by the oracle; the booleans
+    // assert the HLL++ approx mode stayed inside its documented 3·rsd
+    // envelope — an approx drift fails the hash compare, so the 100 TB
+    // relaxation is driver-verified, not just spec'd.
+    "q45_approx_cardinality" ->
+      """SELECT COUNT(*) AS total_count,
+         COUNT(DISTINCT o_custkey) AS distinct_custkey,
+         COUNT(DISTINCT o_orderpriority) AS distinct_priority,
+         TRUE AS custkey_in_envelope,
+         TRUE AS priority_in_envelope
+         FROM orders"""
   )
 }

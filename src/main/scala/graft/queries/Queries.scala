@@ -242,6 +242,41 @@ object Queries {
       .select(col("total_count"), col("distinct_custkey"),
         col("custkey_cardinality_ratio"), col("distinct_priority"))
 
+  /** q45 — the 100 TB cardinality relaxation DRIVER-GATED (r5 verdict
+    * item 8): [[cardinalityProfile]] runs in BOTH modes over orders; the
+    * output carries the exact `countDistinct` values (which the DuckDB
+    * oracle recomputes) plus one boolean per column asserting the
+    * HLL++ approx_count_distinct(rsd=0.05) landed inside the documented
+    * 3·rsd envelope of the exact count — the oracle expects TRUE, so an
+    * approx mode that drifts out of its error contract fails the gate,
+    * not just a spec. approx_count_distinct is hash-based and
+    * deterministic for fixed data, so the gate is stable run-to-run.
+    * (Scale note: the approx plan is the one-pass, fixed-register,
+    * no-Expand aggregate CardinalityProfileSpec pins — the knob a 100 TB
+    * profile flips when per-column exact distincts stop fitting.)
+    */
+  def q45ApproxCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val fields = Seq("custkey" -> col("o_custkey"),
+      "priority" -> col("o_orderpriority"))
+    val rsd = 0.05
+    val exact = cardinalityProfile(orders, fields, exact = true)
+      .select(col("total_count"), col("distinct_custkey"),
+        col("distinct_priority"))
+    val approx = cardinalityProfile(orders, fields, exact = false, rsd = rsd)
+      .select(col("distinct_custkey").as("approx_custkey"),
+        col("distinct_priority").as("approx_priority"))
+    exact.crossJoin(approx) // 1×1 rows: both are global aggregates
+      .select(col("total_count"), col("distinct_custkey"),
+        col("distinct_priority"),
+        (abs(col("approx_custkey") - col("distinct_custkey"))
+          <= lit(3 * rsd) * col("distinct_custkey"))
+          .as("custkey_in_envelope"),
+        (abs(col("approx_priority") - col("distinct_priority"))
+          <= lit(3 * rsd) * col("distinct_priority"))
+          .as("priority_in_envelope"))
+  }
+
   /** q26 — multi-level rollup (beyond the reference's flat A4 rollups):
     * ROLLUP(event_type, day) in ONE pass — Catalyst expands grouping sets
     * and the partial aggregation still combines map-side, so this is one
