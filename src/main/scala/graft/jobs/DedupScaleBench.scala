@@ -24,15 +24,58 @@ import graft.queries.TrainingOps
   */
 object DedupScaleBench {
 
-  private def stealPct(f: () => Unit): Double = {
+  private def stealPct(f: () => Unit): Double = witness(f)._1
+
+  /** Task-metric clock (graft.Bench's contention witness, here so scale
+    * datapoints carry cpu_eff too — r5 verdict item 7: a wall without a
+    * cpu_eff witness is unjudgeable on this box, whose in-VM contention
+    * never shows in /proc/stat steal). Registered once in main.
+    */
+  private[jobs] object Clock extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    val runMs = new AtomicLong(0L)
+    val cpuNs = new AtomicLong(0L)
+    val gcMs = new AtomicLong(0L)
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      runMs.addAndGet(m.executorRunTime)
+      cpuNs.addAndGet(m.executorCpuTime)
+      gcMs.addAndGet(m.jvmGCTime)
+      ()
+    }
+    def settled(): (Long, Long, Long) = {
+      var prev = (runMs.get, cpuNs.get, gcMs.get)
+      var i = 0
+      while (i < 20) {
+        Thread.sleep(20)
+        val cur = (runMs.get, cpuNs.get, gcMs.get)
+        if (cur == prev) return cur
+        prev = cur
+        i += 1
+      }
+      prev
+    }
+  }
+
+  /** (stealPct, cpuEff) around `f`: hypervisor steal from /proc/stat +
+    * executorCpuTime/(executorRunTime−gc) — the witness pair every
+    * BENCH.md wall cites.
+    */
+  private def witness(f: () => Unit): (Double, Double) = {
     def jiffies(): (Long, Long) = {
       val src = scala.io.Source.fromFile("/proc/stat")
       val line = try src.getLines().next() finally src.close()
       val v = line.trim.split("\\s+").drop(1).map(_.toLong)
       (v.sum, if (v.length > 7) v(7) else 0L)
     }
+    val (r0, c0, g0) = Clock.settled()
     val (t0, s0) = jiffies(); f(); val (t1, s1) = jiffies()
-    if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) else 0.0
+    val (r1, c1, g1) = Clock.settled()
+    val steal = if (t1 > t0) 100.0 * (s1 - s0) / (t1 - t0) else 0.0
+    val busySec = math.max((r1 - r0) - (g1 - g0), 1L) / 1e3
+    val cpuEff = math.min(((c1 - c0) / 1e9) / busySec, 1.0)
+    (steal, cpuEff)
   }
 
   /** deterministic 64-dim gaussian vector for id */
@@ -50,7 +93,8 @@ object DedupScaleBench {
 
   final case class Point(kind: String, n: Long, tables: Int, bits: Int,
       candPairs: Double, candPerN: Double, recall: Long, wallSec: Double,
-      steal: Double, plantedTotal: Int = 50, blocks: Int = 0)
+      steal: Double, plantedTotal: Int = 50, blocks: Int = 0,
+      cpuEff: Double = -1.0)
 
   def embeddingPoint(spark: SparkSession, n: Long): Point = {
     import spark.implicits._
@@ -133,7 +177,7 @@ object DedupScaleBench {
 
     var found = 0L
     val t0 = System.nanoTime()
-    val steal = stealPct { () =>
+    val (steal, cpuEff) = witness { () =>
       found = TrainingOps
         .ivfAnnTopK(spark, uni, queries, lists, probe, trainCap)
         .filter(col("neighbor_id") >= 20000000L &&
@@ -145,7 +189,7 @@ object DedupScaleBench {
     // derived √N sizing keeps the per-query fraction at probe/lists
     val cand = nQueries.toDouble * n * probe / lists
     Point("ivf", n, lists, probe, cand, cand / n, found, wall, steal,
-      plantedTotal = nQueries * 5)
+      plantedTotal = nQueries * 5, cpuEff = cpuEff)
   }
 
   /** Past-the-old-cap occupancy evidence (r5 verdict item 1): run the
@@ -258,7 +302,7 @@ object DedupScaleBench {
 
     var found = 0L
     val t0 = System.nanoTime()
-    val steal = stealPct { () =>
+    val (steal, cpuEff) = witness { () =>
       found = TrainingOps
         .lshAnnTopK(spark, uni, queries, nHint = Some(nTotal))
         .filter(col("neighbor_id") >= 20000000L &&
@@ -268,7 +312,7 @@ object DedupScaleBench {
     spark.catalog.clearCache()
     Point("lshann", n, tables, bits, cand.toDouble,
       cand.toDouble / nQueries, found, wall, steal,
-      plantedTotal = nQueries * 5)
+      plantedTotal = nQueries * 5, cpuEff = cpuEff)
   }
 
   /** SimHash at scale with DERIVED banding (r4 verdict item 1): block
@@ -357,6 +401,7 @@ object DedupScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(Clock)
 
     if (embCapOnly.isDefined) {
       // warmup with targetBucket=2 so bits>16 holds at warmup size too
@@ -416,7 +461,8 @@ object DedupScaleBench {
         f""""cand_per_n_per_table":${p.candPerN / p.tables}%.2f,""" +
         f""""planted_found":${p.recall},""" +
         f""""planted_total":${p.plantedTotal},"wall_sec":${p.wallSec}%.2f,""" +
-        f""""steal_pct":${p.steal}%.2f}"""
+        f""""steal_pct":${p.steal}%.2f""" +
+        (if (p.cpuEff >= 0) f""","cpu_eff":${p.cpuEff}%.3f""" else "") + "}"
     println("[" + points.map(j).mkString(",") + "]")
     spark.stop()
   }
