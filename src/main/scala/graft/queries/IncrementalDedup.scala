@@ -62,7 +62,7 @@ object IncrementalDedup {
       targetMiss: Double = 1e-9,
       dfCap: Int = TrainingOps.ShingleDfCap): (DataFrame, DataFrame) = {
     val (b, s, _) = signatureStages(docs, threshold, targetMiss,
-      hotOf(docs, dfCap))
+      sets0 => TrainingOps.shingleHot(sets0, dfCap))
     (b, s)
   }
 
@@ -77,7 +77,7 @@ object IncrementalDedup {
     */
   def signaturesFrozen(docs: DataFrame, threshold: Double,
       hot: DataFrame, targetMiss: Double = 1e-9): (DataFrame, DataFrame) = {
-    val (b, s, _) = signatureStages(docs, threshold, targetMiss, hot)
+    val (b, s, _) = signatureStages(docs, threshold, targetMiss, _ => hot)
     (b, s)
   }
 
@@ -85,9 +85,15 @@ object IncrementalDedup {
     * thunk releasing the two cached intermediates — call it AFTER both
     * outputs are materialized ([[commitBatch]] does), so a long-running
     * delta job doesn't accumulate cached signing stages across batches.
+    *
+    * `hotFrom`: the frozen set, as a function of the CACHED shingle-array
+    * stage — the seed path computes (and persists) its hot set from that
+    * cache rather than re-deriving the generator (the r5-measured 10×
+    * pitfall: transform+array_distinct over every doc runs again for an
+    * uncached pass).
     */
   private def signatureStages(docs: DataFrame, threshold: Double,
-      targetMiss: Double, hot: DataFrame)
+      targetMiss: Double, hotFrom: DataFrame => DataFrame)
       : (DataFrame, DataFrame, () => Unit) = {
     val (r, b) = TrainingOps.minhashBanding(threshold, targetMiss)
     // Cache the shingle-ARRAY stage before tokenizing (minhashLsh's
@@ -97,7 +103,7 @@ object IncrementalDedup {
     // anti-join — measured 21.7 s vs 2.0 s for the signing stage at
     // sf0.1 (Q43Probe). One cached token stage then feeds both outputs.
     val sets0 = TrainingOps.shingleSets(docs).cache()
-    val tok = TrainingOps.shingleTokensFrozen(sets0, hot).cache()
+    val tok = TrainingOps.shingleTokensFrozen(sets0, hotFrom(sets0)).cache()
     val buckets = TrainingOps.bandedBuckets(tok, r, b)
     val sets = tok.groupBy(col("doc_id"))
       .agg(collect_set(col("s")).as("shingles"))
@@ -178,13 +184,18 @@ object IncrementalDedup {
     recover(spark, catalogDir) // roll forward an interrupted compaction
     val hDir = hotPath(catalogDir)
     val (hfs, hp) = fs(spark, s"$hDir/_SUCCESS")
-    if (!hfs.exists(hp)) {
-      // fresh catalog: freeze the cap set from the seed batch
-      hotOf(batchDocs, dfCap).write.mode("overwrite").parquet(hDir)
-    }
-    val hot = spark.read.parquet(hDir)
     val (newB, newS, release) = signatureStages(batchDocs, threshold,
-      targetMiss = 1e-9, hot = hot)
+      targetMiss = 1e-9, hotFrom = { sets0 =>
+        if (!hfs.exists(hp)) {
+          // fresh catalog: freeze the cap set from the seed batch —
+          // computed FROM THE CACHED shingle stage (one generator
+          // derivation total), persisted BEFORE signing so a replay that
+          // crashed mid-commit re-signs against the identical set
+          TrainingOps.shingleHot(sets0, dfCap)
+            .write.mode("overwrite").parquet(hDir)
+        }
+        spark.read.parquet(hDir)
+      })
     val bDir = s"$catalogDir/buckets/batch=$batchId"
     val sDir = s"$catalogDir/sets/batch=$batchId"
     newB.write.mode("overwrite").parquet(bDir)
