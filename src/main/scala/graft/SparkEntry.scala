@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{IncrementalDedup, ProfileQueries, Queries, TrainingOps}
+import graft.queries.{DedupClusters, IncrementalDedup, ProfileQueries, Queries, TrainingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -69,7 +69,8 @@ object SparkEntry {
       (IncrementalDedup.q43IncrementalDedup(_, _)),
     "q44_stream_dedup" ->
       (graft.streaming.StreamingDedupJob.q44StreamDedup(_, _)),
-    "q45_approx_cardinality" -> (Queries.q45ApproxCardinality(_, _))
+    "q45_approx_cardinality" -> (Queries.q45ApproxCardinality(_, _)),
+    "q46_dedup_clusters" -> (DedupClusters.q46DedupClusters(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -668,6 +669,33 @@ object SparkEntry {
          COUNT(DISTINCT o_orderpriority) AS distinct_priority,
          TRUE AS custkey_in_envelope,
          TRUE AS priority_in_envelope
-         FROM orders"""
+         FROM orders""",
+    // q46: connected components of the q15 pair set. The oracle folds the
+    // pairs with a recursive-CTE transitive closure (cost Σ|component|²,
+    // fine at gate scale); Spark runs the large-star/small-star
+    // alternation (O(log² n) rounds at any scale). component = min doc_id
+    // of the cluster; keep = the doc IS that canonical minimum.
+    "q46_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS shingles
+                FROM toks WHERE len(t) >= 3),
+         tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+         inter AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, count(*) AS n_inter
+                   FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (SELECT doc_i, doc_j
+                   FROM inter JOIN sizes sa ON doc_i = sa.doc_id JOIN sizes sb ON doc_j = sb.doc_id
+                   WHERE CAST(n_inter AS DOUBLE) / (sa.n + sb.n - n_inter) >= 0.5),
+         edges AS (SELECT doc_i AS a, doc_j AS b FROM pairs UNION SELECT doc_j, doc_i FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM edges
+                         UNION
+                         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+         comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a),
+         filled AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+                    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+         csize AS (SELECT component, COUNT(*) AS cluster_size FROM filled GROUP BY component)
+         SELECT f.doc_id, f.component, s.cluster_size, f.doc_id = f.component AS keep
+         FROM filled f JOIN csize s ON f.component = s.component
+         ORDER BY f.doc_id"""
   )
 }

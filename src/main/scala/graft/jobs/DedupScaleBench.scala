@@ -210,6 +210,48 @@ object DedupScaleBench {
     * derived table count stays bench-sized; the derivation curve itself
     * is spec-pinned at 0.95 in DedupScaleSpec.
     */
+  /** Connected-components scale point: an adversarial graph over n nodes
+    * (n must be a multiple of 10) — one PATH over the first n/2 nodes
+    * (diameter n/2: naive min-label flooding would need n/2 rounds) plus
+    * n/20 ten-node star clusters over the rest. The star alternation's
+    * round count is the measured O(log² n) claim; correctness is verified
+    * exactly (every node's component recomputed from the construction,
+    * mismatches counted — no driver collect of the n-row result).
+    */
+  def ccPoint(spark: SparkSession, n: Long): String = {
+    require(n % 10 == 0 && n >= 20, s"n=$n must be a multiple of 10")
+    val half = n / 2
+    val path = spark.range(half - 1)
+      .select(col("id").as("doc_i"), (col("id") + 1L).as("doc_j"))
+    val stars = spark.range(half, n).filter(col("id") % 10 =!= 0)
+      .select((col("id") - (col("id") % 10)).as("doc_i"),
+        col("id").as("doc_j"))
+    val edges = path.union(stars)
+    val nEdges = half - 1 + (n - half) * 9 / 10
+    var wall = 0.0
+    var rounds = 0
+    var bad = -1L
+    var total = -1L
+    val (steal, eff) = witness { () =>
+      val t0 = System.nanoTime()
+      val (cc, r) = graft.queries.DedupClusters.ccWithRounds(spark, edges)
+      rounds = r
+      val checked = cc.withColumn("want",
+        when(col("doc_id") < half, lit(0L))
+          .otherwise(col("doc_id") - (col("doc_id") % 10)))
+      val agg = checked.agg(count(lit(1)),
+        sum(when(col("component") =!= col("want"), 1L).otherwise(0L))).head()
+      total = agg.getLong(0)
+      bad = agg.getLong(1)
+      wall = (System.nanoTime() - t0) / 1e9
+    }
+    require(total == n && bad == 0L,
+      s"cc verification failed: total=$total (want $n), mismatches=$bad")
+    f"""{"kind":"cc","n":$n,"edges":$nEdges,"diameter":$half,""" +
+      f""""rounds":$rounds,"correct":true,"wall_sec":$wall%.2f,""" +
+      f""""steal_pct":$steal%.2f,"cpu_eff":$eff%.3f}"""
+  }
+
   def embCapPoint(spark: SparkSession, n: Long, targetBucket: Int): String = {
     import spark.implicits._
     val threshold = 0.99
@@ -393,6 +435,12 @@ object DedupScaleBench {
       if (args.headOption.contains("lshann"))
         Some(args.drop(1).map(_.toLong).toSeq)
       else None
+    // "cc <n> [n2 ...]": connected-components round-count curve on the
+    // adversarial path-plus-clusters graph (emits its own JSON rows)
+    val ccOnly: Option[Seq[Long]] =
+      if (args.headOption.contains("cc"))
+        Some(args.drop(1).map(_.toLong).toSeq)
+      else None
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
@@ -403,6 +451,12 @@ object DedupScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(Clock)
 
+    if (ccOnly.isDefined) {
+      ccPoint(spark, 20000L) // discarded JIT warmup
+      println("[" + ccOnly.get.map(ccPoint(spark, _)).mkString(",") + "]")
+      spark.stop()
+      return
+    }
     if (embCapOnly.isDefined) {
       // warmup with targetBucket=2 so bits>16 holds at warmup size too
       embCapPoint(spark, 200000L, 2) // discarded JIT warmup

@@ -176,6 +176,9 @@ object ScalingBench {
     val (mode, rest) =
       if (args.headOption.contains("profile")) ("profile", args.drop(1))
       else if (args.headOption.contains("skew")) ("skew", args.drop(1))
+      // accept an explicit "filter" token too — an unrecognized mode word
+      // must not reach rows.toLong
+      else if (args.headOption.contains("filter")) ("filter", args.drop(1))
       else ("filter", args)
     val rows = if (rest.length > 0) rest(0).toLong else BenchRows
     val nLow = if (rest.length > 1) rest(1).toInt else 4

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-dup CLUSTER assignment — the step a training-data pipeline runs
+  * after pair generation: fold the near-dup pair set (q15/q16/q17/q43 all
+  * emit pairs) into connected components, pick one canonical document per
+  * component, and emit the keep/drop verdict that actually drives corpus
+  * construction. Pairs alone under-delete: if A~B and B~C, keeping "one of
+  * each pair" retains two of the three docs; the component view keeps
+  * exactly one.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14 — public).
+  * Each round is two node-keyed aggregations + joins (plain shuffles on
+  * the node id, no all-pairs stage), and the alternation converges in
+  * O(log² n) rounds even on adversarial path graphs — unlike naive
+  * min-label flooding, whose round count is the graph DIAMETER (a planted
+  * 10⁶-long near-dup chain would need 10⁶ rounds). Per-round lineage is
+  * cut with `localCheckpoint` so the loop's plan does not grow (on a real
+  * cluster with an HDFS checkpoint dir, `checkpoint` gives the same
+  * truncation with executor-loss tolerance).
+  *
+  * Reference tie-in: the reference stops at pairwise duplicate detection
+  * (no cluster stage exists there); this is a beyond-reference operator in
+  * the dedup family SURVEY §2 tracks, gated as q46.
+  */
+object DedupClusters {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Convergence backstop. The alternation provably converges in
+    * O(log² n) rounds; 64 covers n beyond 10¹⁸ with margin. Hitting it
+    * means a bug, not a big graph — so it throws rather than returning a
+    * half-contracted graph.
+    */
+  private val MaxRounds = 64
+
+  /** One large-star round over canonical (u > v) edges: every node u
+    * connects each STRICTLY LARGER neighbor to m = min(Γ(u) ∪ {u}).
+    * Neighborhoods are read off the symmetric view, so each input edge is
+    * examined from both endpoints; output edges are canonical by
+    * construction (v > u ≥ m).
+    */
+  private[queries] def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val m = sym.groupBy(col("u"))
+      .agg(least(min(col("v")), col("u")).as("m"))
+    sym.join(m, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** One small-star round: every node u connects all its SMALLER
+    * neighbors (on canonical edges, that is all of Γ(u)) plus itself to
+    * m = min(Γ(u)). Output stays canonical: v ≥ m with the v = m row
+    * dropped, and u > m always.
+    */
+  private[queries] def smallStar(edges: DataFrame): DataFrame = {
+    val m = edges.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val withM = edges.join(m, "u")
+    withM.filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(withM.select(col("u"), col("m").as("v")))
+      .distinct()
+  }
+
+  /** (row count, hash sum) set signature for the convergence test — one
+    * scalar aggregate per round, no driver-side data. Equal sets always
+    * produce equal signatures; a false match needs a hash-sum collision at
+    * identical cardinality. The sum runs in decimal(38,0): exact for any
+    * realizable edge count, and immune to ANSI long-overflow (xxhash64
+    * spans the full Long range, so a bigint SUM overflows almost surely).
+    */
+  private def signature(edges: DataFrame): (Long, String) = {
+    val r = edges.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(20,0)")),
+        lit(0).cast("decimal(20,0)")).as("h"))
+      .head()
+    (r.getLong(0), String.valueOf(r.getDecimal(1)))
+  }
+
+  /** Connected components of an undirected pair set: (doc_id, component)
+    * for every node appearing in `pairs`, component = MINIMUM doc_id of
+    * the node's component (so the label is deterministic and meaningful —
+    * the canonical survivor). Nodes not present in `pairs` (singletons)
+    * are absent; callers left-join and coalesce to the node's own id.
+    */
+  def connectedComponents(spark: SparkSession, pairs: DataFrame): DataFrame =
+    ccWithRounds(spark, pairs)._1
+
+  /** [[connectedComponents]] plus the round count it converged in — the
+    * O(log² n) claim is measured, not asserted (DedupScaleBench `cc` mode
+    * runs an adversarial path graph whose DIAMETER is n/2).
+    */
+  private[graft] def ccWithRounds(spark: SparkSession,
+      pairs: DataFrame): (DataFrame, Int) = {
+    var edges = pairs
+      .select(col(pairs.columns(0)).as("a"), col(pairs.columns(1)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var sig = signature(edges)
+    var converged = edges.isEmpty
+    var rounds = 0
+    while (!converged && rounds < MaxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = next
+      rounds += 1
+    }
+    require(converged, s"star alternation did not converge in $MaxRounds rounds")
+    // At the fixed point the edge set is a union of stars rooted at each
+    // component's minimum; the defensive min-agg also covers the root rows.
+    val comp = edges.select(col("u").as("doc_id"), col("v").as("component"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("component")))
+      .groupBy(col("doc_id"))
+      .agg(min(col("component")).as("component"))
+    (comp, rounds)
+  }
+
+  /** Per-document cluster verdict over an explicit doc universe:
+    * (doc_id, component, cluster_size, keep) — component = min doc_id of
+    * the near-dup cluster (singletons are their own), keep = this doc IS
+    * the canonical minimum. `docs` must carry a `doc_id` column.
+    */
+  def clusterVerdicts(spark: SparkSession, docs: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(spark, pairs)
+    // cc covers only paired docs — typically a small fraction of the
+    // universe, but NOT forced to broadcast: a 100 TB crawl can have
+    // most of its mass in near-dup clusters, and AQE picks the strategy
+    // from the measured size.
+    val full = docs.select(col("doc_id"))
+      .join(cc, Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+    val sizes = full.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    full.join(sizes, "component")
+      .withColumn("keep", col("doc_id") === col("component"))
+      .select(col("doc_id"), col("component"), col("cluster_size"),
+        col("keep"))
+  }
+
+  /** q46 — dedup cluster assignment + canonical keep-list over the exact
+    * n-gram Jaccard pair set (q15's semantics at threshold 0.5), the
+    * pipeline step that turns near-dup PAIRS into per-document keep/drop.
+    * Oracled in DuckDB by a recursive-CTE transitive closure over the
+    * identical pair query — closure cost is Σ|component|², fine at gate
+    * scale; the Spark side runs the O(log² n)-round star alternation that
+    * survives 10¹² docs.
+    */
+  def q46DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = TrainingOps.q15NgramJaccard(spark, dir)
+      .select(col("doc_i"), col("doc_j"))
+    clusterVerdicts(spark, docs, pairs)
+      .orderBy(col("doc_id"))
+  }
+}

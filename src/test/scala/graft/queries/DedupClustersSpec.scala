@@ -1,0 +1,103 @@
+package graft.queries
+
+import scala.util.Random
+
+import graft.SparkSpec
+
+/** Connected-components / cluster-verdict correctness: the large-star/
+  * small-star alternation must equal a driver-side union-find on every
+  * topology, converge in logarithmic rounds on path graphs (the case that
+  * defeats naive label flooding), and fold into the keep-list semantics
+  * q46 gates.
+  */
+class DedupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    DedupClusters.connectedComponents(spark,
+        edges.toDF("doc_i", "doc_j"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+
+  /** Driver-side union-find oracle: component = min node id. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(x => x -> find(x)).toMap
+  }
+
+  test("chain collapses to its minimum (multi-round convergence)") {
+    val chain = (1L to 32L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = cc(chain)
+    assert(got == (1L to 32L).map(_ -> 1L).toMap)
+  }
+
+  test("star, cycle, and disjoint components") {
+    val edges = Seq(
+      (10L, 11L), (10L, 12L), (10L, 13L),            // star at 10
+      (20L, 21L), (21L, 22L), (22L, 20L),            // 3-cycle
+      (30L, 31L))                                    // pair
+    val got = cc(edges)
+    assert(got == Map(
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L))
+  }
+
+  test("duplicate, reversed, and self-loop input edges are harmless") {
+    val got = cc(Seq((2L, 1L), (1L, 2L), (2L, 2L), (1L, 2L), (3L, 3L)))
+    // self-loops are dropped; node 3 never forms an edge
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("empty pair set yields an empty component frame") {
+    assert(cc(Seq.empty).isEmpty)
+  }
+
+  test("matches union-find on random graphs (3 seeds)") {
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      val n = 200
+      val edges = Seq.fill(260)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      assert(cc(edges) == unionFind(edges), s"seed=$seed")
+    }
+  }
+
+  test("cluster verdicts: sizes, canonical minimum, singleton keep") {
+    val docs = (1L to 8L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_i", "doc_j")
+    val got = DedupClusters.clusterVerdicts(spark, docs, pairs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got == Set(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
+      (4L, 4L, 1L, true),
+      (5L, 5L, 2L, true), (6L, 5L, 2L, false),
+      (7L, 7L, 1L, true), (8L, 8L, 1L, true)))
+  }
+
+  test("q46 keep-list over sf0.001: exactly one keeper per component") {
+    val rows = DedupClusters.q46DedupClusters(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    val byComp = rows.groupBy(_.getLong(1))
+    byComp.foreach { case (comp, members) =>
+      assert(members.count(_.getBoolean(3)) == 1)
+      assert(members.forall(_.getLong(2) == members.length))
+      assert(members.map(_.getLong(0)).min == comp)
+    }
+    // near-dups exist in the corpus: some component has >= 2 members
+    assert(byComp.values.exists(_.length >= 2))
+  }
+}
