@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{DedupClusters, IncrementalDedup, ProfileQueries, Queries, TrainingOps}
+import graft.queries.{CurationOps, DedupClusters, IncrementalDedup, ProfileQueries, Queries, TrainingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -70,7 +70,10 @@ object SparkEntry {
     "q44_stream_dedup" ->
       (graft.streaming.StreamingDedupJob.q44StreamDedup(_, _)),
     "q45_approx_cardinality" -> (Queries.q45ApproxCardinality(_, _)),
-    "q46_dedup_clusters" -> (DedupClusters.q46DedupClusters(_, _))
+    "q46_dedup_clusters" -> (DedupClusters.q46DedupClusters(_, _)),
+    "q47_training_mixture" -> (CurationOps.q47TrainingMixture(_, _)),
+    "q48_sequence_packing" -> (CurationOps.q48SequencePacking(_, _)),
+    "q49_decontamination" -> (CurationOps.q49Decontamination(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -696,6 +699,66 @@ object SparkEntry {
          csize AS (SELECT component, COUNT(*) AS cluster_size FROM filled GROUP BY component)
          SELECT f.doc_id, f.component, s.cluster_size, f.doc_id = f.component AS keep
          FROM filled f JOIN csize s ON f.component = s.component
-         ORDER BY f.doc_id"""
+         ORDER BY f.doc_id""",
+    // q47: mixture weights — share = exact-int division, weight = sqrt
+    // (IEEE correctly rounded in both engines), threshold = floor of one
+    // double product; the sampled count replays the modular hash per doc.
+    "q47_training_mixture" ->
+      """WITH tok AS (
+           SELECT doc_id, lang,
+                  CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS BIGINT) AS nt,
+                  (doc_id * 2654435761) % 1048576 AS h
+           FROM documents),
+         st AS (SELECT lang, COUNT(*) AS n_docs,
+                       CAST(SUM(nt) AS BIGINT) AS n_toks
+                FROM tok GROUP BY lang),
+         tot AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS total_tokens FROM st),
+         wt AS (SELECT lang, n_docs, n_toks,
+                       CAST(n_toks AS DOUBLE) / total_tokens AS share,
+                       SQRT(CAST(n_toks AS DOUBLE) / total_tokens) AS weight,
+                       CAST(FLOOR(SQRT(CAST(n_toks AS DOUBLE) / total_tokens) * 1048576) AS BIGINT) AS threshold
+                FROM st CROSS JOIN tot)
+         SELECT w.lang, w.n_docs, w.n_toks AS n_tokens, w.share, w.weight,
+                w.threshold,
+                CAST(SUM(CASE WHEN t.h < w.threshold THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs
+         FROM wt w JOIN tok t ON t.lang = w.lang
+         GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY w.lang""",
+    // q48: the greedy packing recurrence replayed exactly — seq extends
+    // while acc + tokens <= budget, else a new seq opens with acc reset.
+    "q48_sequence_packing" ->
+      """WITH RECURSIVE tok AS (
+           SELECT doc_id, lang,
+                  CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS BIGINT) AS n_tokens,
+                  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+           FROM documents),
+         pack AS (
+           SELECT lang, doc_id, n_tokens, rn,
+                  CAST(1 AS BIGINT) AS seq_id, n_tokens AS acc
+           FROM tok WHERE rn = 1
+           UNION ALL
+           SELECT t.lang, t.doc_id, t.n_tokens, t.rn,
+                  CASE WHEN p.acc + t.n_tokens <= 256 THEN p.seq_id ELSE p.seq_id + 1 END,
+                  CASE WHEN p.acc + t.n_tokens <= 256 THEN p.acc + t.n_tokens ELSE t.n_tokens END
+           FROM tok t JOIN pack p ON t.lang = p.lang AND t.rn = p.rn + 1)
+         SELECT lang, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+                CAST(SUM(n_tokens) AS DOUBLE) / 256 AS fill_ratio
+         FROM pack GROUP BY lang, seq_id ORDER BY lang, seq_id""",
+    // q49: same word-3-gram definition as q15/q16/q46; eval = the union
+    // of grams of docs with doc_id % 50 = 0; every train doc reported.
+    "q49_decontamination" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+         sh AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS shingles
+                FROM toks WHERE len(t) >= 3),
+         eg AS (SELECT DISTINCT unnest(shingles) AS g FROM sh WHERE doc_id % 50 = 0),
+         tg AS (SELECT doc_id, unnest(shingles) AS g FROM sh WHERE doc_id % 50 <> 0),
+         hits AS (SELECT tg.doc_id, COUNT(*) AS n_overlap
+                  FROM tg JOIN eg ON tg.g = eg.g GROUP BY tg.doc_id)
+         SELECT d.doc_id,
+                CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap_grams,
+                COALESCE(h.n_overlap, 0) >= 2 AS contaminated
+         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+         WHERE d.doc_id % 50 <> 0
+         ORDER BY d.doc_id"""
   )
 }

@@ -1,0 +1,154 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.queries.CurationOps
+
+/** Scale evidence for the curation family (q47-q49) on synthetic corpora
+  * far past gate scale, with the same steal/cpu_eff witnesses as
+  * [[DedupScaleBench]]. Every datapoint carries an EXACT correctness
+  * check recomputed from the construction — a wall without a verdict is
+  * not evidence.
+  *
+  * Modes (run: sbt -batch "runMain graft.jobs.CurationBench <mode> ..."):
+  *  - `mix <n> [n2 ...]` — mixtureStats over n docs across 5 skewed
+  *    languages; verifies exact per-lang doc counts and that the hash
+  *    sample lands within a 5σ binomial envelope of threshold/2²⁰.
+  *  - `pack <n> [n2 ...]` — packSequences at a 2048-token budget, 1
+  *    stream vs 32 shards per language A/B; verifies doc and token
+  *    totals are invariant and every sequence respects the budget.
+  *  - `decon <n> [n2 ...]` — decontaminationReport with 100 planted
+  *    eval copies; verifies exactly the planted sources are flagged.
+  */
+object CurationBench {
+
+  /** Deterministic lang assignment with a production-shaped skew:
+    * ~52% en, ~26% de, ~13% fr, ~6.5% es, ~2.5% zh.
+    */
+  private def langCol = {
+    val m = col("doc_id") % 1000
+    when(m < 520, "en").when(m < 780, "de").when(m < 910, "fr")
+      .when(m < 975, "es").otherwise("zh")
+  }
+
+  private def corpus(spark: SparkSession, n: Long) = {
+    import spark.implicits._
+    spark.range(n).map(id => (id, DedupScaleBench.docText(id)))
+      .toDF("doc_id", "text")
+      .withColumn("lang", langCol)
+  }
+
+  def mixPoint(spark: SparkSession, n: Long): String = {
+    val docs = corpus(spark, n)
+    var rows: Array[org.apache.spark.sql.Row] = Array.empty
+    val t0 = System.nanoTime()
+    val (steal, cpuEff) = DedupScaleBench.witness { () =>
+      rows = CurationOps.mixtureStats(docs).collect()
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+    // exact doc counts per lang from the construction (doc_id % 1000)
+    def bucketCount(lo: Long, hi: Long): Long =
+      (n / 1000) * (hi - lo) + math.max(0L, math.min(n % 1000, hi) - lo)
+    val want = Map("en" -> bucketCount(0, 520), "de" -> bucketCount(520, 780),
+      "fr" -> bucketCount(780, 910), "es" -> bucketCount(910, 975),
+      "zh" -> bucketCount(975, 1000))
+    val docsOk = rows.forall(r => r.getLong(1) == want(r.getString(0)))
+    // hash sample must land inside a 5-sigma binomial envelope of the
+    // threshold rate (the hash is uniform-ish, not adversarial)
+    val sampleOk = rows.forall { r =>
+      val p = r.getLong(5).toDouble / CurationOps.SampleHashMod
+      val nd = r.getLong(1).toDouble
+      math.abs(r.getLong(6) - p * nd) <= 5 * math.sqrt(nd * p * (1 - p)) + 1
+    }
+    f"""{"kind":"mix","n":$n,"langs":${rows.length},"docs_exact":$docsOk,""" +
+      f""""sample_in_envelope":$sampleOk,"wall_sec":$wall%.2f,""" +
+      f""""steal_pct":$steal%.2f,"cpu_eff":$cpuEff%.3f}"""
+  }
+
+  def packPoint(spark: SparkSession, n: Long): String = {
+    val docs = corpus(spark, n)
+    val budget = 2048L
+    val totalTokens = docs
+      .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long")))
+      .head().getLong(0)
+    def run(shards: Int): (Double, Double, Double, Boolean) = {
+      var ok = false
+      val t0 = System.nanoTime()
+      val (steal, cpuEff) = DedupScaleBench.witness { () =>
+        val agg = CurationOps.packSequences(docs, budget, shards)
+          .agg(sum(col("n_docs")).as("d"), sum(col("seq_tokens")).as("t"),
+            sum(when(col("seq_tokens") > budget && col("n_docs") > 1, 1L)
+              .otherwise(0L)).as("viol"))
+          .head()
+        ok = agg.getLong(0) == n && agg.getLong(1) == totalTokens &&
+          agg.getLong(2) == 0L
+      }
+      ((System.nanoTime() - t0) / 1e9, steal, cpuEff, ok)
+    }
+    val (w32, s32, e32, ok32) = run(32)
+    val (w1, s1, e1, ok1) = run(1)
+    f"""{"kind":"pack","n":$n,"budget":$budget,"total_tokens":$totalTokens,""" +
+      f""""wall_sec_shards32":$w32%.2f,"steal32":$s32%.2f,"cpu_eff32":$e32%.3f,""" +
+      f""""wall_sec_shards1":$w1%.2f,"steal1":$s1%.2f,"cpu_eff1":$e1%.3f,""" +
+      f""""speedup":${w1 / w32}%.2f,"totals_ok":${ok32 && ok1}}"""
+  }
+
+  def deconPoint(spark: SparkSession, n: Long): String = {
+    import spark.implicits._
+    val planted = 100
+    // eval = 100 exact copies of train docs 0,7,14,... plus 100 fresh
+    // docs from a disjoint seed range; shared boilerplate heads give
+    // every train doc a handful of overlap grams, so minOverlap = 10
+    // separates real copies (share all ~35 grams) from head-only noise
+    val train = spark.range(n)
+      .map(id => (id.toLong, DedupScaleBench.docText(id)))
+    val evalCopies = spark.range(planted)
+      .map(i => (1000000000L + i, DedupScaleBench.docText(i * 7)))
+    val evalFresh = spark.range(planted)
+      .map(i => (1100000000L + i, DedupScaleBench.docText(5000000000L + i)))
+    val docs = train.union(evalCopies).union(evalFresh)
+      .toDF("doc_id", "text")
+    var flagged: Set[Long] = Set.empty
+    val t0 = System.nanoTime()
+    val (steal, cpuEff) = DedupScaleBench.witness { () =>
+      flagged = CurationOps.decontaminationReport(docs,
+          isEval = col("doc_id") >= 1000000000L, minOverlap = 10)
+        .filter(col("contaminated")).select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+    val want = (0 until planted).map(i => i.toLong * 7).filter(_ < n).toSet
+    val exact = flagged == want
+    f"""{"kind":"decon","n":$n,"eval_docs":${2 * planted},""" +
+      f""""planted":${want.size},"flagged":${flagged.size},""" +
+      f""""flagged_exact":$exact,"wall_sec":$wall%.2f,""" +
+      f""""steal_pct":$steal%.2f,"cpu_eff":$cpuEff%.3f}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("mix")
+    val ns = args.drop(1).map(_.toLong).toSeq match {
+      case Seq() => Seq(1000000L)
+      case s => s
+    }
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(DedupScaleBench.Clock)
+    val out = ns.map { n =>
+      mode match {
+        case "pack" => packPoint(spark, n)
+        case "decon" => deconPoint(spark, n)
+        case _ => mixPoint(spark, n)
+      }
+    }
+    spark.stop()
+    out.foreach(println)
+  }
+}

@@ -62,7 +62,7 @@ object DedupScaleBench {
     * executorCpuTime/(executorRunTime−gc) — the witness pair every
     * BENCH.md wall cites.
     */
-  private def witness(f: () => Unit): (Double, Double) = {
+  private[jobs] def witness(f: () => Unit): (Double, Double) = {
     def jiffies(): (Long, Long) = {
       val src = scala.io.Source.fromFile("/proc/stat")
       val line = try src.getLines().next() finally src.close()

@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the stage BETWEEN dedup/filtering and
+  * training that decides WHAT the model actually sees: language-mixture
+  * weighting with deterministic stratified sampling (q47), fixed-budget
+  * sequence packing (q48), and benchmark decontamination (q49). The
+  * reference stops at profiling/filtering (it has no curation plane);
+  * these extend the engine to the full pretraining-data workflow, same
+  * oracle discipline as [[TrainingOps]]: exact integers, doubles only
+  * from single operations on exact values (sqrt/floor/one division are
+  * IEEE-754 correctly rounded, so Spark and DuckDB agree bit-for-bit).
+  */
+object CurationOps {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Knuth multiplicative constant for the sampling hash. The hash must be
+    * expressible in BOTH engines with identical semantics, so it is plain
+    * 64-bit modular arithmetic (`doc_id * K % 2^20`) rather than xxhash64
+    * (which DuckDB lacks). Domain: doc_id ≥ 0 and doc_id * K must not
+    * overflow a signed 64-bit value (doc_id < 3.4e9) — past that, swap in
+    * a pre-bucketed id column; the operator contract is only that the
+    * per-doc hash is a pure deterministic function with ~uniform low bits.
+    */
+  val SampleHashMul = 2654435761L
+
+  /** Sampling-hash modulus (2²⁰ buckets → rate granularity ~1e-6). */
+  val SampleHashMod = 1048576L
+
+  /** Per-language mixture statistics with temperature-style weights and a
+    * DETERMINISTIC stratified sample count (mixture family). Weight =
+    * sqrt(token share) — the α=0.5 point of the standard temperature
+    * scheme w ∝ share^α that up-weights low-resource languages (α=1 is
+    * proportional, α=0 uniform); sqrt is used because IEEE-754 defines it
+    * correctly rounded, so the oracle reproduces it bit-for-bit where a
+    * general pow may differ in the last ulp. The sample is hash-based
+    * (doc sampled iff `hash(doc_id) < floor(weight · 2²⁰)`), so it is
+    * reproducible run-to-run, partition-layout-independent, and needs no
+    * per-row RNG state — the property that makes a 10¹²-doc sample
+    * auditable and resumable.
+    *
+    * Scale: two scans. Pass 1 reads (lang, text) → per-lang token totals
+    * (5-ish keys, map-side partial agg, one tiny shuffle). Pass 2 reads
+    * ONLY (doc_id, lang) — column pruning keeps it cheap — and counts
+    * hash hits against the broadcast 5-row threshold table. No join ever
+    * shuffles the corpus.
+    */
+  def mixtureStats(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("nt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val tot = st.agg(sum(col("n_tokens")).as("total_tokens"))
+    val wt = st.crossJoin(broadcast(tot)) // 1 row: global token total
+      .withColumn("share",
+        col("n_tokens").cast("double") / col("total_tokens"))
+      .withColumn("weight", sqrt(col("share")))
+      .withColumn("threshold",
+        floor(col("weight") * SampleHashMod).cast("long"))
+    // pass 2: (doc_id, lang) only — the sampling decision is a pure
+    // per-row function of doc_id vs the broadcast per-lang threshold
+    val hashes = docs.select(col("lang"),
+      ((col("doc_id") * SampleHashMul) % SampleHashMod).as("h"))
+    val sampled = hashes
+      .join(broadcast(wt.select(col("lang"), col("threshold"))), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(sum(when(col("h") < col("threshold"), 1L).otherwise(0L))
+        .as("sampled_docs"))
+    wt.join(sampled, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("share"),
+        col("weight"), col("threshold"), col("sampled_docs"))
+      .orderBy(col("lang"))
+  }
+
+  /** q47 — training-mixture report over `documents`: per-language doc and
+    * token counts, token share, sqrt-temperature weight, the derived
+    * integer sampling threshold, and the deterministic hash-sampled doc
+    * count. The oracle recomputes every column (including the sampled
+    * count, doc by doc) with the identical arithmetic.
+    */
+  def q47TrainingMixture(spark: SparkSession, dir: String): DataFrame =
+    mixtureStats(t(spark, dir, "documents"))
+
+  /** Greedy in-order sequence packing (packing family): documents are
+    * packed, in doc_id order within each (lang, shard) stream, into
+    * training sequences of at most `budget` tokens — a doc that does not
+    * fit closes the current sequence and opens the next (a doc longer
+    * than the budget gets a sequence of its own). Output is one row per
+    * sequence. This is the standard pretraining packer shape (fill
+    * ratio = padding waste avoided); in-order packing (vs bin-packing)
+    * keeps the result a pure function of the sorted stream, which is
+    * what makes it verifiable and resumable at corpus scale.
+    *
+    * Scale: packing is sequential BY NATURE within a stream, so the
+    * parallel unit is the stream: `shards` splits each language into
+    * independent streams (shard = doc_id % shards), `repartition(lang,
+    * shard)` + `sortWithinPartitions` gives each stream a contiguous
+    * sorted run inside one partition, and one mapPartitions pass packs
+    * every run it holds — no driver involvement, no global sort. At
+    * 10¹² docs you size `shards` so a stream fits one task (~10⁶ docs);
+    * the q48 gate pins the canonical shards=1 semantics the oracle can
+    * recompute with a recursive CTE.
+    */
+  def packSequences(docs: DataFrame, budget: Long,
+      shards: Int = 1): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs.select(col("lang"),
+        (col("doc_id") % shards).cast("int").as("shard"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .as[(String, Int, Long, Long)]
+    val assigned = tok
+      .repartition(col("lang"), col("shard"))
+      .sortWithinPartitions(col("lang"), col("shard"), col("doc_id"))
+      .mapPartitions { it =>
+        // each (lang, shard) stream is contiguous here; greedy state
+        // resets at every stream boundary
+        var lang: String = null
+        var shard = Int.MinValue
+        var seq = 0L
+        var acc = -1L // -1 = no open sequence
+        it.map { case (l, sh, _, nt) =>
+          if (l != lang || sh != shard) {
+            lang = l; shard = sh; seq = 0L; acc = -1L
+          }
+          if (acc >= 0 && acc + nt <= budget) acc += nt
+          else { seq += 1L; acc = nt }
+          (l, sh, seq, nt)
+        }
+      }
+      .toDF("lang", "shard", "seq_id", "n_tokens")
+    assigned.groupBy(col("lang"), col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"))
+      .withColumn("fill_ratio",
+        col("seq_tokens").cast("double") / budget)
+      .orderBy(col("lang"), col("shard"), col("seq_id"))
+  }
+
+  /** q48 — sequence packing over `documents` at a 256-token budget,
+    * single stream per language (the oracle-canonical shape): one row per
+    * packed sequence with its doc count, token count and fill ratio. The
+    * oracle replays the greedy recurrence exactly with a recursive CTE.
+    */
+  def q48SequencePacking(spark: SparkSession, dir: String): DataFrame =
+    packSequences(t(spark, dir, "documents"), budget = 256L)
+      .drop("shard") // canonical single-shard gate shape
+
+  /** Benchmark decontamination report (decontamination family): for every
+    * training document, the number of distinct word 3-grams it shares
+    * with the evaluation set (the union of eval-doc 3-grams), and a
+    * contaminated verdict at `minOverlap`. N-gram overlap against held-out
+    * benchmarks is the standard pre-training decontamination check; the
+    * 3-gram definition is IDENTICAL to the dedup family's shingles
+    * ([[TrainingOps.shingleSets]]), so one tokenization serves both.
+    *
+    * Scale: eval sets (benchmarks) are tiny by construction, so the eval
+    * gram set broadcasts and the corpus-side join is shuffle-free — the
+    * corpus is scanned once, exploded to (doc_id, gram-hash) rows, and
+    * reduced per doc. Grams ride as xxhash64 longs (the shingle-stage
+    * discipline: 8 bytes, not strings). A production run would DF-cap
+    * boilerplate grams exactly like the dedup index; the gate keeps the
+    * uncapped exact semantics the oracle recomputes.
+    */
+  def decontaminationReport(docs: DataFrame, isEval: Column,
+      minOverlap: Int): DataFrame = {
+    val flagged = docs.withColumn("is_eval", isEval)
+    val grams = TrainingOps.rawTokens(
+      TrainingOps.shingleSets(flagged.select(col("doc_id"), col("text"))))
+    val evalIds = flagged.filter(col("is_eval")).select(col("doc_id"))
+    val evalGrams = grams.join(broadcast(evalIds), Seq("doc_id"))
+      .select(col("s")).distinct()
+    val trainGrams = grams.join(broadcast(evalIds), Seq("doc_id"),
+      "left_anti")
+    val hits = trainGrams.join(broadcast(evalGrams), Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap")) // per-doc grams are distinct
+    flagged.filter(!col("is_eval")).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap_grams"),
+        (coalesce(col("n_overlap"), lit(0L)) >= minOverlap)
+          .as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q49 — decontamination over `documents` with a deterministic planted
+    * eval split (doc_id % 50 == 0 plays the benchmark) and verdict
+    * threshold ≥ 2 shared 3-grams. Every train doc is reported (zero
+    * overlap included), so the gate checks both directions: contaminated
+    * docs flagged AND clean docs not.
+    */
+  def q49Decontamination(spark: SparkSession, dir: String): DataFrame =
+    decontaminationReport(t(spark, dir, "documents"),
+      isEval = col("doc_id") % 50 === 0, minOverlap = 2)
+}

@@ -80,7 +80,7 @@ object TrainingOps {
     * biggest dedup stage. Collision risk is |shingles|²/2⁶⁴ per doc
     * pair, far below the banding miss bounds the consumers already carry.
     */
-  private def rawTokens(sets: DataFrame): DataFrame =
+  private[queries] def rawTokens(sets: DataFrame): DataFrame =
     sets.select(col("doc_id"), explode(col("shingles")).as("str"))
       .select(col("doc_id"), xxhash64(col("str")).as("s"))
 

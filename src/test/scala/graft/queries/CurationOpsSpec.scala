@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Curation-family correctness: mixture weights/sampling against
+  * hand-computed arithmetic, sequence packing against a driver-side greedy
+  * replay (single- and multi-shard, partition-layout invariance), and
+  * decontamination against planted contamination.
+  */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*): DataFrame =
+    rows.toDF("doc_id", "text", "lang")
+
+  // ---- mixture ----
+
+  test("mixtureStats: hand-computed two-language corpus") {
+    // en: 2 docs x 4+2=6 tokens; fr: 1 doc x 3 tokens; total 9
+    val d = docs(
+      (1L, "a b c d", "en"), (2L, "x y", "en"), (3L, "u v w", "fr"))
+    val got = CurationOps.mixtureStats(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val en = got("en"); val fr = got("fr")
+    assert(en.getLong(1) == 2 && en.getLong(2) == 6)
+    assert(fr.getLong(1) == 1 && fr.getLong(2) == 3)
+    assert(en.getDouble(3) == 6.0 / 9)
+    assert(en.getDouble(4) == math.sqrt(6.0 / 9))
+    assert(en.getLong(5) ==
+      math.floor(math.sqrt(6.0 / 9) * CurationOps.SampleHashMod).toLong)
+    // sampled count replays the modular hash per doc
+    def h(id: Long) =
+      (id * CurationOps.SampleHashMul) % CurationOps.SampleHashMod
+    val enSampled = Seq(1L, 2L).count(h(_) < en.getLong(5))
+    assert(en.getLong(6) == enSampled)
+    assert(fr.getLong(6) == Seq(3L).count(h(_) < fr.getLong(5)))
+  }
+
+  test("mixtureStats: sqrt temperature up-weights low-resource languages") {
+    val d = docs(
+      (1L, Seq.fill(90)("t").mkString(" "), "en"),
+      (2L, Seq.fill(10)("t").mkString(" "), "fr"))
+    val m = CurationOps.mixtureStats(d).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    val (enShare, enW) = m("en"); val (frShare, frW) = m("fr")
+    // weight ratio is the sqrt of the share ratio: 9x tokens -> 3x weight
+    assert(enShare / frShare == 9.0)
+    assert(math.abs(enW / frW - 3.0) < 1e-12)
+  }
+
+  // ---- packing ----
+
+  /** Driver-side greedy replay (the oracle recurrence). */
+  private def greedy(tokens: Seq[Long], budget: Long): Seq[(Long, Long, Long)] = {
+    // returns (seq_id, n_docs, seq_tokens)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var seq = 0L; var acc = -1L; var n = 0L
+    def close(): Unit = if (seq > 0) out += ((seq, n, acc))
+    tokens.foreach { t =>
+      if (acc >= 0 && acc + t <= budget) { acc += t; n += 1 }
+      else { close(); seq += 1; acc = t; n = 1 }
+    }
+    close()
+    out.toSeq
+  }
+
+  test("packSequences equals the greedy replay per language") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 200L).map { i =>
+      val lang = if (i % 3 == 0) "fr" else "en"
+      (i, Seq.fill(1 + rnd.nextInt(40))("t").mkString(" "), lang)
+    }
+    val got = CurationOps.packSequences(docs(rows: _*), budget = 64)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val byLang = got.groupBy(_._1)
+    for (lang <- Seq("en", "fr")) {
+      val toks = rows.filter(_._3 == lang).sortBy(_._1)
+        .map(_._2.split("\\s+").length.toLong)
+      val want = greedy(toks, 64)
+      val gotLang = byLang(lang).sortBy(_._2)
+        .map(x => (x._2, x._3, x._4)).toSeq
+      assert(gotLang == want, s"lang=$lang")
+    }
+  }
+
+  test("packSequences: budget respected unless a single doc overflows it") {
+    val d = docs(
+      (1L, Seq.fill(10)("t").mkString(" "), "en"),
+      (2L, Seq.fill(300)("t").mkString(" "), "en"), // alone, over budget
+      (3L, Seq.fill(20)("t").mkString(" "), "en"))
+    val rows = CurationOps.packSequences(d, budget = 64).collect()
+    rows.foreach { r =>
+      val (nDocs, toks) = (r.getLong(3), r.getLong(4))
+      assert(toks <= 64 || nDocs == 1)
+    }
+    // the 300-token doc is its own sequence
+    assert(rows.exists(r => r.getLong(3) == 1 && r.getLong(4) == 300))
+  }
+
+  test("packSequences: multi-shard totals preserved, streams independent") {
+    val d = docs((1L to 100L).map(i =>
+      (i, Seq.fill(1 + (i % 30).toInt)("t").mkString(" "), "en")): _*)
+    val one = CurationOps.packSequences(d, budget = 64, shards = 1)
+    val four = CurationOps.packSequences(d, budget = 64, shards = 4)
+    // token mass and doc count are invariant under sharding
+    def totals(df: DataFrame) = df
+      .agg(sum(col("n_docs")), sum(col("seq_tokens"))).head()
+    assert(totals(one) == totals(four))
+    // each shard's stream packs exactly its own docs (greedy replay)
+    val fourRows = four.collect()
+    for (sh <- 0 until 4) {
+      val toks = (1L to 100L).filter(_ % 4 == sh)
+        .map(i => 1L + (i % 30))
+      val want = greedy(toks, 64)
+      val got = fourRows.filter(_.getInt(1) == sh).sortBy(_.getLong(2))
+        .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      assert(got == want, s"shard=$sh")
+    }
+  }
+
+  test("packSequences: result invariant under input partition layout") {
+    val base = (1L to 120L).map(i =>
+      (i, Seq.fill(1 + (i * 7 % 50).toInt)("t").mkString(" "),
+        if (i % 2 == 0) "de" else "zh"))
+    val a = CurationOps.packSequences(
+      base.toDF("doc_id", "text", "lang").repartition(1), 64).collect()
+    val b = CurationOps.packSequences(
+      base.toDF("doc_id", "text", "lang").repartition(13), 64).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
+  // ---- decontamination ----
+
+  test("decontamination flags planted copies and clears disjoint docs") {
+    val evalText = "alpha beta gamma delta epsilon zeta"
+    val d = docs(
+      (100L, evalText, "en"),                         // eval doc
+      (1L, evalText, "en"),                           // full copy: 4 grams
+      (2L, "alpha beta gamma nothing else here", "en"), // 1 shared gram
+      (3L, "totally different words in this doc", "en")) // clean
+    val got = CurationOps.decontaminationReport(d,
+        isEval = col("doc_id") === 100L, minOverlap = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(got(1L) == ((4L, true)))
+    assert(got(2L) == ((1L, false)))
+    assert(got(3L) == ((0L, false)))
+    assert(!got.contains(100L)) // eval docs are not reported
+  }
+
+  test("decontamination: short docs (<3 tokens) report zero overlap") {
+    val d = docs(
+      (10L, "one two three four", "en"),
+      (11L, "one two", "en")) // no 3-grams
+    val got = CurationOps.decontaminationReport(d,
+        isEval = col("doc_id") === 10L, minOverlap = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(11L -> 0L))
+  }
+}

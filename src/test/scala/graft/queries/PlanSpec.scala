@@ -134,4 +134,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
       "signing stages must come from the cached token frame:\n" + p)
   }
+
+  test("q47: sampling pass prunes to (doc_id, lang); thresholds broadcast") {
+    val p = finalPlan(CurationOps.q47TrainingMixture(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "the 5-row threshold table must broadcast, never shuffle the corpus")
+    // the hash-sampling scan must NOT read text — the sampling decision
+    // is a pure function of (doc_id, lang) and column pruning is what
+    // keeps pass 2 cheap at 100 TB
+    val slim = p.linesIterator.exists(l => l.contains("FileScan parquet") &&
+      l.contains("doc_id") && l.contains("lang") && !l.contains("text"))
+    assert(slim, s"no pruned (doc_id, lang) sampling scan in:\n$p")
+  }
+
+  test("q49: eval-gram joins broadcast; the corpus never sort-merges") {
+    val p = finalPlan(CurationOps.q49Decontamination(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "eval sets are small by construction - the corpus side must not shuffle for a join")
+  }
 }
