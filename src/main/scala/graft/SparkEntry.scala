@@ -73,7 +73,8 @@ object SparkEntry {
     "q46_dedup_clusters" -> (DedupClusters.q46DedupClusters(_, _)),
     "q47_training_mixture" -> (CurationOps.q47TrainingMixture(_, _)),
     "q48_sequence_packing" -> (CurationOps.q48SequencePacking(_, _)),
-    "q49_decontamination" -> (CurationOps.q49Decontamination(_, _))
+    "q49_decontamination" -> (CurationOps.q49Decontamination(_, _)),
+    "q50_shuffle_shards" -> (CurationOps.q50ShuffleShards(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -759,6 +760,24 @@ object SparkEntry {
                 COALESCE(h.n_overlap, 0) >= 2 AS contaminated
          FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
          WHERE d.doc_id % 50 <> 0
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+    // q50: the shuffle permutation replayed per doc; the per-shard
+    // checksum Σ position·doc_id pins the full within-shard order.
+    "q50_shuffle_shards" ->
+      """WITH tok AS (
+           SELECT doc_id,
+                  CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS BIGINT) AS n_tokens,
+                  (doc_id * 1566083941) % 1048576 AS key
+           FROM documents),
+         sh AS (SELECT doc_id, n_tokens, key,
+                       CAST(key % 16 AS INT) AS shard,
+                       ROW_NUMBER() OVER (PARTITION BY key % 16
+                                          ORDER BY key, doc_id) AS rn
+                FROM tok)
+         SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+                MIN(key) AS min_key, MAX(key) AS max_key,
+                CAST(SUM(rn * doc_id) AS BIGINT) AS order_checksum
+         FROM sh GROUP BY shard ORDER BY shard"""
   )
 }

@@ -67,7 +67,17 @@ object CurationBench {
   }
 
   def packPoint(spark: SparkSession, n: Long): String = {
-    val docs = corpus(spark, n)
+    import spark.implicits._
+    // ONE language: shards=1 really is one sequential stream (the 5-lang
+    // corpus would give shards=1 a hidden 5-way parallelism and bias the
+    // A/B); one untimed warmup pass levels JVM/page-cache state
+    // cache the synthetic corpus so the timed region measures the PACKER
+    // (shuffle + per-stream sort + greedy pass), not the row generator —
+    // a real corpus is a parquet scan, which the generator map is not
+    val docs = spark.range(n)
+      .map(id => (id.toLong, DedupScaleBench.docText(id)))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .cache()
     val budget = 2048L
     val totalTokens = docs
       .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long")))
@@ -86,8 +96,10 @@ object CurationBench {
       }
       ((System.nanoTime() - t0) / 1e9, steal, cpuEff, ok)
     }
-    val (w32, s32, e32, ok32) = run(32)
+    run(32) // warmup, untimed
     val (w1, s1, e1, ok1) = run(1)
+    val (w32, s32, e32, ok32) = run(32)
+    docs.unpersist()
     f"""{"kind":"pack","n":$n,"budget":$budget,"total_tokens":$totalTokens,""" +
       f""""wall_sec_shards32":$w32%.2f,"steal32":$s32%.2f,"cpu_eff32":$e32%.3f,""" +
       f""""wall_sec_shards1":$w1%.2f,"steal1":$s1%.2f,"cpu_eff1":$e1%.3f,""" +
@@ -107,8 +119,13 @@ object CurationBench {
       .map(i => (1000000000L + i, DedupScaleBench.docText(i * 7)))
     val evalFresh = spark.range(planted)
       .map(i => (1100000000L + i, DedupScaleBench.docText(5000000000L + i)))
+    // cached for the same reason as packPoint: the operator scans its
+    // input twice (gram pass + the zero-overlap left join's id pass); on
+    // parquet the second is a pruned doc_id scan, on a generator map it
+    // would re-run docText for every row
     val docs = train.union(evalCopies).union(evalFresh)
-      .toDF("doc_id", "text")
+      .toDF("doc_id", "text").cache()
+    docs.count() // materialize outside the timed region
     var flagged: Set[Long] = Set.empty
     val t0 = System.nanoTime()
     val (steal, cpuEff) = DedupScaleBench.witness { () =>
@@ -118,6 +135,7 @@ object CurationBench {
         .collect().map(_.getLong(0)).toSet
     }
     val wall = (System.nanoTime() - t0) / 1e9
+    docs.unpersist()
     val want = (0 until planted).map(i => i.toLong * 7).filter(_ < n).toSet
     val exact = flagged == want
     f"""{"kind":"decon","n":$n,"eval_docs":${2 * planted},""" +

@@ -170,17 +170,20 @@ object CurationOps {
   def decontaminationReport(docs: DataFrame, isEval: Column,
       minOverlap: Int): DataFrame = {
     val flagged = docs.withColumn("is_eval", isEval)
-    val grams = TrainingOps.rawTokens(
-      TrainingOps.shingleSets(flagged.select(col("doc_id"), col("text"))))
-    val evalIds = flagged.filter(col("is_eval")).select(col("doc_id"))
-    val evalGrams = grams.join(broadcast(evalIds), Seq("doc_id"))
+    // the gram generator (shingle transform + xxhash explode) is derived
+    // ONCE per side, and the eval side only ever reads eval docs — the
+    // r5 dedup lesson: re-deriving a generator per consumer multiplies
+    // the corpus scan, the one cost that matters at 10¹² docs
+    def grams(side: DataFrame): DataFrame =
+      TrainingOps.rawTokens(TrainingOps.shingleSets(
+        side.select(col("doc_id"), col("text"))))
+    val evalGrams = grams(flagged.filter(col("is_eval")))
       .select(col("s")).distinct()
-    val trainGrams = grams.join(broadcast(evalIds), Seq("doc_id"),
-      "left_anti")
-    val hits = trainGrams.join(broadcast(evalGrams), Seq("s"))
+    val train = flagged.filter(!col("is_eval"))
+    val hits = grams(train).join(broadcast(evalGrams), Seq("s"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap")) // per-doc grams are distinct
-    flagged.filter(!col("is_eval")).select(col("doc_id"))
+    train.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap_grams"),
@@ -198,4 +201,58 @@ object CurationOps {
   def q49Decontamination(spark: SparkSession, dir: String): DataFrame =
     decontaminationReport(t(spark, dir, "documents"),
       isEval = col("doc_id") % 50 === 0, minOverlap = 2)
+
+  /** Multiplier for the shuffle order key — a different LCG constant than
+    * [[SampleHashMul]] so shard order does not correlate with the q47
+    * sampling decision. Same overflow domain note as the sampling hash.
+    */
+  val ShuffleKeyMul = 1566083941L
+
+  /** Shuffle-key modulus (2²⁰; ties broken by doc_id, so the global order
+    * is total regardless of key collisions).
+    */
+  val ShuffleKeyMod = 1048576L
+
+  /** Deterministic global shuffle + shard assignment (the LAST curation
+    * step: training wants the corpus in pseudorandom order, split into
+    * fixed shards, and the permutation must be reproducible so a resumed
+    * or re-run job writes byte-identical shards). Each doc gets a
+    * pseudorandom order key (`doc_id·K mod 2²⁰`, ties broken by doc_id);
+    * shard = key mod nShards; docs are ordered by key within their
+    * shard. Output is one row per shard with its doc/token totals, key
+    * range, and an order CHECKSUM (Σ position·doc_id over the within-
+    * shard order) that pins the entire permutation — any transposition
+    * of two docs changes it.
+    *
+    * Scale: no global sort. The shard column hash-partitions the corpus
+    * in one shuffle; the within-shard order is a per-partition sort (a
+    * production writer does `repartition(shard)` +
+    * `sortWithinPartitions(key)` + write, which is exactly this plan
+    * minus the checksum window). At 10¹² docs swap the 2²⁰ modular key
+    * for a 64-bit hash; the contract is only determinism + uniformity.
+    */
+  def shuffleShards(docs: DataFrame, nShards: Int): DataFrame = {
+    require(nShards > 0)
+    val tok = docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("key", (col("doc_id") * ShuffleKeyMul) % ShuffleKeyMod)
+      .withColumn("shard", (col("key") % nShards).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("key"), col("doc_id"))
+    tok.withColumn("rn", row_number().over(w).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        min(col("key")).as("min_key"), max(col("key")).as("max_key"),
+        sum(col("rn") * col("doc_id")).as("order_checksum"))
+      .orderBy(col("shard"))
+  }
+
+  /** q50 — the deterministic shuffle over `documents` into 16 shards.
+    * The oracle recomputes key/shard/order per doc and the permutation
+    * checksum per shard, so a single swapped pair anywhere in any
+    * shard's order fails the hash gate.
+    */
+  def q50ShuffleShards(spark: SparkSession, dir: String): DataFrame =
+    shuffleShards(t(spark, dir, "documents"), nShards = 16)
 }

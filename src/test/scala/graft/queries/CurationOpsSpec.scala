@@ -152,6 +152,41 @@ class CurationOpsSpec extends SparkSpec {
     assert(!got.contains(100L)) // eval docs are not reported
   }
 
+  // ---- shuffle shards ----
+
+  test("shuffleShards equals a driver-side permutation replay") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 300L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(20))("t").mkString(" "), "en"))
+    val nShards = 8
+    val got = CurationOps.shuffleShards(docs(rows: _*), nShards)
+      .collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    // replay: key, shard, within-shard (key, doc_id) order, checksum
+    val perDoc = rows.map { case (id, text, _) =>
+      val key = (id * CurationOps.ShuffleKeyMul) % CurationOps.ShuffleKeyMod
+      (id, text.split("\\s+").length.toLong, key, (key % nShards).toInt)
+    }
+    val want = perDoc.groupBy(_._4).map { case (shard, ds) =>
+      val ordered = ds.sortBy(d => (d._3, d._1))
+      val checksum = ordered.zipWithIndex
+        .map { case (d, i) => (i + 1L) * d._1 }.sum
+      shard -> ((ds.size.toLong, ds.map(_._2).sum,
+        ordered.head._3, ordered.last._3, checksum))
+    }
+    assert(got == want)
+  }
+
+  test("shuffleShards: every shard populated, doc mass preserved") {
+    val rows = (1L to 500L).map(i => (i, "a b c d e", "en"))
+    val out = CurationOps.shuffleShards(docs(rows: _*), 16).collect()
+    assert(out.length == 16)
+    assert(out.map(_.getLong(1)).sum == 500L)
+    // modular key spreads uniformly: no shard more than 2x the mean
+    assert(out.map(_.getLong(1)).max <= 2 * (500 / 16))
+  }
+
   test("decontamination: short docs (<3 tokens) report zero overlap") {
     val d = docs(
       (10L, "one two three four", "en"),

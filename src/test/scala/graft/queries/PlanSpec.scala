@@ -154,4 +154,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "eval sets are small by construction - the corpus side must not shuffle for a join")
   }
+
+  test("q50: shuffle window partitions by shard, never a single partition") {
+    val p = finalPlan(CurationOps.q50ShuffleShards(spark, dir))
+    val win = p.linesIterator.find(_.contains("Window"))
+      .getOrElse(fail("no Window in plan"))
+    assert(win.contains("shard"),
+      s"permutation window must partition by shard (distributed sort): $win")
+    assert(!p.contains("Exchange SinglePartition"),
+      "global-shuffle plan collapsed to one partition - would serialize at 100 TB")
+  }
 }
