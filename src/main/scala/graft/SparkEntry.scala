@@ -74,7 +74,8 @@ object SparkEntry {
     "q47_training_mixture" -> (CurationOps.q47TrainingMixture(_, _)),
     "q48_sequence_packing" -> (CurationOps.q48SequencePacking(_, _)),
     "q49_decontamination" -> (CurationOps.q49Decontamination(_, _)),
-    "q50_shuffle_shards" -> (CurationOps.q50ShuffleShards(_, _))
+    "q50_shuffle_shards" -> (CurationOps.q50ShuffleShards(_, _)),
+    "q51_quality_buckets" -> (CurationOps.q51QualityBuckets(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -778,6 +779,22 @@ object SparkEntry {
                 CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
                 MIN(key) AS min_key, MAX(key) AS max_key,
                 CAST(SUM(rn * doc_id) AS BIGINT) AS order_checksum
-         FROM sh GROUP BY shard ORDER BY shard"""
+         FROM sh GROUP BY shard ORDER BY shard""",
+    // q51: score = one exact division; NTILE over (score, doc_id) is a
+    // total order, so bucket assignment is engine-independent.
+    "q51_quality_buckets" ->
+      """WITH sc AS (
+           SELECT doc_id, lang,
+                  CAST(LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS BIGINT) AS n_tokens,
+                  CAST(LEN(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) AS DOUBLE)
+                      / LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) AS score
+           FROM documents),
+         bk AS (SELECT *, NTILE(4) OVER (PARTITION BY lang
+                                         ORDER BY score, doc_id) AS bucket
+                FROM sc)
+         SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens,
+                MIN(score) AS min_score, MAX(score) AS max_score
+         FROM bk GROUP BY lang, bucket ORDER BY lang, bucket"""
   )
 }

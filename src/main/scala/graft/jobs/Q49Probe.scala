@@ -1,0 +1,56 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.queries.CurationOps
+
+/** Stage-level timing probe for q49 (decontamination) — the round-6 bench
+  * showed par=1.0 and a 13 s wall at sf0.1 for what should be a
+  * sub-second gram join. Findings it pins (history in BENCH.md):
+  *
+  *  - the gate-scale documents parquet is ONE partition, so the
+  *    interpreted shingle HOF ran single-task until `shingleSets` got
+  *    the `Profiler.spread` guard;
+  *  - an explode over the UNCACHED shingle generator costs ~10× the
+  *    array materialization itself and is invariant to filter
+  *    selectivity (~6.5 s whether the side keeps 100 or 4900 docs) —
+  *    the house shingle rule: every consumer reads the CACHED frame.
+  *
+  * Run: sbt -batch "runMain graft.jobs.Q49Probe [sfDir]"
+  */
+object Q49Probe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PROBE $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s -> $r")
+      r
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val flagged = docs.withColumn("is_eval", col("doc_id") % 50 === 0)
+    time("input partitions")(docs.rdd.getNumPartitions)
+    time("warmup (train grams)")(
+      CurationOps.docGrams(flagged.filter(!col("is_eval"))).count())
+    spark.catalog.clearCache()
+    time("train grams, cached-stage path")(
+      CurationOps.docGrams(flagged.filter(!col("is_eval"))).count())
+    spark.catalog.clearCache()
+    time("eval grams, cached-stage path")(
+      CurationOps.docGrams(flagged.filter(col("is_eval"))).count())
+    spark.catalog.clearCache()
+    time("full q49")(CurationOps.q49Decontamination(spark, dir)
+      .collect().length)
+    spark.catalog.clearCache()
+    time("full q49 again")(CurationOps.q49Decontamination(spark, dir)
+      .collect().length)
+    spark.stop()
+  }
+}

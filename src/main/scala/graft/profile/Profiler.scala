@@ -167,7 +167,7 @@ object Profiler {
     * unaffected. The shuffled payload is just the raw records; at real
     * scale (inputs already ≥ cores partitions) this is a no-op.
     */
-  private def spread[T](spark: SparkSession, ds: Dataset[T],
+  private[graft] def spread[T](spark: SparkSession, ds: Dataset[T],
       limited: Boolean = false): Dataset[T] = {
     val target = spark.sparkContext.defaultParallelism
     // A record cap (df.limit upstream) collapses the executed plan onto a

@@ -35,7 +35,13 @@ object TrainingOps {
     * `WHERE len(t) >= 3`.
     */
   private[queries] def shingleSets(docs: DataFrame): DataFrame =
-    docs
+    // Parallelism guard (Profiler.spread's contract): the shingle
+    // transform + array_distinct are INTERPRETED higher-order functions
+    // (~25 µs/gram), so a small-but-dense input (one parquet file ≪
+    // maxPartitionBytes) would run the whole generator on ONE task —
+    // measured 6.7 s single-task vs ~1 s spread at sf0.1 (Q49Probe). At
+    // real scale the input already has ≥ cores partitions → no-op.
+    graft.profile.Profiler.spread(docs.sparkSession, docs)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .filter(size(col("toks")) >= 3)
       .withColumn("shingles", expr(

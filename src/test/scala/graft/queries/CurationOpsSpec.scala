@@ -187,6 +187,52 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.map(_.getLong(1)).max <= 2 * (500 / 16))
   }
 
+  // ---- quality buckets ----
+
+  test("qualityBuckets: equal-frequency NTILE semantics per language") {
+    val rnd = new scala.util.Random(3)
+    // scores vary via distinct-ratio: i unique words + padding repeats
+    val rows = (1L to 103L).map { i =>
+      val uniq = (1 to 1 + rnd.nextInt(10)).map(k => s"u${i}_$k")
+      val text = (uniq ++ Seq.fill(1 + rnd.nextInt(10))("pad")).mkString(" ")
+      (i, text, if (i % 2 == 0) "en" else "fr")
+    }
+    val got = CurationOps.qualityBuckets(docs(rows: _*), k = 4).collect()
+    // replay: per lang, sort by (score, doc_id), split ceil-first
+    val perDoc = rows.map { case (id, text, lang) =>
+      val t = text.split("\\s+")
+      (id, lang, t.length.toLong, t.distinct.length.toDouble / t.length)
+    }
+    for (lang <- Seq("en", "fr")) {
+      val ordered = perDoc.filter(_._2 == lang).sortBy(d => (d._4, d._1))
+      val n = ordered.size
+      val want = (1 to 4).map { b =>
+        val size = n / 4 + (if (b <= n % 4) 1 else 0)
+        val start = (1 until b).map(x => n / 4 + (if (x <= n % 4) 1 else 0)).sum
+        val slice = ordered.slice(start, start + size)
+        (lang, b.toLong, slice.size.toLong, slice.map(_._3).sum,
+          slice.head._4, slice.last._4)
+      }
+      val gotLang = got.filter(_.getString(0) == lang).sortBy(_.getLong(1))
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5))).toSeq
+      assert(gotLang == want, s"lang=$lang")
+    }
+  }
+
+  test("qualityBuckets: score ranges are monotone across buckets") {
+    val rows = (1L to 80L).map(i =>
+      (i, ((1 to (1 + (i % 17)).toInt).map(k => s"w${i}_$k") ++
+        Seq.fill(3)("x")).mkString(" "), "en"))
+    val got = CurationOps.qualityBuckets(docs(rows: _*), k = 4).collect()
+      .sortBy(_.getLong(1))
+    got.sliding(2).filter(_.length == 2).foreach { w =>
+      val (a, b) = (w(0), w(1))
+      assert(a.getDouble(5) <= b.getDouble(4) + 1e-15,
+        s"bucket ${a.getLong(1)} max > bucket ${b.getLong(1)} min")
+    }
+  }
+
   test("decontamination: short docs (<3 tokens) report zero overlap") {
     val d = docs(
       (10L, "one two three four", "en"),
