@@ -75,7 +75,9 @@ object SparkEntry {
     "q48_sequence_packing" -> (CurationOps.q48SequencePacking(_, _)),
     "q49_decontamination" -> (CurationOps.q49Decontamination(_, _)),
     "q50_shuffle_shards" -> (CurationOps.q50ShuffleShards(_, _)),
-    "q51_quality_buckets" -> (CurationOps.q51QualityBuckets(_, _))
+    "q51_quality_buckets" -> (CurationOps.q51QualityBuckets(_, _)),
+    "q52_repetition_metrics" -> (CurationOps.q52RepetitionMetrics(_, _)),
+    "q53_source_quality" -> (CurationOps.q53SourceQuality(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -795,6 +797,69 @@ object SparkEntry {
          SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
                 CAST(SUM(n_tokens) AS BIGINT) AS bucket_tokens,
                 MIN(score) AS min_score, MAX(score) AS max_score
-         FROM bk GROUP BY lang, bucket ORDER BY lang, bucket"""
+         FROM bk GROUP BY lang, bucket ORDER BY lang, bucket""",
+    "q52_repetition_metrics" ->
+      """WITH toks AS (
+           SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS t
+           FROM documents),
+         uni AS (SELECT doc_id, tk, COUNT(*) AS c
+                 FROM (SELECT doc_id, UNNEST(t) AS tk FROM toks)
+                 GROUP BY doc_id, tk),
+         u AS (SELECT doc_id, MAX(c) AS top_uni, SUM(c) AS n_tokens
+               FROM uni GROUP BY doc_id),
+         bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+                FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS s(i)),
+         bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+         b AS (SELECT doc_id, MAX(c) AS top_big, SUM(c) AS n_bigrams,
+                      SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_big
+               FROM bgc GROUP BY doc_id)
+         SELECT u.doc_id,
+                CAST(u.n_tokens AS BIGINT) AS n_tokens,
+                CAST(u.top_uni AS BIGINT) AS top_uni,
+                CAST(COALESCE(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                CAST(COALESCE(b.top_big, 0) AS BIGINT) AS top_big,
+                CAST(COALESCE(b.dup_big, 0) AS BIGINT) AS dup_big,
+                u.top_uni * 8 > u.n_tokens AS rep_uni,
+                COALESCE(b.top_big, 0) * 18 > COALESCE(b.n_bigrams, 0) AS rep_big,
+                COALESCE(b.dup_big, 0) * 10 > COALESCE(b.n_bigrams, 0) AS rep_dup
+         FROM u LEFT JOIN b USING (doc_id) ORDER BY u.doc_id""",
+    "q53_source_quality" ->
+      """WITH toks AS (
+           SELECT doc_id, source, lang,
+                  REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS t
+           FROM documents),
+         uni AS (SELECT doc_id, tk, COUNT(*) AS c
+                 FROM (SELECT doc_id, UNNEST(t) AS tk FROM toks)
+                 GROUP BY doc_id, tk),
+         u AS (SELECT doc_id, MAX(c) AS top_uni, SUM(c) AS n_tokens
+               FROM uni GROUP BY doc_id),
+         bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+                FROM toks, UNNEST(GENERATE_SERIES(1, LEN(t) - 1)) AS s(i)),
+         bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+         b AS (SELECT doc_id, MAX(c) AS top_big, SUM(c) AS n_bigrams,
+                      SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_big
+               FROM bgc GROUP BY doc_id),
+         m AS (SELECT toks.source, toks.lang, u.n_tokens,
+                      COALESCE(b.n_bigrams, 0) AS n_bigrams,
+                      COALESCE(b.dup_big, 0) AS dup_big,
+                      (u.top_uni * 8 > u.n_tokens
+                       OR COALESCE(b.top_big, 0) * 18 > COALESCE(b.n_bigrams, 0)
+                       OR COALESCE(b.dup_big, 0) * 10 > COALESCE(b.n_bigrams, 0))
+                        AS flagged
+               FROM toks JOIN u USING (doc_id) LEFT JOIN b USING (doc_id))
+         SELECT source,
+                CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_rep_flagged,
+                CAST(SUM(dup_big) AS BIGINT) AS sum_dup_big,
+                CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
+                CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS DOUBLE)
+                  / COUNT(*) AS rep_flag_rate,
+                CAST(SUM(dup_big) AS DOUBLE) / SUM(n_bigrams) AS dup_big_share,
+                SUM(CASE WHEN flagged THEN 1 ELSE 0 END) * 2 > COUNT(*)
+                  AS review
+         FROM m GROUP BY source ORDER BY source"""
   )
 }

@@ -301,4 +301,133 @@ object CurationOps {
     */
   def q51QualityBuckets(spark: SparkSession, dir: String): DataFrame =
     qualityBuckets(t(spark, dir, "documents"), k = 4)
+
+  /** Run-length statistics over a SORTED string array: `best` = length of
+    * the longest run (= highest frequency of any element) and `dup` =
+    * total elements sitting in runs of length > 1 (= instances of
+    * repeated elements). Computed with the `aggregate` higher-order
+    * function in one pass — `dup` grows by 2 when a run reaches length 2
+    * (both instances become "duplicated") and by 1 per further repeat.
+    * The empty-string zero sentinel cannot collide with a real token
+    * because `run > 0` guards the first comparison.
+    */
+  private def runStats(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best"), lit(0L).as("dup")),
+      (acc, x) => {
+        val same = acc.getField("run") > 0 && acc.getField("prev") === x
+        val run = when(same, acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(
+          x.as("prev"),
+          run.as("run"),
+          greatest(acc.getField("best"), run).as("best"),
+          when(same, acc.getField("dup") +
+            when(acc.getField("run") === 1L, 2L).otherwise(1L))
+            .otherwise(acc.getField("dup")).as("dup"))
+      },
+      acc => struct(acc.getField("best").as("best"),
+        acc.getField("dup").as("dup")))
+
+  /** Integer cross-multiplication thresholds for the repetition flags —
+    * `top_uni·8 > n_tokens` (top token > 1/8 of the doc), `top_big·18 >
+    * n_bigrams` (top bigram > 1/18), `dup_big·10 > n_bigrams` (> 1/10 of
+    * bigram instances repeated). Integer compares, so Spark and the
+    * oracle agree exactly with no float-epsilon parity risk. The shape
+    * follows the published Gopher repetition-removal rules (Rae et al.
+    * 2021, table A1: top-n-gram fraction / duplicate-n-gram fraction);
+    * the denominators are tuned to this corpus so each flag fires on a
+    * meaningful minority (~15–19% at sf0.01).
+    */
+  val RepUniDen = 8L
+  val RepBigDen = 18L
+  val RepDupDen = 10L
+
+  /** Per-document repetition metrics (quality-filter family): token
+    * count, top-unigram frequency, bigram count, top-bigram frequency,
+    * duplicated-bigram instance count, and the three threshold flags.
+    *
+    * Scale — this is deliberately NOT explode + groupBy(doc_id, gram):
+    * that shape shuffles every token of a 100 TB corpus twice. Instead
+    * each row sorts its own token/bigram arrays (`array_sort`) and
+    * counts runs with the `aggregate` higher-order function — the max
+    * run length in a sorted array IS the max frequency. Zero shuffles,
+    * zero UDFs: the whole operator pipelines inside one whole-stage
+    * codegen pass over the scan, embarrassingly parallel at any corpus
+    * size (cost is O(len·log len) per row, local to its partition).
+    *
+    * `keep` passes extra columns (e.g. source/lang) through for
+    * downstream aggregation without a re-join.
+    */
+  def repetitionMetrics(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val withArrays = docs
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .withColumn("bgs",
+        when(size(col("toks")) >= 2,
+          transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat_ws(" ",
+              element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("uni", runStats(array_sort(col("toks"))))
+      .withColumn("big", runStats(array_sort(col("bgs"))))
+    withArrays.select(
+      (keep.map(col) :+ col("doc_id")) ++ Seq(
+        size(col("toks")).cast("long").as("n_tokens"),
+        col("uni.best").as("top_uni"),
+        size(col("bgs")).cast("long").as("n_bigrams"),
+        col("big.best").as("top_big"),
+        col("big.dup").as("dup_big"),
+        (col("uni.best") * RepUniDen > size(col("toks"))).as("rep_uni"),
+        (col("big.best") * RepBigDen > size(col("bgs"))).as("rep_big"),
+        (col("big.dup") * RepDupDen > size(col("bgs"))).as("rep_dup")): _*)
+  }
+
+  /** q52 — repetition metrics over `documents`; the oracle recomputes
+    * every count the classic way (unnest → group → max/sum), so the
+    * sorted-run shortcut is proven equal to true frequency counting on
+    * every row.
+    */
+  def q52RepetitionMetrics(spark: SparkSession, dir: String): DataFrame =
+    repetitionMetrics(t(spark, dir, "documents")).orderBy(col("doc_id"))
+
+  /** Source-level quality profile (curation family): one row per corpus
+    * source with doc/token mass, language diversity, how many docs trip
+    * any repetition flag, and the aggregate duplicated-bigram share —
+    * the decision table for "keep, down-weight, or drop this crawl".
+    * A source goes to `review` when more than half its docs are
+    * repetition-flagged (integer cross-multiplication again).
+    *
+    * Rates are one division of exact integer sums (IEEE-754 correctly
+    * rounded → bit-identical in the oracle); per-doc ratios are never
+    * summed, because a float sum's value depends on partition order.
+    *
+    * Scale: the per-doc metrics are the zero-shuffle pass above; the
+    * only shuffle moves pre-aggregated partials into #sources keys.
+    * Language diversity is `size(collect_set(lang))` rather than
+    * countDistinct so the plan stays a single aggregate (no Expand
+    * doubling the scan) — safe because languages are bounded, not
+    * corpus-sized.
+    */
+  def sourceQualityProfile(docs: DataFrame): DataFrame =
+    repetitionMetrics(docs, keep = Seq("source", "lang"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        size(array_sort(collect_set(col("lang")))).cast("long").as("n_langs"),
+        sum(when(col("rep_uni") || col("rep_big") || col("rep_dup"), 1L)
+          .otherwise(0L)).as("n_rep_flagged"),
+        sum(col("dup_big")).as("sum_dup_big"),
+        sum(col("n_bigrams")).as("sum_bigrams"))
+      .withColumn("rep_flag_rate",
+        col("n_rep_flagged").cast("double") / col("n_docs"))
+      .withColumn("dup_big_share",
+        col("sum_dup_big").cast("double") / col("sum_bigrams"))
+      .withColumn("review", col("n_rep_flagged") * 2L > col("n_docs"))
+      .orderBy(col("source"))
+
+  /** q53 — the 20-source quality decision table over `documents`. */
+  def q53SourceQuality(spark: SparkSession, dir: String): DataFrame =
+    sourceQualityProfile(t(spark, dir, "documents"))
 }

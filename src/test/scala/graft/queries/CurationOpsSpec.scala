@@ -16,6 +16,108 @@ class CurationOpsSpec extends SparkSpec {
   private def docs(rows: (Long, String, String)*): DataFrame =
     rows.toDF("doc_id", "text", "lang")
 
+  // ---- repetition metrics ----
+
+  /** Brute-force oracle: true frequency counting with a hash map. */
+  private def bruteRep(text: String): (Long, Long, Long, Long, Long) = {
+    val toks = text.trim.split("\\s+").toSeq
+    val bgs = if (toks.size < 2) Seq.empty[String]
+              else toks.sliding(2).map(_.mkString(" ")).toSeq
+    def top(xs: Seq[String]): Long =
+      if (xs.isEmpty) 0L else xs.groupBy(identity).values.map(_.size).max.toLong
+    val dup = bgs.groupBy(identity).values.filter(_.size > 1).map(_.size).sum
+    (toks.size.toLong, top(toks), bgs.size.toLong, top(bgs), dup.toLong)
+  }
+
+  test("repetitionMetrics: hand-computed doc") {
+    val d = docs((1L, "a a a b", "en"))
+    val r = CurationOps.repetitionMetrics(d).collect().head
+    // tokens [a,a,a,b]; bigrams ["a a","a a","a b"]
+    assert(r.getAs[Long]("n_tokens") == 4L)
+    assert(r.getAs[Long]("top_uni") == 3L)
+    assert(r.getAs[Long]("n_bigrams") == 3L)
+    assert(r.getAs[Long]("top_big") == 2L)
+    assert(r.getAs[Long]("dup_big") == 2L)
+    assert(r.getAs[Boolean]("rep_uni") && r.getAs[Boolean]("rep_big") &&
+      r.getAs[Boolean]("rep_dup"))
+  }
+
+  test("repetitionMetrics: all-distinct short doc trips only rep_big") {
+    // 10 distinct tokens: top_uni=1 (8>10 false), dup_big=0 (0>9 false),
+    // but top_big=1 and 18>9 — short docs (<19 tokens) trivially trip the
+    // top-bigram rule, the documented interplay with a min-length filter.
+    val r = CurationOps.repetitionMetrics(
+      docs((1L, "a b c d e f g h i j", "en"))).collect().head
+    assert(!r.getAs[Boolean]("rep_uni") && !r.getAs[Boolean]("rep_dup"))
+    assert(r.getAs[Boolean]("rep_big"))
+    assert(r.getAs[Long]("top_uni") == 1L && r.getAs[Long]("dup_big") == 0L)
+  }
+
+  test("repetitionMetrics: single-token doc has empty bigram set") {
+    val r = CurationOps.repetitionMetrics(docs((1L, "solo", "en")))
+      .collect().head
+    assert(r.getAs[Long]("n_tokens") == 1L && r.getAs[Long]("top_uni") == 1L)
+    assert(r.getAs[Long]("n_bigrams") == 0L && r.getAs[Long]("top_big") == 0L)
+    assert(!r.getAs[Boolean]("rep_big") && !r.getAs[Boolean]("rep_dup"))
+  }
+
+  test("repetitionMetrics: sorted-run counting equals true frequency counting") {
+    // Seeded generator, small vocab so runs of every length occur.
+    val rnd = new scala.util.Random(52)
+    val vocab = Vector("the", "a", "of", "fox", "dog", "run", "x1", "y2")
+    val rows = (1L to 200L).map { id =>
+      val n = 1 + rnd.nextInt(40)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "), "en")
+    }
+    val got = CurationOps.repetitionMetrics(docs(rows: _*))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("top_uni"),
+         r.getAs[Long]("n_bigrams"), r.getAs[Long]("top_big"),
+         r.getAs[Long]("dup_big"))).toMap
+    rows.foreach { case (id, text, _) =>
+      assert(got(id) == bruteRep(text), s"doc $id: '$text'")
+    }
+  }
+
+  test("repetitionMetrics: plan has zero shuffles") {
+    val d = docs((1L, "a a b", "en"), (2L, "c d", "fr"))
+    val m = CurationOps.repetitionMetrics(d)
+    m.collect()
+    val plan = m.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"per-doc metrics must not shuffle:\n$plan")
+  }
+
+  test("sourceQualityProfile: aggregates replay the per-doc metrics") {
+    val rnd = new scala.util.Random(53)
+    val vocab = Vector("p", "q", "r", "s")
+    val rows = (1L to 60L).map { id =>
+      val n = 2 + rnd.nextInt(20)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+        if (id % 3 == 0) "fr" else "en", s"src${id % 2}")
+    }
+    val d = rows.toDF("doc_id", "text", "lang", "source")
+    val prof = CurationOps.sourceQualityProfile(d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // driver replay from the brute oracle
+    rows.groupBy(_._4).foreach { case (src, grp) =>
+      val per = grp.map { case (_, text, _, _) => bruteRep(text) }
+      val flagged = per.count { case (nt, tu, nb, tb, db) =>
+        tu * 8 > nt || tb * 18 > nb || db * 10 > nb }
+      val r = prof(src)
+      assert(r.getAs[Long]("n_docs") == grp.size.toLong)
+      assert(r.getAs[Long]("total_tokens") == per.map(_._1).sum)
+      assert(r.getAs[Long]("n_langs") ==
+        grp.map(_._3).distinct.size.toLong)
+      assert(r.getAs[Long]("n_rep_flagged") == flagged.toLong)
+      assert(r.getAs[Long]("sum_dup_big") == per.map(_._5).sum)
+      assert(r.getAs[Long]("sum_bigrams") == per.map(_._3).sum)
+      assert(r.getAs[Double]("rep_flag_rate") ==
+        flagged.toDouble / grp.size)
+      assert(r.getAs[Boolean]("review") == (flagged * 2 > grp.size))
+    }
+  }
+
   // ---- mixture ----
 
   test("mixtureStats: hand-computed two-language corpus") {
