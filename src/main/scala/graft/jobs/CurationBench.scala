@@ -144,6 +144,70 @@ object CurationBench {
       f""""steal_pct":$steal%.2f,"cpu_eff":$cpuEff%.3f}"""
   }
 
+  /** The classic repetition-metrics shape — explode + groupBy(doc_id,
+    * gram) + re-aggregate — used ONLY as the scale A/B contrast and
+    * per-doc equality oracle for the zero-shuffle sorted-run path.
+    * Shuffles every token of the corpus twice; at 100 TB that is the
+    * difference between a map-only pass and ~2 corpus-sized exchanges.
+    */
+  private def classicRep(docs: org.apache.spark.sql.DataFrame) = {
+    val toks = docs.select(col("doc_id"),
+      split(trim(col("text")), "\\s+").as("t"))
+    val uni = toks.select(col("doc_id"), explode(col("t")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_uni"), sum(col("c")).as("n_tokens"))
+    val big = toks
+      .select(col("doc_id"), when(size(col("t")) >= 2,
+        transform(sequence(lit(1), size(col("t")) - 1),
+          i => concat_ws(" ", element_at(col("t"), i),
+            element_at(col("t"), i + 1))))
+        .otherwise(array().cast("array<string>")).as("b"))
+      .select(col("doc_id"), explode(col("b")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_big"), sum(col("c")).as("n_bigrams"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_big"))
+    uni.join(big, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("top_uni"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_big"), lit(0L)).as("top_big"),
+        coalesce(col("dup_big"), lit(0L)).as("dup_big"))
+  }
+
+  def repPoint(spark: SparkSession, n: Long): String = {
+    import spark.implicits._
+    val docs = spark.range(n)
+      .map(id => (id.toLong, DedupScaleBench.docText(id)))
+      .toDF("doc_id", "text").cache()
+    docs.count() // materialize: time the operator, not the generator
+    def checksum(df: org.apache.spark.sql.DataFrame) = df
+      .agg(sum(col("n_tokens")), sum(col("top_uni")), sum(col("n_bigrams")),
+        sum(col("top_big")), sum(col("dup_big"))).head()
+    var fastSum: org.apache.spark.sql.Row = null
+    val t0 = System.nanoTime()
+    val (s1, e1) = DedupScaleBench.witness { () =>
+      fastSum = checksum(CurationOps.repetitionMetrics(docs))
+    }
+    val wFast = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val (s2, e2) = DedupScaleBench.witness { () => checksum(classicRep(docs)) }
+    val wClassic = (System.nanoTime() - t1) / 1e9
+    // per-doc equality of the sorted-run shortcut vs true frequency
+    // counting, across ALL n docs — the scale-level correctness verdict
+    val fast = CurationOps.repetitionMetrics(docs)
+      .select("doc_id", "n_tokens", "top_uni", "n_bigrams", "top_big",
+        "dup_big")
+    val mism = fast.exceptAll(classicRep(docs)).count()
+    docs.unpersist()
+    f"""{"kind":"rep","n":$n,"sum_tokens":${fastSum.getLong(0)},""" +
+      f""""mismatched_docs":$mism,"wall_sec":$wFast%.2f,""" +
+      f""""wall_sec_classic":$wClassic%.2f,""" +
+      f""""speedup_vs_classic":${wClassic / wFast}%.2f,""" +
+      f""""steal_pct":$s1%.2f,"cpu_eff":$e1%.3f,""" +
+      f""""steal_classic":$s2%.2f,"cpu_eff_classic":$e2%.3f}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("mix")
     val ns = args.drop(1).map(_.toLong).toSeq match {
@@ -163,6 +227,7 @@ object CurationBench {
       mode match {
         case "pack" => packPoint(spark, n)
         case "decon" => deconPoint(spark, n)
+        case "rep" => repPoint(spark, n)
         case _ => mixPoint(spark, n)
       }
     }

@@ -1076,4 +1076,212 @@ object TrainingOps {
     val (uni, queries) = annPlantedUniverse(spark, dir)
     ivfAnnTopK(spark, uni, queries)
   }
+
+  // ---- Product-quantization ANN (the memory-compression path) ----
+
+  /** Subspace count. dim must divide evenly; 8 subspaces of 8 dims at the
+    * 64-dim gate corpus. Production: m grows with dim (e.g. 16 for 768).
+    */
+  val PqM = 8
+  val PqIters = 8
+
+  /** Approximate-score candidate pool per query before the exact rerank.
+    * Must exceed TopK by enough margin that quantization error cannot
+    * push a true neighbour out; 10× TopK is the standard operating point.
+    */
+  val PqPool = 50
+
+  /** Derived centroids-per-subspace: 16 at gate N (enough training data
+    * at 16 samples/centroid), growing with the corpus to the 256 ceiling
+    * — the 8-bit-code boundary that makes a PQ code m BYTES. That ceiling
+    * is the POINT of PQ, not a scale cap like the r5 lshParams one:
+    * quantization error is bounded by centroid density per SUBSPACE
+    * (fixed 8-ish dims), not by corpus size, and the rerank is exact.
+    * At 10⁹ × 768-dim float64 vectors the raw corpus is ~6 TB while the
+    * m=16 code table is ~16 GB — the difference between "scan SSD" and
+    * "fits in cluster page cache" for every ANN query after the first.
+    */
+  def pqParams(n: Long): Int =
+    math.min(256L, math.max(16L, n / 32)).toInt
+
+  /** Train the m sub-codebooks: deterministic k-means (the shared
+    * [[kmeansTrainAuto]] machinery — bit-identical driver/executor
+    * paths) per subspace over a vec_id-ordered sample of 16·k vectors.
+    * m sequential small jobs; each subspace is dim/m wide so the total
+    * training cost is ONE k-means over the sample regardless of m.
+    */
+  def pqTrain(spark: SparkSession, uniIn: DataFrame, m: Int, k: Int,
+      iters: Int = PqIters): Array[Array[Array[Double]]] = {
+    val sample = uniIn.select(col("vec_id"), col("v"))
+      .sort(col("vec_id")).limit(16 * k).cache()
+    val dim = sample.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val sub = dim / m
+    val cbs = (0 until m).map { j =>
+      kmeansTrainAuto(spark,
+        sample.select(col("vec_id"), slice(col("v"), j * sub + 1, sub).as("v")),
+        k, iters)
+    }.toArray
+    sample.unpersist()
+    cbs
+  }
+
+  /** Encode every vector as m sub-codes (argmin L2 per subspace, strict
+    * `<` so ties keep the lowest centroid index — deterministic). At
+    * production scale this frame is WRITTEN ONCE to parquet and scanned
+    * by every subsequent query; here it feeds the scan directly.
+    */
+  def pqEncode(spark: SparkSession, uni: DataFrame,
+      codebook: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(codebook)
+    val m = codebook.length
+    uni.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .map { case (id, v) =>
+        val arr = v.toArray
+        val sub = arr.length / m
+        val codes = new Array[Int](m)
+        var j = 0
+        while (j < m) {
+          val s = java.util.Arrays.copyOfRange(arr, j * sub, (j + 1) * sub)
+          codes(j) = nearestLists(s, bc.value(j), 1)(0)
+          j += 1
+        }
+        (id, codes.toSeq)
+      }.toDF("vec_id", "codes")
+  }
+
+  /** PQ approximate top-k cosine neighbours — same output contract as
+    * q18/q19/q31 (query_id, neighbor_id, rank). Pipeline: train m
+    * sub-codebooks → encode the corpus → asymmetric-distance scan (each
+    * query's dot with any code word is a PRECOMPUTED m×k lookup table,
+    * so scoring a candidate is m array reads instead of dim multiplies,
+    * over a corpus m·log₂k bits/vector wide instead of 64·dim) →
+    * per-partition bounded top-[[PqPool]] selection (map-side top-k: the
+    * only shuffle carries partitions·pool rows, never N·Q) → global pool
+    * cut → EXACT cosine rerank on the fetched true vectors.
+    *
+    * Determinism: LUT sums run in fixed subspace order per (query,
+    * vector) so approx scores are partition-layout-free; the bounded
+    * heap keeps the best `pool` under the total order (approx desc,
+    * vec_id asc); the global cut re-applies the same order — so the
+    * candidate set, and hence the exact-reranked output, is invariant
+    * to input layout (PqAnnSpec pins this).
+    *
+    * Caching: `uni` and the code frame stay cached for the multi-pass
+    * plan (train sample, encode, rerank); like minhashBandBuckets the
+    * bench/Verify harness clears cache between queries.
+    */
+  def pqAnnTopK(spark: SparkSession, uniIn: DataFrame, queries: DataFrame,
+      m: Int = PqM, kOverride: Option[Int] = None, pool: Int = PqPool,
+      nHint: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val uni = uniIn.cache()
+    val n = nHint.getOrElse(uni.count())
+    val k = kOverride.getOrElse(pqParams(n))
+    val cb = pqTrain(spark, uni, m, k)
+    val codes = pqEncode(spark, uni, cb).cache()
+
+    // per-query lookup tables, driver-built (queries are small by the
+    // q18/q19 contract): lut(j)(c) = q_j · cent_jc; shared nlut = |cent|²
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val qRows = queries.select(col("query_id"), col("qv"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val nlut = cb.map(_.map(c => dot(c, c)))
+    val luts = qRows.map { case (qid, qv) =>
+      val arr = qv.toArray
+      val sub = arr.length / m
+      val lut = Array.tabulate(m) { j =>
+        val qj = java.util.Arrays.copyOfRange(arr, j * sub, (j + 1) * sub)
+        cb(j).map(c => dot(qj, c))
+      }
+      (qid, lut, math.sqrt(dot(arr, arr)))
+    }
+    val bcLut = spark.sparkContext.broadcast((luts, nlut))
+    val poolN = pool
+
+    // asymmetric-distance scan with map-side bounded top-pool selection
+    val partTop = codes.as[(Long, Seq[Int])].mapPartitions { it =>
+      val (qs, nl) = bcLut.value
+      // worst-kept-first heaps: evict (smaller approx, larger vec_id)
+      val ord = Ordering.by[(Double, Long), (Double, Long)] {
+        case (a, id) => (-a, id)
+      }
+      val heaps = qs.map(_ => new scala.collection.mutable.PriorityQueue()(ord))
+      it.foreach { case (vid, codeSeq) =>
+        val code = codeSeq.toArray
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, lut, qNorm) = qs(qi)
+          if (vid != qid) {
+            var d = 0.0; var n2 = 0.0; var j = 0
+            while (j < code.length) {
+              d += lut(j)(code(j)); n2 += nl(j)(code(j)); j += 1
+            }
+            val approx =
+              if (n2 > 0 && qNorm > 0) d / (qNorm * math.sqrt(n2)) else -1.0
+            val h = heaps(qi)
+            if (h.size < poolN) h.enqueue((approx, vid))
+            else {
+              val (wa, wid) = h.head
+              if (approx > wa || (approx == wa && vid < wid)) {
+                h.dequeue(); h.enqueue((approx, vid))
+              }
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zip(qs.iterator).flatMap { case (h, (qid, _, _)) =>
+        h.iterator.map { case (a, vid) => (qid, vid, a) }
+      }
+    }.toDF("query_id", "vec_id", "approx")
+
+    // global pool cut under the same total order, then exact rerank
+    val wPool = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val cand = partTop
+      .withColumn("prank", row_number().over(wPool))
+      .filter(col("prank") <= pool)
+      .select(col("query_id"), col("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(queries.select(col("query_id"), col("qv")), "query_id")
+      .join(uni.select(col("vec_id"), col("v")), "vec_id")
+      .withColumn("cos", cosineCol(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** PQ ANN over the natural corpus (first [[NQueries]] vectors as
+    * queries) — the recall-measured path (PqAnnSpec, vs exact q18).
+    */
+  def pqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    pqAnnTopK(spark, emb, queries)
+  }
+
+  /** q54 — PQ ANN E2E under the planted-companion contract (q19/q31's
+    * oracle): companions sit at cosine ≥ 0.9987 while everything else is
+    * ≈ 0.4, a gap orders of magnitude wider than the quantization error
+    * of 18 centroids per 8-dim subspace, so every companion lands in the
+    * approximate top-50 pool and the exact rerank reproduces the exact
+    * top-5 — deterministically, because codebook training, encoding and
+    * the pool order are all fixed by vec_id order alone.
+    */
+  def q54PqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val (uni, queries) = annPlantedUniverse(spark, dir)
+    pqAnnTopK(spark, uni, queries,
+      nHint = Some(500L + NQueries.toLong * AnnCompanions))
+  }
 }
