@@ -192,6 +192,45 @@ object DedupScaleBench {
       plantedTotal = nQueries * 5, cpuEff = cpuEff)
   }
 
+  /** PQ ANN scale point — same planted-companion construction as
+    * [[ivfPoint]]; reports recall through the PQ pipeline (ADC scan +
+    * exact rerank), wall, and the compression this path exists for:
+    * code bytes per vector (m·⌈log₂k/8⌉) vs raw (64 dims × 8 B).
+    */
+  def pqPoint(spark: SparkSession, n: Long): String = {
+    import spark.implicits._
+    val nQueries = 100
+    val base = spark.range(n).map(id => (id.toLong, vec(id)))
+    val comps = spark.range(nQueries).flatMap { q =>
+      val v = vec(q)
+      (0 until 5).iterator.map { k =>
+        (20000000L + q * 10 + k,
+          Array.tabulate(64)(i => v(i) + 0.01 * (k + 1) * v((i + 1) % 64)))
+      }
+    }
+    val uni = base.union(comps).toDF("vec_id", "v")
+    val queries = base.filter(_._1 < nQueries).toDF("query_id", "qv")
+    val k = TrainingOps.pqParams(n)
+    var found = 0L
+    val t0 = System.nanoTime()
+    val (steal, cpuEff) = witness { () =>
+      found = TrainingOps
+        .pqAnnTopK(spark, uni, queries, nHint = Some(n))
+        .filter(col("neighbor_id") >= 20000000L &&
+          expr("(neighbor_id - 20000000) div 10") === col("query_id")).count()
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+    spark.catalog.clearCache()
+    val codeBytes = TrainingOps.PqM * ((31 - Integer.numberOfLeadingZeros(
+      math.max(2, k) - 1)) / 8 + 1)
+    f"""{"kind":"pq","n":$n,"m":${TrainingOps.PqM},"k":$k,""" +
+      f""""code_bytes":$codeBytes,"raw_bytes":512,""" +
+      f""""compression":${512.0 / codeBytes}%.0f,""" +
+      f""""planted_found":$found,"planted_total":${nQueries * 5},""" +
+      f""""wall_sec":$wall%.2f,"steal_pct":$steal%.2f,""" +
+      f""""cpu_eff":$cpuEff%.3f}"""
+  }
+
   /** Past-the-old-cap occupancy evidence (r5 verdict item 1): run the
     * [[TrainingOps.lshParams]] derivation with targetBucket scaled DOWN
     * so that N/targetBucket > 2¹⁶ at a locally-runnable N — the regime
@@ -451,6 +490,18 @@ object DedupScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(Clock)
 
+    // "pq <n> [n2 ...]": PQ ANN recall/wall/compression curve
+    if (args.headOption.contains("pq")) {
+      pqPoint(spark, 10000L) // discarded JIT warmup
+      spark.catalog.clearCache()
+      println("[" + args.drop(1).map { s =>
+        val row = pqPoint(spark, s.toLong)
+        spark.catalog.clearCache()
+        row
+      }.mkString(",") + "]")
+      spark.stop()
+      return
+    }
     if (ccOnly.isDefined) {
       ccPoint(spark, 20000L) // discarded JIT warmup
       println("[" + ccOnly.get.map(ccPoint(spark, _)).mkString(",") + "]")
