@@ -78,7 +78,8 @@ object SparkEntry {
     "q51_quality_buckets" -> (CurationOps.q51QualityBuckets(_, _)),
     "q52_repetition_metrics" -> (CurationOps.q52RepetitionMetrics(_, _)),
     "q53_source_quality" -> (CurationOps.q53SourceQuality(_, _)),
-    "q54_pq_ann" -> (TrainingOps.q54PqAnn(_, _))
+    "q54_pq_ann" -> (TrainingOps.q54PqAnn(_, _)),
+    "q55_ivfpq_ann" -> (TrainingOps.q55IvfPqAnn(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -867,6 +868,20 @@ object SparkEntry {
     // reproduce it through codebook training + encoding + ADC scan +
     // exact rerank
     "q54_pq_ann" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 500),
+         q AS (SELECT vec_id, v FROM e WHERE vec_id < 20),
+         comp AS (SELECT q.vec_id * 10 + k + 100000 AS vec_id,
+                         [v[i] + CAST(0.01 AS DOUBLE) * (k + 1) * v[(i % len(v)) + 1] FOR i IN range(1, len(v) + 1)] AS v
+                  FROM q, (SELECT unnest(range(5)) AS k)),
+         uni AS (SELECT * FROM e UNION ALL SELECT * FROM comp),
+         s AS (SELECT q.vec_id AS query_id, u.vec_id, list_cosine_similarity(q.v, u.v) AS cos
+               FROM q JOIN uni u ON u.vec_id <> q.vec_id),
+         r AS (SELECT query_id, vec_id AS neighbor_id,
+                      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS "rank"
+               FROM s)
+         SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 5""",
+    // q55 composes IVF pruning with PQ scoring; same planted-exact oracle
+    "q55_ivfpq_ann" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 500),
          q AS (SELECT vec_id, v FROM e WHERE vec_id < 20),
          comp AS (SELECT q.vec_id * 10 + k + 100000 AS vec_id,

@@ -231,6 +231,44 @@ object DedupScaleBench {
       f""""cpu_eff":$cpuEff%.3f}"""
   }
 
+  /** IVF-PQ scale point — the composed production shape. Reports the
+    * scored fraction (probe/lists of the corpus, the IVF contract) on
+    * top of the PQ compression; recall on the planted companions.
+    */
+  def ivfPqPoint(spark: SparkSession, n: Long): String = {
+    import spark.implicits._
+    val nQueries = 100
+    val base = spark.range(n).map(id => (id.toLong, vec(id)))
+    val comps = spark.range(nQueries).flatMap { q =>
+      val v = vec(q)
+      (0 until 5).iterator.map { k =>
+        (20000000L + q * 10 + k,
+          Array.tabulate(64)(i => v(i) + 0.01 * (k + 1) * v((i + 1) % 64)))
+      }
+    }
+    val uni = base.union(comps).toDF("vec_id", "v")
+    val queries = base.filter(_._1 < nQueries).toDF("query_id", "qv")
+    val (lists, probe, trainCap) = TrainingOps.ivfParams(n)
+    val k = TrainingOps.pqParams(n)
+    var found = 0L
+    val t0 = System.nanoTime()
+    val (steal, cpuEff) = witness { () =>
+      found = TrainingOps
+        .ivfPqAnnTopK(spark, uni, queries, lists, probe, trainCap,
+          nHint = Some(n))
+        .filter(col("neighbor_id") >= 20000000L &&
+          expr("(neighbor_id - 20000000) div 10") === col("query_id")).count()
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+    spark.catalog.clearCache()
+    f"""{"kind":"ivfpq","n":$n,"lists":$lists,"probe":$probe,""" +
+      f""""m":${TrainingOps.PqM},"k":$k,""" +
+      f""""scored_fraction":${probe.toDouble / lists}%.4f,""" +
+      f""""planted_found":$found,"planted_total":${nQueries * 5},""" +
+      f""""wall_sec":$wall%.2f,"steal_pct":$steal%.2f,""" +
+      f""""cpu_eff":$cpuEff%.3f}"""
+  }
+
   /** Past-the-old-cap occupancy evidence (r5 verdict item 1): run the
     * [[TrainingOps.lshParams]] derivation with targetBucket scaled DOWN
     * so that N/targetBucket > 2¹⁶ at a locally-runnable N — the regime
@@ -490,6 +528,18 @@ object DedupScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(Clock)
 
+    // "ivfpq <n> [n2 ...]": composed IVF-PQ recall/wall curve
+    if (args.headOption.contains("ivfpq")) {
+      ivfPqPoint(spark, 10000L) // discarded JIT warmup
+      spark.catalog.clearCache()
+      println("[" + args.drop(1).map { s =>
+        val row = ivfPqPoint(spark, s.toLong)
+        spark.catalog.clearCache()
+        row
+      }.mkString(",") + "]")
+      spark.stop()
+      return
+    }
     // "pq <n> [n2 ...]": PQ ANN recall/wall/compression curve
     if (args.headOption.contains("pq")) {
       pqPoint(spark, 10000L) // discarded JIT warmup

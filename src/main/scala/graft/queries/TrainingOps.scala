@@ -1271,6 +1271,123 @@ object TrainingOps {
     pqAnnTopK(spark, emb, queries)
   }
 
+  /** IVF-PQ ANN — the production composition of the two scale paths:
+    * IVF pruning decides WHICH vectors to score (probe/lists of the
+    * corpus), PQ codes decide how CHEAPLY to score them (m byte-reads
+    * per candidate over an m-bytes/vector table), and the exact rerank
+    * on the top pool restores exactness where it matters. At 10⁹
+    * vectors a query touches ~probe/lists of an 8 GB code table — the
+    * only ANN shape here whose per-query work AND working set both stay
+    * sublinear in corpus bytes.
+    *
+    * Candidates = broadcast(query probes) ⋈ list-assigned codes on
+    * list_id (the ivfAnnTopK join), scored with the per-query LUT in a
+    * typed map (no heap needed — IVF already pruned the volume), global
+    * pool cut, exact rerank. Determinism: both codebooks train on the
+    * vec_id-ordered sample; LUT sums run in fixed subspace order; the
+    * pool cut uses the (approx desc, vec_id) total order.
+    */
+  def ivfPqAnnTopK(spark: SparkSession, uniIn: DataFrame,
+      queries: DataFrame, lists: Int = IvfLists, probe: Int = IvfProbe,
+      trainCap: Int = IvfTrainCap, m: Int = PqM,
+      kOverride: Option[Int] = None, pool: Int = PqPool,
+      nHint: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val uni = uniIn.cache()
+    val n = nHint.getOrElse(uni.count())
+    val k = kOverride.getOrElse(pqParams(n))
+    val e = uni.select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+
+    // coarse (IVF) codebook + nearest-list assignment
+    val cents = kmeansTrainAuto(spark,
+      e.sort(col("vec_id")).limit(trainCap).toDF("vec_id", "v"),
+      lists, IvfIters)
+    val bcC = spark.sparkContext.broadcast(cents)
+    val assigned = e.map { case (id, v) =>
+      (id, nearestLists(v.toArray, bcC.value, 1)(0))
+    }.toDF("vec_id", "list_id")
+
+    // fine (PQ) codebooks + codes, co-located with the list assignment
+    val cb = pqTrain(spark, uni, m, k)
+    val codes = pqEncode(spark, uni, cb).join(assigned, "vec_id").cache()
+
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val qRows = queries.select(col("query_id"), col("qv"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val nlut = cb.map(_.map(c => dot(c, c)))
+    val luts = qRows.map { case (qid, qv) =>
+      val arr = qv.toArray
+      val sub = arr.length / m
+      qid -> (Array.tabulate(m) { j =>
+        val qj = java.util.Arrays.copyOfRange(arr, j * sub, (j + 1) * sub)
+        cb(j).map(c => dot(qj, c))
+      }, math.sqrt(dot(arr, arr)))
+    }.toMap
+    val bcLut = spark.sparkContext.broadcast((luts, nlut))
+
+    val probes = qRows.iterator.flatMap { case (qid, qv) =>
+      nearestLists(qv.toArray, bcC.value, probe).iterator.map(l => (qid, l))
+    }.toSeq.toDF("query_id", "list_id")
+
+    val scored = broadcast(probes).join(codes, Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("codes"))
+      .as[(Long, Long, Seq[Int])]
+      .map { case (qid, vid, codeSeq) =>
+        val (qs, nl) = bcLut.value
+        val (lut, qNorm) = qs(qid)
+        val code = codeSeq.toArray
+        var d = 0.0; var n2 = 0.0; var j = 0
+        while (j < code.length) {
+          d += lut(j)(code(j)); n2 += nl(j)(code(j)); j += 1
+        }
+        val approx =
+          if (n2 > 0 && qNorm > 0) d / (qNorm * math.sqrt(n2)) else -1.0
+        (qid, vid, approx)
+      }.toDF("query_id", "vec_id", "approx")
+
+    val wPool = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("vec_id"))
+    val cand = scored
+      .withColumn("prank", row_number().over(wPool))
+      .filter(col("prank") <= pool)
+      .select(col("query_id"), col("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(queries.select(col("query_id"), col("qv")), "query_id")
+      .join(uni.select(col("vec_id"), col("v")), "vec_id")
+      .withColumn("cos", cosineCol(col("qv"), col("v")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF-PQ over the natural corpus — the recall-measured path. */
+  def ivfPqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val queries = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    ivfPqAnnTopK(spark, emb, queries)
+  }
+
+  /** q55 — IVF-PQ E2E under the planted-companion contract: companions
+    * share their query's Voronoi cell (q31 proved the probing recovers
+    * them) and survive the PQ pool (q54 proved the quantization gap),
+    * so the composed pipeline must also reproduce the exact top-5.
+    */
+  def q55IvfPqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val (uni, queries) = annPlantedUniverse(spark, dir)
+    ivfPqAnnTopK(spark, uni, queries,
+      nHint = Some(500L + NQueries.toLong * AnnCompanions))
+  }
+
   /** q54 — PQ ANN E2E under the planted-companion contract (q19/q31's
     * oracle): companions sit at cosine ≥ 0.9987 while everything else is
     * ≈ 0.4, a gap orders of magnitude wider than the quantization error

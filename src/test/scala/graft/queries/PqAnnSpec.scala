@@ -62,6 +62,34 @@ class PqAnnSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("IVF-PQ recall@5 vs exact cosine top-k") {
+    val exact = TrainingOps.q18CosineTopK(spark, dir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    val approx = TrainingOps.ivfPqAnn(spark, dir).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+    assert(approx.keySet == exact.keySet)
+    val hits = exact.map { case (q, truth) =>
+      (approx(q) intersect truth).size.toDouble / truth.size
+    }
+    val recall = hits.sum / hits.size
+    info(f"IVF-PQ recall@5 = $recall%.3f " +
+      f"(probe ${TrainingOps.IvfProbe}/${TrainingOps.IvfLists}, " +
+      f"pool ${TrainingOps.PqPool}, exact rerank)")
+    assert(recall >= 0.6, f"recall $recall%.3f below floor")
+  }
+
+  test("q55 planted-companion gate: composed pipeline recovers exact top-5") {
+    val rows = TrainingOps.q55IvfPqAnn(spark, dir).collect()
+    assert(rows.length === TrainingOps.NQueries * TrainingOps.TopK)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val comps = (0 until TrainingOps.AnnCompanions)
+        .map(k => q * 10 + k + 100000).toSet
+      assert(rs.map(_.getLong(1)).toSet === comps, s"query $q")
+    }
+  }
+
   test("q54 planted-companion gate: exact top-5 recovered per query") {
     val rows = TrainingOps.q54PqAnn(spark, dir).collect()
     assert(rows.length === TrainingOps.NQueries * TrainingOps.TopK)
