@@ -164,4 +164,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"),
       "global-shuffle plan collapsed to one partition - would serialize at 100 TB")
   }
+
+  test("q53: single aggregate, no Expand (collect_set replaces countDistinct)") {
+    val p = finalPlan(CurationOps.q53SourceQuality(spark, dir))
+    assert(!p.contains("Expand"),
+      "source profile must not Expand the scan - lang diversity is collect_set, not countDistinct")
+    val hashExchanges = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    // one partial->final agg exchange on source; the orderBy adds a range
+    // exchange over 20 rows, which is not hashpartitioning
+    assert(hashExchanges === 1,
+      s"expected exactly one agg shuffle into source keys, saw $hashExchanges")
+  }
+
+  test("q55: probe side broadcasts; the code table never sort-merges") {
+    val p = finalPlan(TrainingOps.q55IvfPqAnn(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "query probes are tiny by contract - the corpus-side code table must not shuffle for the probe join")
+  }
 }
