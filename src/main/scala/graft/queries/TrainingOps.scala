@@ -1286,6 +1286,10 @@ object TrainingOps {
     * pool cut, exact rerank. Determinism: both codebooks train on the
     * vec_id-ordered sample; LUT sums run in fixed subspace order; the
     * pool cut uses the (approx desc, vec_id) total order.
+    *
+    * Caching: `uni` and the list-assigned code frame stay cached for
+    * the multi-pass plan; like minhashBandBuckets the bench/Verify
+    * harness clears cache between queries.
     */
   def ivfPqAnnTopK(spark: SparkSession, uniIn: DataFrame,
       queries: DataFrame, lists: Int = IvfLists, probe: Int = IvfProbe,
