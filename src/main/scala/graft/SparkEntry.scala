@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CurationOps, DedupClusters, IncrementalDedup, ProfileQueries, Queries, TrainingOps}
+import graft.queries.{ContainerOps, CurationOps, DedupClusters, IncrementalDedup, ProfileQueries, Queries, TrainingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -79,7 +79,9 @@ object SparkEntry {
     "q52_repetition_metrics" -> (CurationOps.q52RepetitionMetrics(_, _)),
     "q53_source_quality" -> (CurationOps.q53SourceQuality(_, _)),
     "q54_pq_ann" -> (TrainingOps.q54PqAnn(_, _)),
-    "q55_ivfpq_ann" -> (TrainingOps.q55IvfPqAnn(_, _))
+    "q55_ivfpq_ann" -> (TrainingOps.q55IvfPqAnn(_, _)),
+    "q56_source_similarity" -> (ContainerOps.q56SourceSimilarity(_, _)),
+    "q57_repeated_spans" -> (CurationOps.q57RepeatedSpans(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -893,6 +895,59 @@ object SparkEntry {
          r AS (SELECT query_id, vec_id AS neighbor_id,
                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS "rank"
                FROM s)
-         SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 5"""
+         SELECT query_id, neighbor_id, "rank" FROM r WHERE "rank" <= 5""",
+    // q56: container-level similarity — per-source distinct 3-gram sets
+    // (same shingle definition as q15/q16/q49), pairwise intersection via
+    // the gram self-join, Jaccard + containment + integer-cross-mult
+    // flags replayed exactly
+    "q56_source_similarity" ->
+      """WITH toks AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+         sh AS (SELECT source, list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS shingles
+                FROM toks WHERE len(t) >= 3),
+         sg AS (SELECT DISTINCT source, unnest(shingles) AS g FROM sh),
+         sz AS (SELECT source, COUNT(*) AS n FROM sg GROUP BY source),
+         pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+                          CAST(COUNT(*) AS BIGINT) AS n_inter
+                   FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+                   GROUP BY 1, 2)
+         SELECT p.src_a, p.src_b, p.n_inter,
+                CAST(za.n AS BIGINT) AS na, CAST(zb.n AS BIGINT) AS nb,
+                CAST(za.n + zb.n - p.n_inter AS BIGINT) AS n_union,
+                CAST(p.n_inter AS DOUBLE) / (za.n + zb.n - p.n_inter) AS jaccard,
+                CAST(p.n_inter AS DOUBLE) / LEAST(za.n, zb.n) AS containment,
+                p.n_inter * 20 >= za.n + zb.n - p.n_inter AS near_dup,
+                p.n_inter * 10 >= LEAST(za.n, zb.n) AS fork_like
+         FROM pairs p
+         JOIN sz za ON p.src_a = za.source
+         JOIN sz zb ON p.src_b = zb.source
+         ORDER BY p.src_a, p.src_b""",
+    // q57: every token position opens a 5-token window; repeated = the
+    // window string occurs >= 2 times corpus-wide (all occurrences);
+    // covered = union of repeated windows per doc via the lag/LEAST
+    // span-merge recurrence — identical arithmetic to the Spark
+    // aggregate-HOF pass
+    "q57_repeated_spans" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+         pos AS (SELECT doc_id, unnest([struct_pack(pos := i, g := array_to_string(t[i:i+4], ' ')) FOR i IN range(1, len(t)-3)], recursive := true)
+                 FROM toks WHERE len(t) >= 5),
+         rep AS (SELECT g FROM pos GROUP BY g HAVING COUNT(*) >= 2),
+         rp AS (SELECT doc_id, pos FROM pos JOIN rep USING (g)),
+         cov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_rep,
+                        CAST(SUM(CASE WHEN prev IS NULL THEN 5
+                                      ELSE LEAST(pos - prev, 5) END) AS BIGINT) AS covered
+                 FROM (SELECT doc_id, pos,
+                              lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+                       FROM rp)
+                 GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(len(regexp_split_to_array(trim(d.text), '\s+')) AS BIGINT) AS n_tokens,
+                COALESCE(c.n_rep, 0) AS n_rep_positions,
+                COALESCE(c.covered, 0) AS covered_tokens,
+                CAST(COALESCE(c.covered, 0) AS DOUBLE)
+                  / len(regexp_split_to_array(trim(d.text), '\s+')) AS covered_frac,
+                COALESCE(c.covered, 0) * 2
+                  >= len(regexp_split_to_array(trim(d.text), '\s+')) AS mostly_dup
+         FROM documents d LEFT JOIN cov c USING (doc_id)
+         ORDER BY d.doc_id"""
   )
 }

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Container-level (repository / crawl-source) similarity — fork and
+  * mirror detection. Doc-level dedup (q08/q15/q16/q17) removes copied
+  * FILES; a code corpus additionally carries copied CONTAINERS: forks,
+  * vendored trees and mirrored repos whose files are individually unique
+  * enough to survive doc-level thresholds but whose aggregate content is
+  * one repository counted many times. The unit of comparison here is the
+  * container's gram SET (the union of its documents' word 3-grams — the
+  * same shingle definition as the whole dedup family, so one tokenizer
+  * rules them all), compared by Jaccard for mirror detection and by
+  * containment (|A∩B| / min(|A|,|B|)) for fork/vendoring detection —
+  * containment catches a small repo embedded in a big one, which Jaccard
+  * dilutes toward zero.
+  *
+  * Reference scope note: the reference profiles one database at a time
+  * (`services/version_service.py` compares VERSIONS of one catalog);
+  * cross-container comparison is a beyond-reference operator of the
+  * training-data plane, same family as q46-q53.
+  *
+  * Scale shape (the 10⁸-repo design point):
+  *  - The exact pairwise path ([[containerSimilarity]]) is the ORACLE
+  *    BASELINE, exactly as q15 is for q16: an inverted index on the gram
+  *    (one shuffle), self-join per gram, so a gram shared by c containers
+  *    contributes c·(c−1)/2 pair rows — the container-df cap bounds that
+  *    fan-out (boilerplate grams — license headers, codegen preambles —
+  *    are precisely the grams shared by MANY containers and carry no
+  *    fork signal).
+  *  - The production path ([[containerMinhashPairs]]) minhash-signs each
+  *    container's gram stream with ONE groupBy (map-side partial min —
+  *    signatures never materialize the gram sets), bands the signatures
+  *    with the derived (r, b) of [[TrainingOps.minhashBanding]], and
+  *    exact-verifies only bucket-collision candidates. Per-container
+  *    state is r·b longs regardless of repo size.
+  */
+object ContainerOps {
+
+  /** Grams appearing in more than this many containers are dropped before
+    * pairing (boilerplate cap — the container-level analogue of
+    * [[TrainingOps.ShingleDfCap]]). Bounds the inverted-index fan-out at
+    * cap²-per-gram; never trips at gate scale (20 sources), so the
+    * DuckDB oracle can ignore it.
+    */
+  val ContainerDfCap = 1000
+
+  /** Flag denominators (integer cross-multiplication — no float parity
+    * risk): `near_dup` = Jaccard ≥ 1/[[NearDupDen]] (mirror candidates),
+    * `fork_like` = containment ≥ 1/[[ForkDen]] (one side largely embedded
+    * in the other). Tuned so each fires on a meaningful minority of the
+    * gate corpus (9/190 resp. 6/190 source pairs at sf0.01).
+    */
+  val NearDupDen = 20L
+  val ForkDen = 10L
+
+  /** Distinct (cid, s) gram rows per container: the shared word-3-gram
+    * definition ([[TrainingOps.shingleSets]]), grouped by the container
+    * column instead of doc_id, grams as xxhash64 longs (8-byte shuffle
+    * payload — the house discipline). The per-doc `array_distinct` stays:
+    * the container-level DISTINCT collapses cross-doc repeats anyway, and
+    * dropping per-doc dedup first would explode strictly more rows.
+    *
+    * One shuffle (the distinct, keyed by (cid, s)); the shingle transform
+    * itself is map-side, spread-guarded like every generator consumer.
+    */
+  private[queries] def containerGrams(docs: DataFrame,
+      container: String): DataFrame =
+    graft.profile.Profiler.spread(docs.sparkSession, docs)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", expr(
+        "array_distinct(transform(sequence(1, size(toks)-2), " +
+          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))"))
+      .select(col(container).as("cid"), explode(col("shingles")).as("str"))
+      .select(col("cid"), xxhash64(col("str")).as("s"))
+      .distinct()
+
+  /** Exact all-pairs container similarity over the DF-capped gram sets:
+    * one row per container pair sharing ≥ 1 gram, with intersection /
+    * union sizes, Jaccard, containment, and the two flags. Pairs sharing
+    * nothing are absent by construction (an all-pairs zero matrix is
+    * quadratic noise at any real container count).
+    *
+    * This is the exact baseline the MinHash path approximates — the q15
+    * role. The sizes join carries #containers rows and is broadcast by
+    * default; at ≥10⁷ containers pass `broadcastSizes = false` and the
+    * join shuffles on the container key instead (the r5-ADVICE size-
+    * switch discipline: an explicit hint must not outlive its regime).
+    */
+  def containerSimilarity(docs: DataFrame, container: String = "source",
+      dfCap: Int = ContainerDfCap,
+      broadcastSizes: Boolean = true): DataFrame = {
+    val raw = containerGrams(docs, container).cache()
+    val hot = raw.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("s"))
+    // hot set is tiny by construction (≤ occurrences/dfCap keys)
+    val grams = raw.join(broadcast(hot), Seq("s"), "left_anti").cache()
+    val sizes = grams.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+    val hinted = if (broadcastSizes) broadcast(sizes) else sizes
+    val inter = grams.as("a").join(grams.as("b"),
+        col("a.s") === col("b.s") && col("a.cid") < col("b.cid"))
+      .groupBy(col("a.cid").as("src_a"), col("b.cid").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(hinted.select(col("cid").as("src_a"), col("n").as("na")), "src_a")
+      .join(hinted.select(col("cid").as("src_b"), col("n").as("nb")), "src_b")
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .withColumn("containment",
+        col("n_inter").cast("double") / least(col("na"), col("nb")))
+      .withColumn("near_dup", col("n_inter") * NearDupDen >= col("n_union"))
+      .withColumn("fork_like",
+        col("n_inter") * ForkDen >= least(col("na"), col("nb")))
+      .select(col("src_a"), col("src_b"), col("n_inter"), col("na"),
+        col("nb"), col("n_union"), col("jaccard"), col("containment"),
+        col("near_dup"), col("fork_like"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** MinHash+LSH container pairs at `threshold` — the production path.
+    * Signatures ride the SAME banding derivation as document MinHash
+    * ([[TrainingOps.minhashBanding]]: miss ≤ targetMiss at the
+    * threshold), signed per container with one groupBy over the gram
+    * stream, banded, bucket-joined, then EXACT-verified on the gram sets
+    * of candidate containers only — so the output equals
+    * [[containerSimilarity]] restricted to jaccard ≥ threshold, up to
+    * banding-miss probability (ContainerOpsSpec asserts the equality).
+    *
+    * The verify stage semi-filters the gram index to candidate
+    * containers first (candidates are few by construction — that is the
+    * point of banding), so verify cost is proportional to candidate
+    * content, never corpus content.
+    */
+  def containerMinhashPairs(docs: DataFrame, container: String = "source",
+      threshold: Double = 0.05, targetMiss: Double = 1e-9,
+      dfCap: Int = ContainerDfCap): DataFrame = {
+    val (r, b) = TrainingOps.minhashBanding(threshold, targetMiss)
+    val raw = containerGrams(docs, container).cache()
+    val hot = raw.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("s"))
+    val grams = raw.join(broadcast(hot), Seq("s"), "left_anti").cache()
+    val buckets = TrainingOps.bandedBuckets(
+      grams.withColumnRenamed("cid", "doc_id"), r, b)
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src_a"), col("b.doc_id").as("src_b"))
+      .distinct().cache()
+    val candIds = cand.select(col("src_a").as("cid"))
+      .union(cand.select(col("src_b").as("cid"))).distinct()
+    val cgrams = grams.join(broadcast(candIds), Seq("cid")).cache()
+    val sizes = cgrams.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+    val inter = cgrams.as("a").join(cgrams.as("b"),
+        col("a.s") === col("b.s") && col("a.cid") < col("b.cid"))
+      .groupBy(col("a.cid").as("src_a"), col("b.cid").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    cand.join(inter, Seq("src_a", "src_b")) // candidates sharing ≥1 gram
+      .join(broadcast(sizes.select(col("cid").as("src_a"), col("n").as("na"))),
+        "src_a")
+      .join(broadcast(sizes.select(col("cid").as("src_b"), col("n").as("nb"))),
+        "src_b")
+      .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
+      .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("src_a"), col("src_b"), col("n_inter"), col("n_union"),
+        col("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** q56 — the 20-source similarity matrix over `documents`: every
+    * source pair sharing at least one 3-gram, with exact intersection /
+    * union / Jaccard / containment and the mirror/fork flags. The oracle
+    * replays gram sets, the pair join and every derived column in SQL.
+    */
+  def q56SourceSimilarity(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    containerSimilarity(
+      spark.read.parquet(s"$dir/documents.parquet"), "source")
+}

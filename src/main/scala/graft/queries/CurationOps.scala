@@ -430,4 +430,92 @@ object CurationOps {
   /** q53 — the 20-source quality decision table over `documents`. */
   def q53SourceQuality(spark: SparkSession, dir: String): DataFrame =
     sourceQualityProfile(t(spark, dir, "documents"))
+
+  /** Window width for [[repeatedSpans]] — the q57 gate operating point.
+    * Production exact-substring dedup uses ~50-token windows (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better");
+    * the gate corpus' docs are short, so the gate pins k=5. The operator
+    * is k-generic.
+    */
+  val SpanK = 5
+
+  /** Cross-document repeated-span statistics (the EXACT-SUBSTRING dedup
+    * shape, position-level where q15/q16 are document-level): every
+    * token position opens a k-token window; a position is REPEATED when
+    * its window occurs ≥ `minCount` times in the whole corpus (all
+    * occurrences count — a window repeated within one doc is exactly the
+    * self-plagiarism exact-substring dedup removes). Output per doc:
+    * token count, repeated-position count, `covered_tokens` = size of
+    * the UNION of repeated windows (overlaps merged: k for the first
+    * position of a run, min(gap, k) per successor — the sorted-position
+    * recurrence), the covered fraction, and `mostly_dup` (covered ≥ half
+    * the doc, integer cross-multiplication). This is the per-doc report
+    * a span-scrubbing rewrite pass consumes; suffix arrays (the
+    * single-node literature shape) don't distribute — the k-gram window
+    * index is the Spark-native equivalent with the same detection power
+    * for spans ≥ k.
+    *
+    * Scale: one corpus scan explodes positions (map-side, spread-
+    * guarded); the window frequency is ONE groupBy on the 8-byte window
+    * hash; repeated positions come back via the (already co-partitioned
+    * by AQE) hash join on that key; the per-doc merge is a groupBy(doc)
+    * over repeated positions only — overwhelmingly smaller than the
+    * corpus (429/500 gate docs contribute zero rows). A production run
+    * caps boilerplate windows by DF exactly like the shingle family;
+    * the gate keeps uncapped exact semantics the oracle replays.
+    */
+  def repeatedSpans(docs: DataFrame, k: Int = SpanK,
+      minCount: Int = 2): DataFrame = {
+    require(k >= 2 && minCount >= 2)
+    val pos = graft.profile.Profiler.spread(docs.sparkSession, docs)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= k)
+      // sequence/slice are clamped defensively: Catalyst may evaluate the
+      // projection on rows the filter later discards (observed on the
+      // interpreted-HOF path), and sequence(1, n<1) turns DESCENDING,
+      // feeding slice a zero start. Clamped rows never survive the
+      // filter, so the clamp is value-invisible.
+      .withColumn("w", expr(
+        s"transform(sequence(1, greatest(size(toks) - ${k - 1}, 1)), " +
+          s"i -> struct(i AS pos, xxhash64(concat_ws(' ', slice(toks, i, $k))) AS s))"))
+      .select(col("doc_id"), explode(col("w")).as("w"))
+      .select(col("doc_id"), col("w.pos"), col("w.s"))
+      .cache() // feeds the frequency agg AND the position join
+    val rep = pos.groupBy(col("s")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount).select(col("s"))
+    val merged = pos.join(rep, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_rep_positions"),
+        array_sort(collect_list(col("pos"))).as("ps"))
+      .withColumn("covered_tokens",
+        aggregate(col("ps"),
+          struct(lit(-1).as("prev"), lit(0L).as("cov")),
+          (acc, p) => struct(p.as("prev"),
+            (acc.getField("cov") + when(acc.getField("prev") < 0, k)
+              .otherwise(least(p - acc.getField("prev"), lit(k))))
+              .as("cov")),
+          acc => acc.getField("cov")))
+      .select(col("doc_id"), col("n_rep_positions"), col("covered_tokens"))
+    docs.select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .join(merged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_rep_positions"), lit(0L)).as("n_rep_positions"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        (coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+          col("n_tokens")).as("covered_frac"),
+        (coalesce(col("covered_tokens"), lit(0L)) * 2L >= col("n_tokens"))
+          .as("mostly_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q57 — repeated 5-gram spans over `documents`: per doc the repeated-
+    * window positions, merged covered-token mass, fraction and the
+    * half-covered flag. The oracle replays window construction, global
+    * frequency, and the span-merge recurrence (lag + LEAST) in SQL;
+    * flags are integer cross-multiplications. Fires on exactly the
+    * planted high-duplication docs (47/500 at sf0.01).
+    */
+  def q57RepeatedSpans(spark: SparkSession, dir: String): DataFrame =
+    repeatedSpans(t(spark, dir, "documents"))
 }

@@ -344,4 +344,102 @@ class CurationOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(11L -> 0L))
   }
+
+  // ---- repeated k-gram spans (q57) ----
+
+  /** Driver-side replay of the whole operator: window frequency over ALL
+    * occurrences, sorted repeated positions, the span-merge recurrence.
+    */
+  private def bruteSpans(rows: Seq[(Long, String)],
+      k: Int = 5): Map[Long, (Long, Long, Long)] = {
+    val wins = rows.flatMap { case (id, t) =>
+      val ts = t.trim.split("\\s+").toSeq
+      if (ts.size < k) Nil
+      else ts.sliding(k).zipWithIndex.map { case (w, i) =>
+        (id, i + 1, w.mkString(" "))
+      }.toSeq
+    }
+    val freq = wins.groupBy(_._3).view.mapValues(_.size).toMap
+    rows.map { case (id, t) =>
+      val nt = t.trim.split("\\s+").length.toLong
+      val ps = wins.filter(w => w._1 == id && freq(w._3) >= 2)
+        .map(_._2).sorted
+      var prev = -1; var cov = 0L
+      ps.foreach { p =>
+        cov += (if (prev < 0) k else math.min(p - prev, k)); prev = p
+      }
+      id -> ((nt, ps.size.toLong, cov))
+    }.toMap
+  }
+
+  private def collectSpans(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, Long, Double, Boolean)] =
+    df.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_rep_positions"),
+        r.getAs[Long]("covered_tokens"), r.getAs[Double]("covered_frac"),
+        r.getAs[Boolean]("mostly_dup")))).toMap
+
+  test("repeatedSpans: within-doc repeat fully covers the doc") {
+    // windows at pos 1 and 6 are both "a b c d e": covered = 5 + min(5,5)
+    val d = docs((1L, "a b c d e a b c d e", "en")).drop("lang")
+    val got = collectSpans(CurationOps.repeatedSpans(d))(1L)
+    assert(got == ((10L, 2L, 10L, 1.0, true)))
+  }
+
+  test("repeatedSpans: cross-doc repeat covers both docs' spans") {
+    // the 5-token window "p q r s t" occurs once in each doc
+    val d = docs((1L, "p q r s t x1 y1 z1", "en"),
+      (2L, "a2 p q r s t b2", "en")).drop("lang")
+    val got = collectSpans(CurationOps.repeatedSpans(d))
+    assert(got(1L) == ((8L, 1L, 5L, 5.0 / 8.0, true)))
+    assert(got(2L) == ((7L, 1L, 5L, 5.0 / 7.0, true)))
+  }
+
+  test("repeatedSpans: clean docs report zeros and no flag") {
+    val d = docs((1L, "u1 u2 u3 u4 u5 u6", "en"),
+      (2L, "v1 v2 v3 v4 v5", "en"), (3L, "short doc", "en")).drop("lang")
+    val got = collectSpans(CurationOps.repeatedSpans(d))
+    assert(got(1L) == ((6L, 0L, 0L, 0.0, false)))
+    assert(got(2L) == ((5L, 0L, 0L, 0.0, false)))
+    assert(got(3L) == ((2L, 0L, 0L, 0.0, false)))
+  }
+
+  test("repeatedSpans: overlapping repeated windows merge, not double-count") {
+    // "a b c d e f" repeated twice in one doc: windows (abcde, bcdef)
+    // each occur twice; positions 1,2,7,8 -> covered = 5+1+5+1 = 12 of 12
+    val d = docs((1L, "a b c d e f a b c d e f", "en")).drop("lang")
+    val got = collectSpans(CurationOps.repeatedSpans(d))(1L)
+    assert(got == ((12L, 4L, 12L, 1.0, true)))
+  }
+
+  test("repeatedSpans: brute-force equality on a seeded corpus") {
+    val rnd = new scala.util.Random(57)
+    val vocab = Vector("al", "be", "ga", "de", "ep", "ze", "et", "th")
+    val rows: Seq[(Long, String)] = (1L to 150L).map { id =>
+      val n = 2 + rnd.nextInt(25)
+      (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val exp = bruteSpans(rows)
+    val got = collectSpans(CurationOps.repeatedSpans(
+      rows.toDF("doc_id", "text")))
+    assert(got.keySet == exp.keySet)
+    rows.foreach { case (id, text) =>
+      val (nt, nr, cov) = exp(id)
+      val (gnt, gnr, gcov, gfrac, gflag) = got(id)
+      assert((gnt, gnr, gcov) == ((nt, nr, cov)), s"doc $id: '$text'")
+      assert(gfrac == cov.toDouble / nt && gflag == (cov * 2 >= nt))
+    }
+  }
+
+  test("repeatedSpans: partition-layout invariance") {
+    val rnd = new scala.util.Random(58)
+    val vocab = Vector("m1", "m2", "m3", "m4", "m5")
+    val rows: Seq[(Long, String)] = (1L to 60L).map { id =>
+      (id, Seq.fill(5 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" "))
+    }
+    val d = rows.toDF("doc_id", "text")
+    val a = collectSpans(CurationOps.repeatedSpans(d.repartition(1)))
+    val b = collectSpans(CurationOps.repeatedSpans(d.repartition(7)))
+    assert(a == b)
+  }
 }

@@ -183,4 +183,32 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "query probes are tiny by contract - the corpus-side code table must not shuffle for the probe join")
   }
+
+  test("q56: gram scan prunes to (text, source); index cached; sizes broadcast") {
+    // scan pin on the uncached gram stage (inside q56 it sits behind a
+    // cache whose InMemoryRelation hides the subtree — the q15 pattern)
+    val g = ContainerOps.containerGrams(
+      spark.read.parquet(s"$dir/documents.parquet"), "source")
+    val scan = scanLine(finalPlan(g), "documents")
+    assert(scan.contains("struct<text:string,source:string>") ||
+      (scan.contains("text") && scan.contains("source") &&
+        !scan.contains("doc_id")),
+      s"gram stage must read only (text, source): $scan")
+    val p = finalPlan(ContainerOps.q56SourceSimilarity(spark, dir))
+    assert(p.contains("InMemoryTableScan"),
+      "the capped gram index must be reused from cache on both join sides")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-container sizes joins must broadcast")
+  }
+
+  test("q57: scan prunes to (doc_id, text); position index cached once") {
+    val p = finalPlan(CurationOps.q57RepeatedSpans(spark, dir))
+    val scan = scanLine(p, "documents")
+    assert(scan.contains("struct<doc_id:bigint,text:string>") ||
+      (!scan.contains("source") && !scan.contains("lang")),
+      s"span stage must not read source/lang/n_chars: $scan")
+    assert(p.contains("InMemoryTableScan"),
+      "the exploded position frame must feed frequency agg AND the " +
+        "position join from cache, not two generator passes")
+  }
 }
