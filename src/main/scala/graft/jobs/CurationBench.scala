@@ -20,6 +20,13 @@ import graft.queries.CurationOps
   *    totals are invariant and every sequence respects the budget.
   *  - `decon <n> [n2 ...]` — decontaminationReport with 100 planted
   *    eval copies; verifies exactly the planted sources are flagged.
+  *  - `fork <m> [m2 ...]` — container similarity over m 8-doc containers
+  *    with 50 planted forks and a vendored-library overlap profile;
+  *    exact path vs MinHash path A/B (pair mass vs candidate mass, both
+  *    verified to find exactly the planted fork pairs at J ≥ 0.7).
+  *  - `span <n> [n2 ...]` — repeatedSpans over n docs with n/1000
+  *    planted full copies; verifies exactly the planted docs flag
+  *    mostly_dup and natural docs report the shared-head coverage.
   */
 object CurationBench {
 
@@ -208,6 +215,125 @@ object CurationBench {
       f""""steal_classic":$s2%.2f,"cpu_eff_classic":$e2%.3f}"""
   }
 
+  /** One synthetic source-code container = 8 docs. Doc 0 carries a
+    * "library" sentence shared by ~containers/400 other containers (the
+    * vendored-dependency shape): 6 tokens → 4 shingles with document
+    * frequency well under the container-DF cap, so the EXACT inverted
+    * index must materialize C(sharers, 2) pair rows per library shingle
+    * — the quadratic mass the MinHash path is built to avoid. The
+    * 7-token boilerplate head every doc shares has df = #containers and
+    * is removed by the cap (its designed job).
+    */
+  private def baseDoc(c: Long, j: Int): String = {
+    val t = DedupScaleBench.docText(c * 8 + j)
+    if (j == 0) {
+      val g = c % 400
+      t + s" lib${g}a lib${g}b lib${g}c lib${g}d lib${g}e lib${g}f"
+    } else t
+  }
+
+  /** m natural containers c0..c(m−1) plus `planted` forks: fork fi
+    * copies 7 of base ci's 8 docs verbatim (library sentence included)
+    * and adds 1 unique doc → gram Jaccard ≈ 0.78, above the 0.7 pair
+    * threshold; every non-fork pair sits orders of magnitude below it.
+    */
+  private def forkCorpus(spark: SparkSession, m: Long, planted: Int) = {
+    import spark.implicits._
+    spark.range((m + planted) * 8).map { did =>
+      val c = did / 8; val j = (did % 8).toInt
+      if (c < m) (s"c$c", baseDoc(c, j))
+      else {
+        val i = c - m
+        if (j < 7) (s"f$i", baseDoc(i, j))
+        else (s"f$i", DedupScaleBench.docText(9000000000L + i))
+      }
+    }.toDF("cid", "text")
+  }
+
+  def forkPoint(spark: SparkSession, m: Long): String = {
+    import graft.queries.ContainerOps
+    val planted = 50
+    val threshold = 0.7
+    val docs = forkCorpus(spark, m, planted).cache()
+    docs.count() // materialize: time the operators, not the generator
+    val want = (0 until planted).map(i => (s"c$i", s"f$i")).toSet
+    // exact-path pair mass from the capped index (the quantity the
+    // inverted-index groupBy must shuffle), plus its wall + verdict
+    var exactPairs = Set.empty[(String, String)]
+    var pairMass = 0L
+    val t0 = System.nanoTime()
+    val (s1, e1) = DedupScaleBench.witness { () =>
+      val sim = ContainerOps.containerSimilarity(docs, "cid").cache()
+      pairMass = sim.count()
+      exactPairs = sim.filter(col("jaccard") >= threshold)
+        .select("src_a", "src_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      sim.unpersist()
+      ()
+    }
+    val wExact = (System.nanoTime() - t0) / 1e9
+    spark.catalog.clearCache(); docs.cache(); docs.count()
+    // minhash-path candidate mass from bucket occupancies (untimed
+    // diagnostic — it shares the signing stages the timed run repeats)
+    val candMass = ContainerOps.containerBandBuckets(docs, "cid", threshold)
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * (col("c") - 1))).head().getLong(0) / 2
+    spark.catalog.clearCache(); docs.cache(); docs.count()
+    // the full verified minhash pipeline, timed
+    var mhPairs = Set.empty[(String, String)]
+    val t1 = System.nanoTime()
+    val (s2, e2) = DedupScaleBench.witness { () =>
+      mhPairs = ContainerOps.containerMinhashPairs(docs, "cid", threshold)
+        .select("src_a", "src_b").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    }
+    val wMh = (System.nanoTime() - t1) / 1e9
+    docs.unpersist(); spark.catalog.clearCache()
+    f"""{"kind":"fork","containers":$m,"docs":${(m + planted) * 8},""" +
+      f""""planted":$planted,"exact_found":${exactPairs.size},""" +
+      f""""exact_ok":${exactPairs == want},"mh_found":${mhPairs.size},""" +
+      f""""mh_ok":${mhPairs == want},"inverted_pair_mass":$pairMass,""" +
+      f""""mh_cand_mass":$candMass,""" +
+      f""""cand_per_container":${candMass.toDouble / m}%.3f,""" +
+      f""""wall_exact_sec":$wExact%.2f,"wall_mh_sec":$wMh%.2f,""" +
+      f""""steal_exact":$s1%.2f,"cpu_eff_exact":$e1%.3f,""" +
+      f""""steal_mh":$s2%.2f,"cpu_eff_mh":$e2%.3f}"""
+  }
+
+  def spanPoint(spark: SparkSession, n: Long): String = {
+    import spark.implicits._
+    // planted full-copy duplicates: every id ≡ 7 (mod 1000) carries the
+    // SAME text → all its windows repeat → mostly_dup must flag exactly
+    // these. Natural docs share only the 7-token boilerplate head
+    // (covered 7 of ~37 tokens — under the half-doc flag line).
+    val docs = spark.range(n).map { id =>
+      val text = if (id % 1000 == 7) DedupScaleBench.docText(7)
+                 else DedupScaleBench.docText(id)
+      (id.toLong, text)
+    }.toDF("doc_id", "text").cache()
+    docs.count()
+    var flagged = Set.empty[Long]
+    var headCovered = 0L
+    val t0 = System.nanoTime()
+    val (steal, cpuEff) = DedupScaleBench.witness { () =>
+      val r = CurationOps.repeatedSpans(docs).cache()
+      flagged = r.filter(col("mostly_dup")).select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      // natural docs must still report the shared-head coverage (7)
+      headCovered = r.filter(!col("mostly_dup"))
+        .agg(min(col("covered_tokens"))).head().getLong(0)
+      r.unpersist()
+      ()
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+    docs.unpersist(); spark.catalog.clearCache()
+    val want = (0L until n).filter(_ % 1000 == 7).toSet
+    f"""{"kind":"span","n":$n,"planted":${want.size},""" +
+      f""""flagged":${flagged.size},"flagged_exact":${flagged == want},""" +
+      f""""min_natural_covered":$headCovered,"wall_sec":$wall%.2f,""" +
+      f""""steal_pct":$steal%.2f,"cpu_eff":$cpuEff%.3f}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("mix")
     val ns = args.drop(1).map(_.toLong).toSeq match {
@@ -228,6 +354,8 @@ object CurationBench {
         case "pack" => packPoint(spark, n)
         case "decon" => deconPoint(spark, n)
         case "rep" => repPoint(spark, n)
+        case "fork" => forkPoint(spark, n)
+        case "span" => spanPoint(spark, n)
         case _ => mixPoint(spark, n)
       }
     }

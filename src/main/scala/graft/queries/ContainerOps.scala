@@ -92,11 +92,7 @@ object ContainerOps {
   def containerSimilarity(docs: DataFrame, container: String = "source",
       dfCap: Int = ContainerDfCap,
       broadcastSizes: Boolean = true): DataFrame = {
-    val raw = containerGrams(docs, container).cache()
-    val hot = raw.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select(col("s"))
-    // hot set is tiny by construction (≤ occurrences/dfCap keys)
-    val grams = raw.join(broadcast(hot), Seq("s"), "left_anti").cache()
+    val grams = cappedGrams(docs, container, dfCap)
     val sizes = grams.groupBy(col("cid")).agg(count(lit(1)).as("n"))
     val hinted = if (broadcastSizes) broadcast(sizes) else sizes
     val inter = grams.as("a").join(grams.as("b"),
@@ -133,14 +129,39 @@ object ContainerOps {
     * point of banding), so verify cost is proportional to candidate
     * content, never corpus content.
     */
+  /** The DF-capped gram index — shared by the exact path, the MinHash
+    * path and the bucket diagnostic. CACHED (feeds the hot-set aggregate
+    * and every downstream consumer); released by the harness clearCache
+    * between queries, same contract as the shingle family.
+    */
+  private[graft] def cappedGrams(docs: DataFrame, container: String,
+      dfCap: Int): DataFrame = {
+    val raw = containerGrams(docs, container).cache()
+    val hot = raw.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("s"))
+    raw.join(broadcast(hot), Seq("s"), "left_anti").cache()
+  }
+
+  /** Banded-bucket diagnostic mirroring [[containerMinhashPairs]]'s
+    * signature/banding stages EXACTLY (the
+    * [[TrainingOps.minhashBandBuckets]] pattern): (cid, band, bh) rows,
+    * so benches can compute candidate-join mass from bucket occupancies
+    * (Σ c·(c−1)/2 per bucket) without materializing the join.
+    */
+  def containerBandBuckets(docs: DataFrame, container: String = "source",
+      threshold: Double = 0.05, targetMiss: Double = 1e-9,
+      dfCap: Int = ContainerDfCap): DataFrame = {
+    val (r, b) = TrainingOps.minhashBanding(threshold, targetMiss)
+    TrainingOps.bandedBuckets(
+      cappedGrams(docs, container, dfCap).withColumnRenamed("cid", "doc_id"),
+      r, b).withColumnRenamed("doc_id", "cid")
+  }
+
   def containerMinhashPairs(docs: DataFrame, container: String = "source",
       threshold: Double = 0.05, targetMiss: Double = 1e-9,
       dfCap: Int = ContainerDfCap): DataFrame = {
     val (r, b) = TrainingOps.minhashBanding(threshold, targetMiss)
-    val raw = containerGrams(docs, container).cache()
-    val hot = raw.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select(col("s"))
-    val grams = raw.join(broadcast(hot), Seq("s"), "left_anti").cache()
+    val grams = cappedGrams(docs, container, dfCap)
     val buckets = TrainingOps.bandedBuckets(
       grams.withColumnRenamed("cid", "doc_id"), r, b)
     val cand = buckets.as("a").join(buckets.as("b"),
