@@ -81,7 +81,9 @@ object SparkEntry {
     "q54_pq_ann" -> (TrainingOps.q54PqAnn(_, _)),
     "q55_ivfpq_ann" -> (TrainingOps.q55IvfPqAnn(_, _)),
     "q56_source_similarity" -> (ContainerOps.q56SourceSimilarity(_, _)),
-    "q57_repeated_spans" -> (CurationOps.q57RepeatedSpans(_, _))
+    "q57_repeated_spans" -> (CurationOps.q57RepeatedSpans(_, _)),
+    "q58_license_files" -> (graft.filter.Licenses.q58LicenseFiles(_, _)),
+    "q59_repo_licenses" -> (graft.filter.Licenses.q59RepoLicenses(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -948,6 +950,120 @@ object SparkEntry {
                 COALESCE(c.covered, 0) * 2
                   >= len(regexp_split_to_array(trim(d.text), '\s+')) AS mostly_dup
          FROM documents d LEFT JOIN cov c USING (doc_id)
-         ORDER BY d.doc_id"""
+         ORDER BY d.doc_id""",
+    // q58: the oracle REBUILDS the constructed corpus from the same
+    // nation arithmetic and then runs its OWN regex detection (RE2) over
+    // the reconstructed content — Spark's classifier is checked against
+    // an independent implementation, not the construction labels
+    "q58_license_files" ->
+      """WITH f AS (
+           SELECT n.n_name AS repo, CAST(i AS BIGINT) AS file_idx,
+                  CASE WHEN (n.n_nationkey + i) % 8 = 7
+                       THEN repeat(n.n_name || ' ', 600) || 'This program is free software: you can redistribute it and/or modify it under the terms of the GNU General Public License as published by the Free Software Foundation, either version 3 of the License'
+                       ELSE CASE (n.n_nationkey + i) % 8
+                              WHEN 0 THEN 'Permission is hereby granted, free of charge, to any person obtaining a copy of this software'
+                              WHEN 1 THEN 'Licensed under the Apache License, Version 2.0 (the License)'
+                              WHEN 2 THEN 'This program is free software: you can redistribute it and/or modify it under the terms of the GNU General Public License as published by the Free Software Foundation, either version 3 of the License'
+                              WHEN 3 THEN 'Redistribution and use in source and binary forms, with or without modification, are permitted'
+                              WHEN 4 THEN 'SPDX-License-Identifier: MIT' || chr(10) || 'This program is free software: you can redistribute it and/or modify it under the terms of the GNU General Public License as published by the Free Software Foundation, either version 3 of the License'
+                              WHEN 5 THEN ''
+                              WHEN 6 THEN 'This Source Code Form is subject to the terms of the Mozilla Public License, v. 2.0'
+                              ELSE '' END
+                            || chr(10) || '// region ' || n.n_regionkey || chr(10)
+                            || repeat(n.n_name || ' ', 120)
+                  END AS content
+           FROM nation n, (SELECT unnest(range(6)) AS i)
+           WHERE i <= n.n_nationkey % 3 + 2),
+         lic AS (
+           SELECT repo, file_idx,
+                  COALESCE(NULLIF(regexp_extract(substr(content, 1, 2048), 'SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)', 1), ''),
+                    CASE WHEN regexp_matches(substr(content, 1, 2048), 'Licensed\s+under\s+the\s+Apache\s+License,\s+Version\s+2\.0') THEN 'Apache-2.0'
+                         WHEN regexp_matches(substr(content, 1, 2048), 'Permission\s+is\s+hereby\s+granted,\s+free\s+of\s+charge') THEN 'MIT'
+                         WHEN regexp_matches(substr(content, 1, 2048), 'Redistribution\s+and\s+use\s+in\s+source\s+and\s+binary\s+forms') THEN 'BSD-3-Clause'
+                         WHEN regexp_matches(substr(content, 1, 2048), '(?s)GNU\s+General\s+Public\s+License.{0,200}version\s+3') THEN 'GPL-3.0'
+                         WHEN regexp_matches(substr(content, 1, 2048), '(?s)GNU\s+General\s+Public\s+License.{0,200}version\s+2') THEN 'GPL-2.0'
+                         WHEN regexp_matches(substr(content, 1, 2048), '(?s)Mozilla\s+Public\s+License.{0,40}2\.0') THEN 'MPL-2.0'
+                         WHEN regexp_matches(substr(content, 1, 2048), 'free\s+and\s+unencumbered\s+software') THEN 'Unlicense'
+                         ELSE 'none' END) AS license
+           FROM f)
+         SELECT repo, file_idx, license,
+                CASE license WHEN 'MIT' THEN 'permissive'
+                             WHEN 'Apache-2.0' THEN 'permissive'
+                             WHEN 'BSD-3-Clause' THEN 'permissive'
+                             WHEN 'Unlicense' THEN 'permissive'
+                             WHEN 'MPL-2.0' THEN 'weak-copyleft'
+                             WHEN 'GPL-3.0' THEN 'copyleft'
+                             WHEN 'GPL-2.0' THEN 'copyleft'
+                             WHEN 'AGPL-3.0' THEN 'copyleft'
+                             WHEN 'LGPL-2.1' THEN 'weak-copyleft'
+                             WHEN 'none' THEN 'none'
+                             ELSE 'unknown' END AS category,
+                CASE license WHEN 'GPL-3.0' THEN FALSE WHEN 'GPL-2.0' THEN FALSE
+                             WHEN 'AGPL-3.0' THEN FALSE ELSE TRUE END AS keep
+         FROM lic
+         ORDER BY repo, file_idx""",
+    // q59: the repo rollup replayed over the same reconstruction +
+    // independent detection; the license set is sorted and comma-joined
+    // into a stable scalar in both engines
+    "q59_repo_licenses" ->
+      """WITH f AS (
+           SELECT n.n_name AS repo, CAST(i AS BIGINT) AS file_idx,
+                  CASE WHEN (n.n_nationkey + i) % 8 = 7
+                       THEN repeat(n.n_name || ' ', 600) || 'This program is free software: you can redistribute it and/or modify it under the terms of the GNU General Public License as published by the Free Software Foundation, either version 3 of the License'
+                       ELSE CASE (n.n_nationkey + i) % 8
+                              WHEN 0 THEN 'Permission is hereby granted, free of charge, to any person obtaining a copy of this software'
+                              WHEN 1 THEN 'Licensed under the Apache License, Version 2.0 (the License)'
+                              WHEN 2 THEN 'This program is free software: you can redistribute it and/or modify it under the terms of the GNU General Public License as published by the Free Software Foundation, either version 3 of the License'
+                              WHEN 3 THEN 'Redistribution and use in source and binary forms, with or without modification, are permitted'
+                              WHEN 4 THEN 'SPDX-License-Identifier: MIT' || chr(10) || 'This program is free software: you can redistribute it and/or modify it under the terms of the GNU General Public License as published by the Free Software Foundation, either version 3 of the License'
+                              WHEN 5 THEN ''
+                              WHEN 6 THEN 'This Source Code Form is subject to the terms of the Mozilla Public License, v. 2.0'
+                              ELSE '' END
+                            || chr(10) || '// region ' || n.n_regionkey || chr(10)
+                            || repeat(n.n_name || ' ', 120)
+                  END AS content
+           FROM nation n, (SELECT unnest(range(6)) AS i)
+           WHERE i <= n.n_nationkey % 3 + 2),
+         lic AS (
+           SELECT repo,
+                  COALESCE(NULLIF(regexp_extract(substr(content, 1, 2048), 'SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)', 1), ''),
+                    CASE WHEN regexp_matches(substr(content, 1, 2048), 'Licensed\s+under\s+the\s+Apache\s+License,\s+Version\s+2\.0') THEN 'Apache-2.0'
+                         WHEN regexp_matches(substr(content, 1, 2048), 'Permission\s+is\s+hereby\s+granted,\s+free\s+of\s+charge') THEN 'MIT'
+                         WHEN regexp_matches(substr(content, 1, 2048), 'Redistribution\s+and\s+use\s+in\s+source\s+and\s+binary\s+forms') THEN 'BSD-3-Clause'
+                         WHEN regexp_matches(substr(content, 1, 2048), '(?s)GNU\s+General\s+Public\s+License.{0,200}version\s+3') THEN 'GPL-3.0'
+                         WHEN regexp_matches(substr(content, 1, 2048), '(?s)GNU\s+General\s+Public\s+License.{0,200}version\s+2') THEN 'GPL-2.0'
+                         WHEN regexp_matches(substr(content, 1, 2048), '(?s)Mozilla\s+Public\s+License.{0,40}2\.0') THEN 'MPL-2.0'
+                         WHEN regexp_matches(substr(content, 1, 2048), 'free\s+and\s+unencumbered\s+software') THEN 'Unlicense'
+                         ELSE 'none' END) AS license
+           FROM f),
+         cat AS (
+           SELECT repo, license,
+                  CASE license WHEN 'MIT' THEN 'permissive'
+                               WHEN 'Apache-2.0' THEN 'permissive'
+                               WHEN 'BSD-3-Clause' THEN 'permissive'
+                               WHEN 'Unlicense' THEN 'permissive'
+                               WHEN 'MPL-2.0' THEN 'weak-copyleft'
+                               WHEN 'GPL-3.0' THEN 'copyleft'
+                               WHEN 'GPL-2.0' THEN 'copyleft'
+                               WHEN 'AGPL-3.0' THEN 'copyleft'
+                               WHEN 'LGPL-2.1' THEN 'weak-copyleft'
+                               WHEN 'none' THEN 'none'
+                               ELSE 'unknown' END AS category
+           FROM lic),
+         agg AS (
+           SELECT repo, CAST(COUNT(*) AS BIGINT) AS n_files,
+                  CAST(SUM(CASE WHEN category = 'copyleft' THEN 1 ELSE 0 END) AS BIGINT) AS n_copyleft,
+                  CAST(SUM(CASE WHEN category = 'weak-copyleft' THEN 1 ELSE 0 END) AS BIGINT) AS n_weak,
+                  CAST(SUM(CASE WHEN category = 'permissive' THEN 1 ELSE 0 END) AS BIGINT) AS n_permissive,
+                  CAST(SUM(CASE WHEN category = 'unknown' THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown,
+                  array_to_string(list_sort(list(DISTINCT license)), ',') AS licenses
+           FROM cat GROUP BY repo)
+         SELECT repo, n_files, n_copyleft, n_weak, n_permissive, n_unknown,
+                licenses,
+                CASE WHEN n_copyleft > 0 THEN 'drop'
+                     WHEN n_unknown > 0 OR n_weak > 0 THEN 'review'
+                     ELSE 'keep' END AS verdict
+         FROM agg
+         ORDER BY repo"""
   )
 }

@@ -1,0 +1,189 @@
+package graft.filter
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** License detection and compliance rollup — the code-corpus curation
+  * stage between PII scrubbing and training selection: classify every
+  * file's license from its header, roll the verdicts up per repository,
+  * and decide keep / review / drop (copyleft text must not leak into a
+  * permissively-licensed training set).
+  *
+  * Reference scope note: the reference's semantic detector family
+  * (`semantic_detector.py`, `pii_detector.py`) classifies VALUES by
+  * regex; license classification is the same operator shape applied to
+  * file headers — a beyond-reference member of the compliance family
+  * (P6/U1 are its siblings).
+  *
+  * Detection is pure column algebra (substring + regexp_extract + rlike
+  * chains — all codegen'd, zero UDFs): an SPDX tag wins outright (it is
+  * the machine-readable ground truth when present), else the first
+  * matching body rule in [[Rules]] order, else none. Only the first
+  * [[HeaderScanChars]] characters are scanned — license headers live at
+  * the top of a file, and a GPL mention buried in documentation text
+  * must NOT reclassify the file (q58 case 7 pins this).
+  *
+  * Scale: embarrassingly parallel map-only pass over the corpus scan —
+  * no shuffle, no state; the rollup adds one partial-aggregated
+  * exchange into #repos keys. The regex set is fixed and tiny, compiled
+  * once per task by codegen.
+  */
+object Licenses {
+
+  /** License headers are scanned in the first 2 KiB only. */
+  val HeaderScanChars = 2048
+
+  /** (canonical SPDX id, body-text pattern). Order = precedence for
+    * multi-match headers. Word gaps are `\s+`, not literal spaces —
+    * real headers hard-wrap mid-phrase (the canonical MPL notice wraps
+    * "Mozilla Public / License", LicensesSpec pins it). Patterns are
+    * engine-portable (`(?s)` dotall, bounded gaps, no backrefs) so the
+    * DuckDB oracle runs the SAME regexes via RE2.
+    */
+  val Rules: Seq[(String, String)] = Seq(
+    "Apache-2.0" ->
+      "Licensed\\s+under\\s+the\\s+Apache\\s+License,\\s+Version\\s+2\\.0",
+    "MIT" -> "Permission\\s+is\\s+hereby\\s+granted,\\s+free\\s+of\\s+charge",
+    "BSD-3-Clause" ->
+      "Redistribution\\s+and\\s+use\\s+in\\s+source\\s+and\\s+binary\\s+forms",
+    "GPL-3.0" -> "(?s)GNU\\s+General\\s+Public\\s+License.{0,200}version\\s+3",
+    "GPL-2.0" -> "(?s)GNU\\s+General\\s+Public\\s+License.{0,200}version\\s+2",
+    "MPL-2.0" -> "(?s)Mozilla\\s+Public\\s+License.{0,40}2\\.0",
+    "Unlicense" -> "free\\s+and\\s+unencumbered\\s+software")
+
+  val SpdxPattern = "SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)"
+
+  /** Canonical id → compliance category. Ids outside the table (exotic
+    * SPDX tags) are `unknown` — surfaced for review, never silently
+    * kept.
+    */
+  val Categories: Seq[(String, String)] = Seq(
+    "MIT" -> "permissive", "Apache-2.0" -> "permissive",
+    "BSD-3-Clause" -> "permissive", "Unlicense" -> "permissive",
+    "MPL-2.0" -> "weak-copyleft",
+    "GPL-3.0" -> "copyleft", "GPL-2.0" -> "copyleft",
+    "AGPL-3.0" -> "copyleft", "LGPL-2.1" -> "weak-copyleft")
+
+  /** Canonical license id of `content`'s header: the SPDX tag if
+    * present, else the first body rule that matches, else "none".
+    */
+  def licenseOf(content: Column): Column = {
+    val header = substring(content, 1, HeaderScanChars)
+    val spdx = regexp_extract(header, SpdxPattern, 1)
+    val body = Rules.foldRight(lit("none")) { case ((id, pat), rest) =>
+      when(header.rlike(pat), id).otherwise(rest)
+    }
+    when(spdx =!= "", spdx).otherwise(body)
+  }
+
+  /** Compliance category of a canonical license id column. */
+  def categoryOf(license: Column): Column =
+    Categories.foldRight(
+      when(license === "none", "none").otherwise("unknown")) {
+      case ((id, cat), rest) => when(license === id, cat).otherwise(rest)
+    }
+
+  /** Per-file classification: license, category, keep (copyleft is
+    * dropped; unknown and none are kept but distinguishable downstream).
+    */
+  def classifyFiles(files: DataFrame,
+      contentCol: String = "content"): DataFrame = {
+    val lic = licenseOf(col(contentCol))
+    files
+      .withColumn("license", lic)
+      .withColumn("category", categoryOf(col("license")))
+      .withColumn("keep", col("category") =!= "copyleft")
+  }
+
+  /** Repository-level rollup of [[classifyFiles]] output: file counts
+    * per compliance bucket, the distinct license set (sorted,
+    * comma-joined — a stable scalar for hashing and display), and the
+    * repo verdict: `drop` when any copyleft file is present, `review`
+    * when any unknown license (or a weak-copyleft mix) needs a human,
+    * else `keep`. Counts are exact integers; the only shuffle moves
+    * pre-aggregated partials into #repos keys.
+    */
+  def repoLicenseProfile(classified: DataFrame,
+      repoCol: String = "repo"): DataFrame =
+    classified.groupBy(col(repoCol))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(when(col("category") === "copyleft", 1L).otherwise(0L))
+          .as("n_copyleft"),
+        sum(when(col("category") === "weak-copyleft", 1L).otherwise(0L))
+          .as("n_weak"),
+        sum(when(col("category") === "permissive", 1L).otherwise(0L))
+          .as("n_permissive"),
+        sum(when(col("category") === "unknown", 1L).otherwise(0L))
+          .as("n_unknown"),
+        concat_ws(",",
+          array_sort(collect_set(col("license")))).as("licenses"))
+      .withColumn("verdict",
+        when(col("n_copyleft") > 0, "drop")
+          .when(col("n_unknown") > 0 || col("n_weak") > 0, "review")
+          .otherwise("keep"))
+
+  // ---- q58/q59 gate corpus: deterministic construction from `nation` ----
+
+  /** Gate corpus: (n_nationkey % 3 + 3) files per nation; file
+    * (nationkey, idx) gets header case (nationkey + idx) % 8:
+    * 0 MIT, 1 Apache-2.0, 2 GPL-3.0, 3 BSD-3-Clause,
+    * 4 SPDX tag + contradicting GPL body (tag must win),
+    * 5 no license, 6 MPL-2.0,
+    * 7 GPL text buried PAST the 2 KiB header scan (must stay none).
+    * Every column is arithmetic + string concat the DuckDB oracle
+    * replays exactly — and the oracle then runs its OWN regex detection
+    * over the reconstructed content, so Spark's classifier is checked
+    * against an independent implementation, not against the
+    * construction labels.
+    */
+  private[graft] def gateFiles(spark: SparkSession, dir: String): DataFrame = {
+    val nation = spark.read.parquet(s"$dir/nation.parquet")
+    val mit =
+      "Permission is hereby granted, free of charge, to any person obtaining a copy of this software"
+    val apache =
+      "Licensed under the Apache License, Version 2.0 (the License)"
+    val gpl =
+      "This program is free software: you can redistribute it and/or modify it under the terms of the GNU General Public License as published by the Free Software Foundation, either version 3 of the License"
+    val bsd =
+      "Redistribution and use in source and binary forms, with or without modification, are permitted"
+    val spdxGpl =
+      "SPDX-License-Identifier: MIT\n" + gpl
+    val mpl =
+      "This Source Code Form is subject to the terms of the Mozilla Public License, v. 2.0"
+    val filler = repeat(concat(col("n_name"), lit(" ")), 120)
+    // > HeaderScanChars of padding before the buried license text
+    val bigFiller = repeat(concat(col("n_name"), lit(" ")), 600)
+    val c = (col("n_nationkey") + col("idx")) % 8
+    val header =
+      when(c === 0, mit).when(c === 1, apache).when(c === 2, gpl)
+        .when(c === 3, bsd).when(c === 4, spdxGpl).when(c === 5, "")
+        .when(c === 6, mpl).otherwise("")
+    val content =
+      when(c === 7, concat(bigFiller, lit(gpl)))
+        .otherwise(concat(header, lit("\n// region "),
+          col("n_regionkey"), lit("\n"), filler))
+    nation
+      .withColumn("idx",
+        explode(sequence(lit(0), col("n_nationkey") % 3 + 2)))
+      .select(col("n_name").as("repo"),
+        concat(lit("src/file_"), col("idx"), lit(".py")).as("path"),
+        col("idx").cast("long").as("file_idx"),
+        content.as("content"))
+  }
+
+  /** q58 — per-file license classification over the constructed corpus:
+    * (repo, file_idx, license, category, keep), content dropped from the
+    * output (the oracle reconstructs it independently).
+    */
+  def q58LicenseFiles(spark: SparkSession, dir: String): DataFrame =
+    classifyFiles(gateFiles(spark, dir))
+      .select(col("repo"), col("file_idx"), col("license"), col("category"),
+        col("keep"))
+      .orderBy(col("repo"), col("file_idx"))
+
+  /** q59 — the repo-level compliance rollup over the same corpus. */
+  def q59RepoLicenses(spark: SparkSession, dir: String): DataFrame =
+    repoLicenseProfile(classifyFiles(gateFiles(spark, dir)))
+      .orderBy(col("repo"))
+}

@@ -1,0 +1,130 @@
+package graft.filter
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+/** License classifier correctness against REAL license texts (the
+  * canonical wordings a crawler actually encounters), precedence and
+  * scan-limit semantics, SPDX extraction, and the repo rollup.
+  */
+class LicensesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def files(rows: (String, String, String)*): DataFrame =
+    rows.toDF("repo", "path", "content")
+
+  private def classify(content: String): (String, String, Boolean) = {
+    val r = Licenses.classifyFiles(files(("r", "f", content))).collect().head
+    (r.getAs[String]("license"), r.getAs[String]("category"),
+      r.getAs[Boolean]("keep"))
+  }
+
+  // canonical wordings (public license texts)
+  private val MitReal =
+    """MIT License
+      |
+      |Copyright (c) 2024 Example Org
+      |
+      |Permission is hereby granted, free of charge, to any person obtaining a copy
+      |of this software and associated documentation files (the "Software"), to deal
+      |in the Software without restriction""".stripMargin
+  private val ApacheReal =
+    """   Licensed under the Apache License, Version 2.0 (the "License");
+      |   you may not use this file except in compliance with the License.
+      |   You may obtain a copy of the License at
+      |       http://www.apache.org/licenses/LICENSE-2.0""".stripMargin
+  private val Gpl3Real =
+    """This program is free software: you can redistribute it and/or modify
+      |it under the terms of the GNU General Public License as published by
+      |the Free Software Foundation, either version 3 of the License, or
+      |(at your option) any later version.""".stripMargin
+  private val Gpl2Real =
+    """This program is free software; you can redistribute it and/or modify
+      |it under the terms of the GNU General Public License as published by
+      |the Free Software Foundation; either version 2 of the License, or
+      |(at your option) any later version.""".stripMargin
+  private val Bsd3Real =
+    """Redistribution and use in source and binary forms, with or without
+      |modification, are permitted provided that the following conditions are met""".stripMargin
+  private val MplReal =
+    """This Source Code Form is subject to the terms of the Mozilla Public
+      |License, v. 2.0. If a copy of the MPL was not distributed with this
+      |file, You can obtain one at http://mozilla.org/MPL/2.0/.""".stripMargin
+  private val UnlicenseReal =
+    "This is free and unencumbered software released into the public domain."
+
+  test("real license headers classify to their canonical ids") {
+    assert(classify(MitReal) == (("MIT", "permissive", true)))
+    assert(classify(ApacheReal) == (("Apache-2.0", "permissive", true)))
+    assert(classify(Gpl3Real) == (("GPL-3.0", "copyleft", false)))
+    assert(classify(Gpl2Real) == (("GPL-2.0", "copyleft", false)))
+    assert(classify(Bsd3Real) == (("BSD-3-Clause", "permissive", true)))
+    assert(classify(MplReal) == (("MPL-2.0", "weak-copyleft", true)))
+    assert(classify(UnlicenseReal) == (("Unlicense", "permissive", true)))
+    assert(classify("def f(x):\n    return x\n") == (("none", "none", true)))
+  }
+
+  test("SPDX tag wins over contradicting body text") {
+    val c = s"# SPDX-License-Identifier: Apache-2.0\n$Gpl3Real"
+    assert(classify(c) == (("Apache-2.0", "permissive", true)))
+  }
+
+  test("SPDX ids outside the category table surface as unknown") {
+    assert(classify("// SPDX-License-Identifier: EUPL-1.2\ncode here")
+      == (("EUPL-1.2", "unknown", true)))
+    // copyleft SPDX ids map through the category table even without
+    // body text
+    assert(classify("# SPDX-License-Identifier: AGPL-3.0\n")
+      == (("AGPL-3.0", "copyleft", false)))
+  }
+
+  test("license text past the 2 KiB header scan does not classify") {
+    val buried = ("x" * (Licenses.HeaderScanChars + 10)) + "\n" + Gpl3Real
+    assert(classify(buried) == (("none", "none", true)))
+    // ...but text straddling INTO the window from position 1 does
+    assert(classify(Gpl3Real + ("x" * 5000))
+      == (("GPL-3.0", "copyleft", false)))
+  }
+
+  test("GPL version discrimination needs the bounded gap, not adjacency") {
+    // 150 chars of legalese between the phrase and the version clause
+    val gap = "as published by the Free Software Foundation " * 3
+    val c = s"GNU General Public License $gap version 3"
+    assert(classify(c)._1 == "GPL-3.0")
+    val far = "GNU General Public License " + ("y " * 150) + "version 3"
+    assert(classify(far)._1 == "none") // past the 200-char bound
+  }
+
+  test("repoLicenseProfile: counts, license set, and all three verdicts") {
+    val d = files(
+      ("mixed", "a", MitReal), ("mixed", "b", Gpl3Real),
+      ("clean", "a", MitReal), ("clean", "b", ApacheReal),
+      ("clean", "c", "no license here"),
+      ("weak", "a", MplReal), ("weak", "b", MitReal),
+      ("exotic", "a", "// SPDX-License-Identifier: EUPL-1.2\n"))
+    val got = Licenses.repoLicenseProfile(
+        Licenses.classifyFiles(d)).collect()
+      .map(r => r.getAs[String]("repo") ->
+        ((r.getAs[Long]("n_files"), r.getAs[Long]("n_copyleft"),
+          r.getAs[Long]("n_weak"), r.getAs[Long]("n_permissive"),
+          r.getAs[Long]("n_unknown"), r.getAs[String]("licenses"),
+          r.getAs[String]("verdict")))).toMap
+    assert(got("mixed") == ((2L, 1L, 0L, 1L, 0L, "GPL-3.0,MIT", "drop")))
+    assert(got("clean") == ((3L, 0L, 0L, 2L, 0L, "Apache-2.0,MIT,none", "keep")))
+    assert(got("weak") == ((2L, 0L, 1L, 1L, 0L, "MIT,MPL-2.0", "review")))
+    assert(got("exotic") == ((1L, 0L, 0L, 0L, 1L, "EUPL-1.2", "review")))
+  }
+
+  test("classification is a pure per-row function (partition invariance)") {
+    val rows = Seq(MitReal, ApacheReal, Gpl3Real, Gpl2Real, Bsd3Real,
+      MplReal, UnlicenseReal, "nothing").zipWithIndex
+      .map { case (c, i) => (s"r$i", s"f$i", c) }
+    val d = files(rows: _*)
+    def run(df: DataFrame) = Licenses.classifyFiles(df)
+      .select("path", "license").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(run(d.repartition(1)) == run(d.repartition(5)))
+  }
+}
