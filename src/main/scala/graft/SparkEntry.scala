@@ -83,7 +83,8 @@ object SparkEntry {
     "q56_source_similarity" -> (ContainerOps.q56SourceSimilarity(_, _)),
     "q57_repeated_spans" -> (CurationOps.q57RepeatedSpans(_, _)),
     "q58_license_files" -> (graft.filter.Licenses.q58LicenseFiles(_, _)),
-    "q59_repo_licenses" -> (graft.filter.Licenses.q59RepoLicenses(_, _))
+    "q59_repo_licenses" -> (graft.filter.Licenses.q59RepoLicenses(_, _)),
+    "q60_fork_clusters" -> (ContainerOps.q60ForkClusters(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -1064,6 +1065,40 @@ object SparkEntry {
                      WHEN n_unknown > 0 OR n_weak > 0 THEN 'review'
                      ELSE 'keep' END AS verdict
          FROM agg
-         ORDER BY repo"""
+         ORDER BY repo""",
+    // q60: q56's pair query at the near_dup threshold folded through a
+    // recursive-CTE transitive closure over SOURCE names (component =
+    // lexicographic min member), then the keep-the-largest ranking
+    // window replayed
+    "q60_fork_clusters" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+         sh AS (SELECT source, list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS shingles
+                FROM toks WHERE len(t) >= 3),
+         sg AS (SELECT DISTINCT source, unnest(shingles) AS g FROM sh),
+         sz AS (SELECT source, COUNT(*) AS n FROM sg GROUP BY source),
+         pr AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+                FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+                GROUP BY 1, 2),
+         pairs AS (SELECT p.src_a, p.src_b
+                   FROM pr p JOIN sz za ON p.src_a = za.source
+                             JOIN sz zb ON p.src_b = zb.source
+                   WHERE p.n_inter * 20 >= za.n + zb.n - p.n_inter),
+         edges AS (SELECT src_a AS a, src_b AS b FROM pairs
+                   UNION SELECT src_b, src_a FROM pairs),
+         reach(a, b) AS (SELECT a, b FROM edges
+                         UNION
+                         SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a),
+         comp AS (SELECT a AS source, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a),
+         uni AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+                 FROM documents GROUP BY source),
+         filled AS (SELECT u.source, COALESCE(c.component, u.source) AS component, u.n_docs
+                    FROM uni u LEFT JOIN comp c ON u.source = c.source),
+         csize AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+                   FROM filled GROUP BY component)
+         SELECT f.source, f.component, s.cluster_size, f.n_docs,
+                ROW_NUMBER() OVER (PARTITION BY f.component
+                                   ORDER BY f.n_docs DESC, f.source ASC) = 1 AS keep
+         FROM filled f JOIN csize s ON f.component = s.component
+         ORDER BY f.source"""
   )
 }

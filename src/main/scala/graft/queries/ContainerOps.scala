@@ -190,6 +190,56 @@ object ContainerOps {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Container dedup clusters + canonical keep-list — q46's component
+    * machinery composed over container-similarity pairs (the star
+    * alternation is id-type-agnostic: greatest/least/min order strings
+    * as well as longs). The canonical rule differs from the doc-level
+    * one on purpose: a fork cluster keeps its LARGEST container (most
+    * docs — the likeliest upstream), tie-broken by name, where doc
+    * clusters keep the min id. `pairs` must carry (src_a, src_b); the
+    * universe and per-container doc counts come from `docs`.
+    *
+    * Scale: one count-aggregate over the corpus for n_docs (#containers
+    * output rows), the O(log² n)-round component loop over the pair set
+    * (pairs ≪ containers by construction of the similarity threshold),
+    * and a per-component window over #containers rows. The corpus text
+    * is never touched here — pair generation owns that cost.
+    */
+  def containerClusters(docs: DataFrame, pairs: DataFrame,
+      container: String = "source"): DataFrame = {
+    val spark = docs.sparkSession
+    val cc = DedupClusters.connectedComponents(spark,
+      pairs.select(col("src_a"), col("src_b")))
+    val universe = docs.groupBy(col(container).as("cid"))
+      .agg(count(lit(1)).as("n_docs"))
+    val full = universe
+      .join(cc.withColumnRenamed("doc_id", "cid"), Seq("cid"), "left")
+      .withColumn("component", coalesce(col("component"), col("cid")))
+    val sizes = full.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("n_docs").desc, col("cid").asc)
+    full.join(sizes, "component")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("cid").as(container), col("component"),
+        col("cluster_size"), col("n_docs"), col("keep"))
+      .orderBy(col(container))
+  }
+
+  /** q60 — fork clusters over the q56 pair set at the mirror threshold
+    * (near_dup: J ≥ 1/20): every source with its component (= min
+    * member name), cluster size, doc count, and the keep-the-largest
+    * verdict. The oracle folds the identical pair query through a
+    * recursive-CTE closure and replays the ranking window.
+    */
+  def q60ForkClusters(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pairs = containerSimilarity(docs, "source").filter(col("near_dup"))
+    containerClusters(docs, pairs)
+  }
+
   /** q56 — the 20-source similarity matrix over `documents`: every
     * source pair sharing at least one 3-gram, with exact intersection /
     * union / Jaccard / containment and the mirror/fork flags. The oracle

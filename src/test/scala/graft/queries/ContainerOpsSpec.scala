@@ -146,6 +146,33 @@ class ContainerOpsSpec extends SparkSpec {
     assert(exact.size < all.length, "threshold must cut some pairs")
   }
 
+  test("containerClusters: keep-the-largest canonical, chains, singletons") {
+    // universe: A(3 docs), B(2), C(4), D(1); chain A~B~C (C largest
+    // must win despite B being the bridge), D singleton
+    val d = docs(
+      (1L, "a b c", "A"), (2L, "d e f", "A"), (3L, "g h i", "A"),
+      (4L, "j k l", "B"), (5L, "m n o", "B"),
+      (6L, "p q r", "C"), (7L, "s t u", "C"), (8L, "v w x", "C"),
+      (9L, "y z aa", "C"),
+      (10L, "bb cc dd", "D"))
+    val pairs = Seq(("A", "B"), ("B", "C")).toDF("src_a", "src_b")
+    val got = ContainerOps.containerClusters(d, pairs).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got("A") == (("A", 3L, 3L, false)))
+    assert(got("B") == (("A", 3L, 2L, false)))
+    assert(got("C") == (("A", 3L, 4L, true)), "largest container must win")
+    assert(got("D") == (("D", 1L, 1L, true)), "singleton keeps itself")
+  }
+
+  test("containerClusters: doc-count tie breaks by container name") {
+    val d = docs((1L, "a b c", "A"), (2L, "d e f", "B"))
+    val pairs = Seq(("A", "B")).toDF("src_a", "src_b")
+    val keep = ContainerOps.containerClusters(d, pairs).collect()
+      .map(r => r.getString(0) -> r.getBoolean(4)).toMap
+    assert(keep == Map("A" -> true, "B" -> false))
+  }
+
   test("containerSimilarity: partition-layout invariance") {
     val rnd = new scala.util.Random(58)
     val vocab = Vector("p", "q", "r", "s", "t", "u")
