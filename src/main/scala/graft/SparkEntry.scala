@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{ContainerOps, CurationOps, DedupClusters, IncrementalDedup, ProfileQueries, Queries, TrainingOps}
+import graft.queries.{ContainerOps, CurationOps, DedupClusters, IncrementalDedup, ProfileQueries, Queries, TimeJoins, TrainingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -84,7 +84,9 @@ object SparkEntry {
     "q57_repeated_spans" -> (CurationOps.q57RepeatedSpans(_, _)),
     "q58_license_files" -> (graft.filter.Licenses.q58LicenseFiles(_, _)),
     "q59_repo_licenses" -> (graft.filter.Licenses.q59RepoLicenses(_, _)),
-    "q60_fork_clusters" -> (ContainerOps.q60ForkClusters(_, _))
+    "q60_fork_clusters" -> (ContainerOps.q60ForkClusters(_, _)),
+    "q61_asof_join" -> (TimeJoins.q61AsofJoin(_, _)),
+    "q62_range_join" -> (TimeJoins.q62RangeJoin(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -1099,6 +1101,35 @@ object SparkEntry {
                 ROW_NUMBER() OVER (PARTITION BY f.component
                                    ORDER BY f.n_docs DESC, f.source ASC) = 1 AS keep
          FROM filled f JOIN csize s ON f.component = s.component
-         ORDER BY f.source"""
+         ORDER BY f.source""",
+    // q61: DuckDB's NATIVE ASOF JOIN is the oracle — an independent
+    // binary-search implementation, not a replay of Spark's
+    // union+window-backfill shape; epoch-μs integers end to end
+    "q61_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+         p AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, ts_us, event_id AS view_event_id FROM ev WHERE event_type = 'view')
+         SELECT p.event_id, p.user_id, p.ts_us,
+                v.view_event_id, v.ts_us AS view_ts_us,
+                p.ts_us - v.ts_us AS gap_us
+         FROM p ASOF LEFT JOIN v
+           ON p.user_id = v.user_id AND p.ts_us >= v.ts_us
+         ORDER BY p.event_id""",
+    // q62: plain range-predicate join as the oracle; the Spark side runs
+    // the bucketed equi-join + residual and must agree exactly
+    "q62_range_join" ->
+      """WITH w AS (SELECT CAST(i AS BIGINT) AS window_id,
+                           1704067200000000 + i * 25200000000 AS start_us,
+                           1704067200000000 + i * 25200000000 + 18000000000 AS end_us
+                    FROM (SELECT unnest(range(100)) AS i)),
+         e AS (SELECT epoch_us(ts) AS ts_us, event_id, user_id FROM events)
+         SELECT w.window_id, w.start_us, w.end_us,
+                CAST(COUNT(*) AS BIGINT) AS n_events,
+                CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+                MIN(e.event_id) AS min_event_id,
+                MAX(e.event_id) AS max_event_id
+         FROM w JOIN e ON e.ts_us >= w.start_us AND e.ts_us < w.end_us
+         GROUP BY 1, 2, 3
+         ORDER BY w.window_id"""
   )
 }

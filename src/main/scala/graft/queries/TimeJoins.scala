@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Time-series joins Spark lacks as built-ins, re-expressed in shapes
+  * that scale — the two operators every event pipeline eventually needs:
+  *
+  *  - AS-OF join ([[asofJoin]]): for each left row, the latest right row
+  *    with right.ts ≤ left.ts per key. The naive formulation (theta
+  *    join + per-row max) explodes to |L|·|R| per key and Spark executes
+  *    it as a nested-loop join; the scalable shape is UNION + WINDOW
+  *    BACKFILL — tag both streams, one shuffle on the key, one
+  *    per-partition sort on (ts, tag), and `last(_, ignoreNulls)` over
+  *    the unbounded-preceding frame carries the most recent right
+  *    payload forward into each left row. Cost: one exchange + sort of
+  *    L∪R, zero join explosion, any key skew handled by AQE exactly as
+  *    a groupBy would be.
+  *
+  *  - Range (interval) join ([[rangeJoinAgg]]): events against
+  *    [start, end) intervals. A raw `ts BETWEEN start AND end` condition
+  *    has no equi-key, so Spark plans BroadcastNestedLoopJoin — the
+  *    100 TB anti-pattern. The scalable shape BUCKETIZES both sides
+  *    (intervals explode to the fixed-width buckets they overlap, events
+  *    hash to their bucket) and equi-joins on the bucket with the exact
+  *    range predicate as a residual filter. Bucket width trades
+  *    replication (interval span / width rows per interval) against
+  *    residual selectivity; at gate scale the exploded interval side
+  *    broadcasts, at 10⁸ intervals it shuffles on the bucket like any
+  *    equi-join.
+  *
+  * Both oracles are genuinely independent implementations: DuckDB's
+  * native `ASOF JOIN` (its own binary-search machinery, not a replay of
+  * the window trick) and a plain range-predicate join.
+  */
+object TimeJoins {
+
+  /** Left as-of join: every `left` row, plus `carry` columns from the
+    * latest `right` row with `right.tsCol` ≤ `left.tsCol` and equal
+    * `key` (nulls when no prior right row exists). At equal timestamps
+    * the right row IS visible to the left row. Determinism requires
+    * `right` unique per (key, ts) — pre-aggregate the right stream if
+    * it is not (the q61 gate data is tie-free by construction).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, carry: Seq[String]): DataFrame = {
+    val lCols = left.columns
+    val lSel = Seq(col(key), col(tsCol).as("_ts"), lit(1).as("_kind"),
+      struct(lCols.map(col): _*).as("_lrow")) ++
+      carry.map(c => lit(null).cast(right.schema(c).dataType).as(c))
+    val l = left.select(lSel: _*)
+    val rSel = Seq(col(key), col(tsCol).as("_ts"), lit(0).as("_kind"),
+      lit(null).cast(l.schema("_lrow").dataType).as("_lrow")) ++
+      carry.map(col)
+    val r = right.select(rSel: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+      .orderBy(col("_ts"), col("_kind"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val filled = carry.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"_asof_$c",
+        last(when(col("_kind") === 0, col(c)), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("_kind") === 1)
+      .select(lCols.map(c => col(s"_lrow.$c").as(c)) ++
+        carry.map(c => col(s"_asof_$c").as(s"asof_$c")): _*)
+  }
+
+  /** Interval-aggregate range join: per [start, end) interval (longs in
+    * any consistent unit), the aggregate of `agg` over rows whose
+    * `ptCol` falls inside. `bucketWidth` in the same unit; intervals
+    * explode to ceil(span/width)+1 bucket rows. `intervals` must carry
+    * (idCol, startCol, endCol).
+    */
+  def rangeJoinAgg(points: DataFrame, intervals: DataFrame, ptCol: String,
+      idCol: String, startCol: String, endCol: String, bucketWidth: Long,
+      aggs: Seq[Column]): DataFrame = {
+    require(bucketWidth > 0)
+    // `div`, not `/`: Spark's / on longs is DOUBLE division, and a
+    // 53-bit mantissa can round a bucket edge at epoch-μs magnitudes
+    val exploded = intervals.select(col(idCol), col(startCol), col(endCol),
+        explode(expr(s"sequence($startCol div ${bucketWidth}L, " +
+          s"($endCol - 1L) div ${bucketWidth}L)")).as("_bucket"))
+    val pts = points.withColumn("_bucket",
+      expr(s"$ptCol div ${bucketWidth}L"))
+    pts.join(exploded, Seq("_bucket"))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
+      .groupBy(col(idCol), col(startCol), col(endCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** q61 — purchase→view attribution as-of join over `events`: for each
+    * purchase, the same user's most recent view at or before the
+    * purchase instant, with the view's event id, timestamp (epoch μs)
+    * and the attribution gap. All-integer output (epoch μs), so the
+    * DuckDB `ASOF LEFT JOIN` oracle compares exactly.
+    */
+  def q61AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("view_event_id"))
+    asofJoin(purchases, views, "user_id", "ts_us",
+        carry = Seq("view_event_id", "ts_us"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_view_event_id").as("view_event_id"),
+        col("asof_ts_us").as("view_ts_us"),
+        (col("ts_us") - col("asof_ts_us")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Epoch μs of 2024-01-01T00:00:00Z — the gate interval grid origin
+    * (the events table starts seconds after it).
+    */
+  val GridBaseUs = 1704067200000000L
+  val HourUs = 3600L * 1000000L
+
+  /** q62 — interval aggregation over `events`: 100 overlapping
+    * 5-hour campaign windows on a 7-hour grid; per window the event
+    * count, distinct users, and min/max event id (exact integers only).
+    * The oracle is a plain range-predicate join; the Spark side runs
+    * the bucketed equi-join + residual (1-hour buckets) and must agree
+    * exactly.
+    */
+  def q62RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val windows = spark.range(100).select(
+      col("id").as("window_id"),
+      (lit(GridBaseUs) + col("id") * (7L * HourUs)).as("start_us"),
+      (lit(GridBaseUs) + col("id") * (7L * HourUs) + 5L * HourUs)
+        .as("end_us"))
+    val ev = t(spark, dir, "events")
+      .select(unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("event_id"),
+        col("user_id"))
+    rangeJoinAgg(ev, windows, "ts_us", "window_id", "start_us", "end_us",
+        bucketWidth = HourUs,
+        aggs = Seq(count(lit(1)).as("n_events"),
+          size(array_sort(collect_set(col("user_id")))).cast("long")
+            .as("n_users"),
+          min(col("event_id")).as("min_event_id"),
+          max(col("event_id")).as("max_event_id")))
+      .orderBy(col("window_id"))
+  }
+}

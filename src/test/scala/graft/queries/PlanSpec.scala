@@ -201,6 +201,24 @@ class PlanSpec extends SparkSpec {
       "the per-container sizes joins must broadcast")
   }
 
+  test("q61: as-of join plans as union+window — zero join operators") {
+    val p = finalPlan(TimeJoins.q61AsofJoin(spark, dir))
+    assert(p.contains("Window"), "the backfill window must be present")
+    assert(!p.contains("Join"),
+      "the as-of shape must not contain ANY join - the naive theta-join " +
+        "formulation explodes to |L|*|R| per key")
+  }
+
+  test("q62: range join equi-joins on the bucket, never a nested loop") {
+    val p = finalPlan(TimeJoins.q62RangeJoin(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "a raw range predicate would plan a nested-loop join - the bucket " +
+        "key must make it an equi-join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected an equi-join in:\n$p")
+  }
+
   test("q57: scan prunes to (doc_id, text); position index cached once") {
     val p = finalPlan(CurationOps.q57RepeatedSpans(spark, dir))
     val scan = scanLine(p, "documents")

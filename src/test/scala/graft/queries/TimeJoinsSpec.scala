@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** As-of and range join correctness: hand-computed boundary semantics,
+  * brute-force equality on seeded data, bucket-width invariance, and
+  * partition-layout invariance.
+  */
+class TimeJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- asofJoin ----
+
+  private def asof(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)]) = {
+    val l = left.toDF("event_id", "user_id", "ts_us")
+    val r = right.toDF("view_event_id", "user_id", "ts_us")
+    TimeJoins.asofJoin(l, r, "user_id", "ts_us",
+        carry = Seq("view_event_id", "ts_us"))
+      .collect()
+      .map(x => x.getAs[Long]("event_id") ->
+        ((Option(x.getAs[java.lang.Long]("asof_view_event_id")).map(_.toLong),
+          Option(x.getAs[java.lang.Long]("asof_ts_us")).map(_.toLong))))
+      .toMap
+  }
+
+  test("asofJoin: latest-prior match, equal-ts visibility, no-match null") {
+    val views = Seq((100L, 1L, 10L), (101L, 1L, 50L))
+    val purchases = Seq(
+      (1L, 1L, 30L), // between the views -> view@10
+      (2L, 1L, 50L), // equal ts -> view@50 visible
+      (3L, 1L, 5L),  // before any view -> null
+      (4L, 2L, 99L)) // user with no views -> null
+    val got = asof(purchases, views)
+    assert(got(1L) == ((Some(100L), Some(10L))))
+    assert(got(2L) == ((Some(101L), Some(50L))))
+    assert(got(3L) == ((None, None)))
+    assert(got(4L) == ((None, None)))
+  }
+
+  test("asofJoin: brute-force equality on seeded streams") {
+    val rnd = new scala.util.Random(61)
+    val views = (0 until 300).map(i =>
+      (1000L + i, rnd.nextInt(12).toLong, rnd.nextInt(10000).toLong))
+      .distinctBy(v => (v._2, v._3)) // unique per (user, ts): the contract
+    val purchases = (0 until 200).map(i =>
+      (i.toLong, rnd.nextInt(15).toLong, rnd.nextInt(10000).toLong))
+    val got = asof(purchases, views)
+    purchases.foreach { case (id, u, ts) =>
+      val want = views.filter(v => v._2 == u && v._3 <= ts)
+        .sortBy(_._3).lastOption
+      assert(got(id) == ((want.map(_._1), want.map(_._3))),
+        s"purchase $id user $u ts $ts")
+    }
+  }
+
+  test("asofJoin: partition-layout invariance") {
+    val views = (0 until 100).map(i => (1000L + i, (i % 7).toLong, (i * 13 % 500).toLong))
+      .distinctBy(v => (v._2, v._3))
+    val purchases = (0 until 80).map(i => (i.toLong, (i % 9).toLong, (i * 17 % 500).toLong))
+    def run(np: Int) = {
+      val l = purchases.toDF("event_id", "user_id", "ts_us").repartition(np)
+      val r = views.toDF("view_event_id", "user_id", "ts_us").repartition(np)
+      TimeJoins.asofJoin(l, r, "user_id", "ts_us", Seq("view_event_id"))
+        .collect().map(x => x.getAs[Long]("event_id") ->
+          Option(x.getAs[java.lang.Long]("asof_view_event_id"))).toMap
+    }
+    assert(run(1) == run(7))
+  }
+
+  // ---- rangeJoinAgg ----
+
+  private def rjoin(points: Seq[(Long, Long)], intervals: Seq[(Long, Long, Long)],
+      width: Long) =
+    TimeJoins.rangeJoinAgg(
+      points.toDF("ts_us", "event_id"),
+      intervals.toDF("window_id", "start_us", "end_us"),
+      "ts_us", "window_id", "start_us", "end_us", width,
+      Seq(count(lit(1)).as("n"), min(col("event_id")).as("mn"),
+        max(col("event_id")).as("mx")))
+      .collect()
+      .map(r => r.getAs[Long]("window_id") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("mn"), r.getAs[Long]("mx"))))
+      .toMap
+
+  test("rangeJoinAgg: [start, end) boundaries and overlapping intervals") {
+    val pts = Seq((10L, 1L), (19L, 2L), (20L, 3L), (25L, 4L))
+    val ivs = Seq((0L, 10L, 20L), (1L, 15L, 30L)) // overlap [15,20)
+    val got = rjoin(pts, ivs, width = 7L)
+    assert(got(0L) == ((2L, 1L, 2L)), "start inclusive, end exclusive")
+    assert(got(1L) == ((3L, 2L, 4L)), "overlap double-counts by design")
+  }
+
+  test("rangeJoinAgg: empty intervals are absent; matches brute force") {
+    val rnd = new scala.util.Random(62)
+    val pts = (0 until 500).map(i => (rnd.nextInt(100000).toLong, i.toLong))
+    val ivs = (0 until 40).map { i =>
+      val s = rnd.nextInt(90000).toLong
+      (i.toLong, s, s + 1 + rnd.nextInt(20000).toLong)
+    }
+    val got = rjoin(pts, ivs, width = 333L)
+    ivs.foreach { case (id, s, e) =>
+      val in = pts.filter(p => p._1 >= s && p._1 < e)
+      if (in.isEmpty) assert(!got.contains(id))
+      else assert(got(id) ==
+        ((in.size.toLong, in.map(_._2).min, in.map(_._2).max)), s"window $id")
+    }
+  }
+
+  test("rangeJoinAgg: bucket width is an implementation detail") {
+    val rnd = new scala.util.Random(63)
+    val pts = (0 until 300).map(i => (rnd.nextInt(50000).toLong, i.toLong))
+    val ivs = (0 until 20).map { i =>
+      val s = rnd.nextInt(45000).toLong
+      (i.toLong, s, s + 1 + rnd.nextInt(9000).toLong)
+    }
+    assert(rjoin(pts, ivs, width = 10L) == rjoin(pts, ivs, width = 50000L))
+  }
+}
