@@ -86,7 +86,8 @@ object SparkEntry {
     "q59_repo_licenses" -> (graft.filter.Licenses.q59RepoLicenses(_, _)),
     "q60_fork_clusters" -> (ContainerOps.q60ForkClusters(_, _)),
     "q61_asof_join" -> (TimeJoins.q61AsofJoin(_, _)),
-    "q62_range_join" -> (TimeJoins.q62RangeJoin(_, _))
+    "q62_range_join" -> (TimeJoins.q62RangeJoin(_, _)),
+    "q63_sessionize" -> (TimeJoins.q63Sessionize(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -1130,6 +1131,24 @@ object SparkEntry {
                 MAX(e.event_id) AS max_event_id
          FROM w JOIN e ON e.ts_us >= w.start_us AND e.ts_us < w.end_us
          GROUP BY 1, 2, 3
-         ORDER BY w.window_id"""
+         ORDER BY w.window_id""",
+    // q63: lag marks session starts, running sum numbers them — the
+    // identical window replay on epoch-μs integers
+    "q63_sessionize" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         m AS (SELECT user_id, ts_us,
+                      CASE WHEN lag(ts_us) OVER w IS NULL
+                                OR ts_us - lag(ts_us) OVER w > 1800000000
+                           THEN 1 ELSE 0 END AS is_new
+               FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+         s AS (SELECT user_id, ts_us,
+                      CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+               FROM m)
+         SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+                MAX(ts_us) - MIN(ts_us) AS duration_us
+         FROM s GROUP BY user_id, session_id
+         ORDER BY user_id, session_id"""
   )
 }

@@ -115,6 +115,49 @@ object TimeJoins {
       .orderBy(col("event_id"))
   }
 
+  /** Gap-based sessionization: events split into sessions wherever the
+    * per-key gap exceeds `gapUs`. The classic two-window pass — lag()
+    * marks session starts, a running sum numbers them — so the whole
+    * operator is ONE shuffle on the key plus a per-partition sort that
+    * both windows share (Catalyst plans a single Exchange+Sort; the
+    * session aggregate then reuses the same partitioning). Purely
+    * integer arithmetic on epoch μs.
+    *
+    * Session ids are 1-based per key in time order — a pure function of
+    * the data, so resumable/replayable (the streaming analogue is
+    * q37's `session_window`; this is the batch/backfill shape).
+    */
+  def sessionize(events: DataFrame, key: String, tsUsCol: String,
+      gapUs: Long): DataFrame = {
+    require(gapUs > 0)
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col(tsUsCol))
+    val marked = events.withColumn("_prev",
+        lag(col(tsUsCol), 1).over(byKey))
+      .withColumn("_new",
+        when(col("_prev").isNull ||
+          col(tsUsCol) - col("_prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("_new")).over(
+        byKey.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    marked.groupBy(col(key), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsUsCol)).as("start_us"),
+        max(col(tsUsCol)).as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
+  /** q63 — 30-minute-gap sessions over `events`: one row per (user,
+    * session) with event count, bounds and duration; all-integer
+    * columns, oracle = the identical lag + running-sum window replay.
+    */
+  def q63Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    sessionize(ev, "user_id", "ts_us", gapUs = 30L * 60L * 1000000L)
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
   /** Epoch μs of 2024-01-01T00:00:00Z — the gate interval grid origin
     * (the events table starts seconds after it).
     */

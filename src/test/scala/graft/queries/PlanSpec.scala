@@ -219,6 +219,15 @@ class PlanSpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), s"expected an equi-join in:\n$p")
   }
 
+  test("q63: sessionization runs on ONE exchange (windows + agg share it)") {
+    val p = finalPlan(TimeJoins.q63Sessionize(spark, dir))
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"lag window, running sum and the session aggregate must all reuse " +
+        s"the user_id partitioning - found $exchanges hash exchanges in:\n$p")
+  }
+
   test("q57: scan prunes to (doc_id, text); position index cached once") {
     val p = finalPlan(CurationOps.q57RepeatedSpans(spark, dir))
     val scan = scanLine(p, "documents")

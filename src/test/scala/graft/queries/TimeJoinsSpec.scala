@@ -69,6 +69,51 @@ class TimeJoinsSpec extends SparkSpec {
     assert(run(1) == run(7))
   }
 
+  // ---- sessionize ----
+
+  private def sess(rows: Seq[(Long, Long)], gap: Long) =
+    TimeJoins.sessionize(rows.toDF("user_id", "ts_us"), "user_id",
+        "ts_us", gap)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("start_us"),
+          r.getAs[Long]("end_us"), r.getAs[Long]("duration_us"))))
+      .toMap
+
+  test("sessionize: strict-gap split, boundary gap stays in-session") {
+    // user 1: ts 0,10,20 | 31 (gap 11 > 10 splits) ; user 2: single event
+    val got = sess(Seq((1L, 0L), (1L, 10L), (1L, 20L), (1L, 31L),
+      (2L, 5L)), gap = 10L)
+    assert(got((1L, 1L)) == ((3L, 0L, 20L, 20L)),
+      "gap == threshold must NOT split (strict >)")
+    assert(got((1L, 2L)) == ((1L, 31L, 31L, 0L)))
+    assert(got((2L, 1L)) == ((1L, 5L, 5L, 0L)))
+  }
+
+  test("sessionize: brute-force equality on seeded streams") {
+    val rnd = new scala.util.Random(64)
+    val rows = (0 until 400).map(_ =>
+        (rnd.nextInt(10).toLong, rnd.nextInt(5000).toLong))
+      .distinct
+    val gap = 200L
+    val got = sess(rows, gap)
+    rows.groupBy(_._1).foreach { case (u, es) =>
+      val ts = es.map(_._2).sorted
+      var sid = 0L; var prev = Long.MinValue
+      val bySession = scala.collection.mutable.Map[Long, Vector[Long]]()
+      ts.foreach { t =>
+        if (prev == Long.MinValue || t - prev > gap) sid += 1
+        bySession(sid) = bySession.getOrElse(sid, Vector.empty) :+ t
+        prev = t
+      }
+      bySession.foreach { case (s, v) =>
+        assert(got((u, s)) ==
+          ((v.size.toLong, v.min, v.max, v.max - v.min)), s"user $u session $s")
+      }
+      assert(got.keys.count(_._1 == u) == bySession.size)
+    }
+  }
+
   // ---- rangeJoinAgg ----
 
   private def rjoin(points: Seq[(Long, Long)], intervals: Seq[(Long, Long, Long)],
