@@ -87,7 +87,8 @@ object SparkEntry {
     "q60_fork_clusters" -> (ContainerOps.q60ForkClusters(_, _)),
     "q61_asof_join" -> (TimeJoins.q61AsofJoin(_, _)),
     "q62_range_join" -> (TimeJoins.q62RangeJoin(_, _)),
-    "q63_sessionize" -> (TimeJoins.q63Sessionize(_, _))
+    "q63_sessionize" -> (TimeJoins.q63Sessionize(_, _)),
+    "q64_approx_quantiles" -> (CurationOps.q64ApproxQuantiles(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -1149,6 +1150,17 @@ object SparkEntry {
                 MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
                 MAX(ts_us) - MIN(ts_us) AS duration_us
          FROM s GROUP BY user_id, session_id
-         ORDER BY user_id, session_id"""
+         ORDER BY user_id, session_id""",
+    // q64: exact columns recomputed; the envelope booleans are the
+    // sketch's rank-interval guarantee computed Spark-side against
+    // exact counts — the oracle expects TRUE (q45's trust model)
+    "q64_approx_quantiles" ->
+      """WITH n AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+                    FROM documents GROUP BY lang)
+         SELECT n.lang, CAST(q.qi AS BIGINT) AS quantile_idx, n.n_docs,
+                CAST(FLOOR(q.qi * n.n_docs / 4.0) AS BIGINT) AS target_rank,
+                TRUE AS in_envelope
+         FROM n, (SELECT unnest(range(1, 4)) AS qi) q
+         ORDER BY n.lang, quantile_idx"""
   )
 }

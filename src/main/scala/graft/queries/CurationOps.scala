@@ -431,6 +431,54 @@ object CurationOps {
   def q53SourceQuality(spark: SparkSession, dir: String): DataFrame =
     sourceQualityProfile(t(spark, dir, "documents"))
 
+  /** q64 — the q51 scale relaxation made RUNNABLE and driver-gated (the
+    * q45 discipline): quality-quantile boundaries from
+    * `approx_percentile` instead of the exact NTILE total order. NTILE
+    * sorts within each language — fine while languages are many, but a
+    * mono-lang 10¹²-doc corpus would global-sort; the sketch path is
+    * one aggregate with fixed memory.
+    *
+    * Gate contract (tie-robust, the standard quantile-sketch
+    * guarantee): for each language and target quantile q ∈ {¼, ½, ¾},
+    * the sketch boundary b must have exact-rank interval
+    * [count(score < b), count(score ≤ b)] intersecting
+    * [q·n − εn, q·n + εn] with ε = 1/accuracy. The envelope booleans
+    * are computed Spark-side against EXACT counts; the oracle
+    * recomputes every exact column and expects the booleans TRUE — if
+    * the sketch ever drifts out of its guarantee the hash gate fails
+    * (q45's trust model; raw sketch values are engine-specific and
+    * never surface in the output).
+    */
+  def q64ApproxQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    val accuracy = 1000
+    val toks = split(trim(col("text")), "\\s+")
+    val scored = t(spark, dir, "documents").select(col("lang"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("score"))
+    val bounds = scored.groupBy(col("lang"))
+      .agg(percentile_approx(col("score"),
+          array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("bs"),
+        count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("n_docs"),
+        posexplode(col("bs")).as(Seq("qi0", "b")))
+      .withColumn("quantile_idx", (col("qi0") + 1).cast("long")).drop("qi0")
+    val ranks = scored.join(broadcast(bounds), Seq("lang"))
+      .groupBy(col("lang"), col("quantile_idx"), col("n_docs"), col("b"))
+      .agg(sum(when(col("score") < col("b"), 1L).otherwise(0L)).as("lt"),
+        sum(when(col("score") <= col("b"), 1L).otherwise(0L)).as("le"))
+    val qn = col("quantile_idx") * col("n_docs").cast("double") / 4.0
+    // ε·n ± 1: the sketch's guarantee is on ⌊(p±ε)N⌋ ranks, so one rank
+    // of floor/ceil rounding rides on top of ε·n (measured max drift at
+    // sf0.1 is 1.8 ranks vs ε·n up to 2.06 — the +1 covers exactly the
+    // small-n regime where ε·n < 1)
+    val epsN = col("n_docs").cast("double") / accuracy + 1.0
+    ranks.select(col("lang"), col("quantile_idx"), col("n_docs"),
+        floor(col("quantile_idx") * col("n_docs") / lit(4L)).cast("long")
+          .as("target_rank"),
+        (col("lt") <= qn + epsN && col("le") >= qn - epsN)
+          .as("in_envelope"))
+      .orderBy(col("lang"), col("quantile_idx"))
+  }
+
   /** Window width for [[repeatedSpans]] — the q57 gate operating point.
     * Production exact-substring dedup uses ~50-token windows (Lee et al.
     * 2022, "Deduplicating Training Data Makes Language Models Better");

@@ -345,6 +345,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(got == Map(11L -> 0L))
   }
 
+  // ---- approx quantile gate (q64) ----
+
+  test("q64 envelope logic: rank interval is tie-robust") {
+    // 90% of docs share one score: the sketch boundary lands ON the tie
+    // mass, the [lt, le] interval spans it, and the envelope must hold
+    // for every quantile — this is exactly the case a naive
+    // |approx_count − n/k| check would fail.
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = ((1 to 180).map(i => (i.toLong, "x x x y")) ++ // score 0.5
+      (1 to 20).map(i => (180L + i, Seq.fill(4)(s"w$i").mkString(" "))))
+      .map { case (id, text) => (id, text, "en") }
+    val df = rows.toDF("doc_id", "text", "lang")
+    val tmp = java.nio.file.Files.createTempDirectory("q64spec")
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = CurationOps.q64ApproxQuantiles(spark, tmp.toString).collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getAs[Boolean]("in_envelope")),
+      got.mkString("; "))
+    assert(got.map(_.getAs[Long]("target_rank")).toSeq == Seq(50L, 100L, 150L))
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
   // ---- repeated k-gram spans (q57) ----
 
   /** Driver-side replay of the whole operator: window frequency over ALL
