@@ -302,6 +302,9 @@ object CurationBench {
 
   def spanPoint(spark: SparkSession, n: Long): String = {
     import spark.implicits._
+    // the verdict construction needs >= 2 planted copies (a lone
+    // "duplicate" has nothing to repeat against) and natural docs
+    require(n >= 2000, s"span mode needs n >= 2000, got $n")
     // planted full-copy duplicates: every id ≡ 7 (mod 1000) carries the
     // SAME text → all its windows repeat → mostly_dup must flag exactly
     // these. Natural docs share only the 7-token boilerplate head

@@ -84,6 +84,8 @@ object TimeJoinBench {
 
   def rangePoint(spark: SparkSession, n: Long): String = {
     import spark.implicits._
+    // every interval must be fully populated for the exact-700 verdict
+    require(n >= 1000, s"range mode needs n >= 1000, got $n")
     val nIv = math.max(1L, n / 1000)
     val ev = spark.range(n).select(col("id").as("ts_us"),
       col("id").as("event_id")).cache()

@@ -70,9 +70,7 @@ object ContainerOps {
     graft.profile.Profiler.spread(docs.sparkSession, docs)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .filter(size(col("toks")) >= 3)
-      .withColumn("shingles", expr(
-        "array_distinct(transform(sequence(1, size(toks)-2), " +
-          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))"))
+      .withColumn("shingles", expr(TrainingOps.ShingleTransformSql))
       .select(col(container).as("cid"), explode(col("shingles")).as("str"))
       .select(col("cid"), xxhash64(col("str")).as("s"))
       .distinct()
@@ -91,7 +89,19 @@ object ContainerOps {
     */
   def containerSimilarity(docs: DataFrame, container: String = "source",
       dfCap: Int = ContainerDfCap,
-      broadcastSizes: Boolean = true): DataFrame = {
+      broadcastSizes: Boolean = true): DataFrame =
+    containerSimilarityUnsorted(docs, container, dfCap, broadcastSizes)
+      .orderBy(col("src_a"), col("src_b"))
+
+  /** [[containerSimilarity]] without the gate-output global sort —
+    * downstream consumers (q60's component fold, any threshold filter)
+    * are order-insensitive, and at real container counts the pair set
+    * is the largest intermediate, so the sort exchange is pure waste
+    * outside the gate.
+    */
+  private[queries] def containerSimilarityUnsorted(docs: DataFrame,
+      container: String, dfCap: Int,
+      broadcastSizes: Boolean): DataFrame = {
     val grams = cappedGrams(docs, container, dfCap)
     val sizes = grams.groupBy(col("cid")).agg(count(lit(1)).as("n"))
     val hinted = if (broadcastSizes) broadcast(sizes) else sizes
@@ -112,7 +122,6 @@ object ContainerOps {
       .select(col("src_a"), col("src_b"), col("n_inter"), col("na"),
         col("nb"), col("n_union"), col("jaccard"), col("containment"),
         col("near_dup"), col("fork_like"))
-      .orderBy(col("src_a"), col("src_b"))
   }
 
   /** MinHash+LSH container pairs at `threshold` — the production path.
@@ -236,7 +245,8 @@ object ContainerOps {
   def q60ForkClusters(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val pairs = containerSimilarity(docs, "source").filter(col("near_dup"))
+    val pairs = containerSimilarityUnsorted(docs, "source",
+      ContainerDfCap, broadcastSizes = true).filter(col("near_dup"))
     containerClusters(docs, pairs)
   }
 

@@ -57,13 +57,16 @@ object TimeJoins {
       .partitionBy(col(key))
       .orderBy(col("_ts"), col("_kind"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val filled = carry.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"_asof_$c",
-        last(when(col("_kind") === 0, col(c)), ignoreNulls = true).over(w))
-    }
+    // ONE struct backfill, not one per carry column: a struct of nulls is
+    // still a non-null struct, so `last` always lands on the genuinely
+    // latest right ROW — per-column backfills would skip a null payload
+    // column and stitch together values from different right rows
+    val filled = l.unionByName(r).withColumn("_asof",
+      last(when(col("_kind") === 0, struct(carry.map(col): _*)),
+        ignoreNulls = true).over(w))
     filled.filter(col("_kind") === 1)
       .select(lCols.map(c => col(s"_lrow.$c").as(c)) ++
-        carry.map(c => col(s"_asof_$c").as(s"asof_$c")): _*)
+        carry.map(c => col(s"_asof.$c").as(s"asof_$c")): _*)
   }
 
   /** Interval-aggregate range join: per [start, end) interval (longs in
@@ -183,8 +186,9 @@ object TimeJoins {
     rangeJoinAgg(ev, windows, "ts_us", "window_id", "start_us", "end_us",
         bucketWidth = HourUs,
         aggs = Seq(count(lit(1)).as("n_events"),
-          size(array_sort(collect_set(col("user_id")))).cast("long")
-            .as("n_users"),
+          // collect_set not countDistinct: keeps the plan a single
+          // aggregate (no Expand doubling the scan — the q53 rule)
+          size(collect_set(col("user_id"))).cast("long").as("n_users"),
           min(col("event_id")).as("min_event_id"),
           max(col("event_id")).as("max_event_id")))
       .orderBy(col("window_id"))

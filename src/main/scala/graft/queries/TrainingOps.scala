@@ -30,9 +30,18 @@ object TrainingOps {
     */
   val ShingleDfCap = 1000
 
-  /** Distinct 3-word shingles per doc. 0-based `toks[i]` indexing; docs
-    * with <3 tokens have no shingles and drop out, same as the oracle's
-    * `WHERE len(t) >= 3`.
+  /** THE word-3-gram transform over a `toks` array column — the single
+    * shingle definition every gram consumer shares (doc-level q15/q16/
+    * q43/q46/q49, container-level q56/q60). One definition so a change
+    * here cannot silently desynchronize the dedup families from each
+    * other or from their oracles. 0-based `toks[i]` indexing.
+    */
+  private[queries] val ShingleTransformSql: String =
+    "array_distinct(transform(sequence(1, size(toks)-2), " +
+      "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))"
+
+  /** Distinct 3-word shingles per doc. Docs with <3 tokens have no
+    * shingles and drop out, same as the oracle's `WHERE len(t) >= 3`.
     */
   private[queries] def shingleSets(docs: DataFrame): DataFrame =
     // Parallelism guard (Profiler.spread's contract): the shingle
@@ -44,9 +53,7 @@ object TrainingOps {
     graft.profile.Profiler.spread(docs.sparkSession, docs)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .filter(size(col("toks")) >= 3)
-      .withColumn("shingles", expr(
-        "array_distinct(transform(sequence(1, size(toks)-2), " +
-          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))"))
+      .withColumn("shingles", expr(ShingleTransformSql))
       .select(col("doc_id"), col("shingles"))
 
   /** Exploded distinct (doc_id, shingle) pairs with hot shingles

@@ -39,6 +39,20 @@ class TimeJoinsSpec extends SparkSpec {
     assert(got(4L) == ((None, None)))
   }
 
+  test("asofJoin: null payload in the latest right row stays null") {
+    // the latest right row wins AS A ROW — a null payload column must
+    // surface as null, never backfilled from an older right row
+    val l = Seq((1L, 1L, 30L)).toDF("event_id", "user_id", "ts_us")
+    val r = Seq((1L, 10L, Some(100L)), (1L, 20L, None: Option[Long]))
+      .toDF("user_id", "ts_us", "view_event_id")
+    val got = TimeJoins.asofJoin(l, r, "user_id", "ts_us",
+        carry = Seq("view_event_id", "ts_us")).collect().head
+    assert(got.getAs[java.lang.Long]("asof_view_event_id") == null,
+      "stale payload from the ts=10 row leaked forward")
+    assert(got.getAs[Long]("asof_ts_us") == 20L,
+      "the match row itself is the ts=20 one")
+  }
+
   test("asofJoin: brute-force equality on seeded streams") {
     val rnd = new scala.util.Random(61)
     val views = (0 until 300).map(i =>
