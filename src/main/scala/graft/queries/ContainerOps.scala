@@ -105,9 +105,20 @@ object ContainerOps {
     val grams = cappedGrams(docs, container, dfCap)
     val sizes = grams.groupBy(col("cid")).agg(count(lit(1)).as("n"))
     val hinted = if (broadcastSizes) broadcast(sizes) else sizes
-    val inter = grams.as("a").join(grams.as("b"),
-        col("a.s") === col("b.s") && col("a.cid") < col("b.cid"))
-      .groupBy(col("a.cid").as("src_a"), col("b.cid").as("src_b"))
+    // group-then-emit-pairs, NOT a self-join: one groupBy(s) collects
+    // each gram's (DF-cap-bounded, ≤ dfCap) container set, and the pair
+    // explosion happens map-side from the sorted array — the self-join
+    // formulation shuffles the gram index TWICE for the same pair mass
+    // (PairProbe A/B on the fork-bench corpus: 2.41 s vs 1.93 s warm,
+    // ~1.3× — identical 492,509 pair rows both ways)
+    val inter = grams.groupBy(col("s"))
+      .agg(sort_array(collect_set(col("cid"))).as("cs"))
+      .filter(size(col("cs")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(cs)-1), " +
+          "i -> transform(sequence(i+1, size(cs)), " +
+          "j -> struct(cs[i-1] AS src_a, cs[j-1] AS src_b))))")).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(hinted.select(col("cid").as("src_a"), col("n").as("na")), "src_a")
