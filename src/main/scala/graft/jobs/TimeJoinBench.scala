@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   *    same input as the A/B contrast (per-user pair mass = 100×100, so
   *    the naive side stays runnable while still 50·n rows — the point
   *    is the curve, not a blow-up).
+  *  - `asofd <n>` — the DENSITY curve: users fixed at 1001 while n
+  *    grows, so the naive theta-join's pair mass grows quadratically
+  *    while the window shape stays one sort (the divergence argument).
+  *  - `skew <n>` — hot-key A/B: user 0 holds 95% of the stream; plain
+  *    [[graft.queries.TimeJoins.asofJoin]] vs the bucketed variant,
+  *    checksum-verified identical.
   *  - `range <n>` — n events on ts = id over [0, n), n/1000 intervals
   *    of span 700 on a 1000-grid: interval i covers ids
   *    [1000i, 1000i+700) → exactly 700 events each (the construction
@@ -82,6 +88,61 @@ object TimeJoinBench {
       f""""steal_naive":$s2%.2f,"cpu_eff_naive":$e2%.3f}"""
   }
 
+  /** Skew A/B: user 0 holds 95% of the stream (views on even ids,
+    * purchases on odd — the hot key gets both kinds), the rest spreads
+    * over n/400 cold users. The plain window serializes the hot key's
+    * rows onto ONE task; the bucketed variant splits it into 64 time
+    * slices. Verdict: both implementations must produce identical
+    * (match count, Σ matched view ids) checksums — bucketing must not
+    * change a single match.
+    */
+  def skewPoint(spark: SparkSession, n: Long): String = {
+    import spark.implicits._
+    val users = math.max(3L, n / 400) | 1L // odd → coprime with the
+    // kind split, so every cold user gets BOTH views and purchases
+    // hot user 0 holds 19/20 of the stream (ids ≢ 19 mod 20 — covers
+    // even and odd ids, so the hot key gets both kinds)
+    val ev = spark.range(n).select(col("id").as("event_id"),
+        when(col("id") % 20 < 19, 0L)
+          .otherwise(lit(1L) + (col("id") % users)).as("user_id"),
+        col("id").as("ts_us"))
+      .cache()
+    ev.count()
+    val purchases = ev.filter(col("event_id") % 2 === 1)
+    val views = ev.filter(col("event_id") % 2 === 0)
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("view_event_id"))
+    def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(
+        sum(when(col("asof_view_event_id").isNotNull, 1L).otherwise(0L)),
+        sum(coalesce(col("asof_view_event_id"), lit(0L)))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var cPlain: (Long, Long) = null
+    val t0 = System.nanoTime()
+    val (s1, e1) = DedupScaleBench.witness { () =>
+      cPlain = checksum(graft.queries.TimeJoins.asofJoin(
+        purchases, views, "user_id", "ts_us", Seq("view_event_id")))
+    }
+    val wPlain = (System.nanoTime() - t0) / 1e9
+    var cBuck: (Long, Long) = null
+    val width = math.max(1L, n / 64)
+    val t1 = System.nanoTime()
+    val (s2, e2) = DedupScaleBench.witness { () =>
+      cBuck = checksum(graft.queries.TimeJoins.asofJoinBucketed(
+        purchases, views, "user_id", "ts_us", Seq("view_event_id"), width))
+    }
+    val wBuck = (System.nanoTime() - t1) / 1e9
+    ev.unpersist()
+    f"""{"kind":"asof_skew","n":$n,"users":${users + 1},""" +
+      f""""hot_share":0.95,"checksums_equal":${cPlain == cBuck},""" +
+      f""""matched":${cPlain._1},"wall_plain_sec":$wPlain%.2f,""" +
+      f""""wall_bucketed_sec":$wBuck%.2f,""" +
+      f""""speedup":${wPlain / wBuck}%.2f,""" +
+      f""""steal_plain":$s1%.2f,"cpu_eff_plain":$e1%.3f,""" +
+      f""""steal_bucketed":$s2%.2f,"cpu_eff_bucketed":$e2%.3f}"""
+  }
+
   def rangePoint(spark: SparkSession, n: Long): String = {
     import spark.implicits._
     // every interval must be fully populated for the exact-700 verdict
@@ -132,6 +193,7 @@ object TimeJoinBench {
       mode match {
         case "range" => rangePoint(spark, n)
         case "asofd" => asofPoint(spark, n, fixedUsers = 1001L)
+        case "skew" => skewPoint(spark, n)
         case _ => asofPoint(spark, n)
       }
     }

@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   *    per-partition sort on (ts, tag), and `last(_, ignoreNulls)` over
   *    the unbounded-preceding frame carries the most recent right
   *    payload forward into each left row. Cost: one exchange + sort of
-  *    L∪R, zero join explosion, any key skew handled by AQE exactly as
-  *    a groupBy would be.
+  *    L∪R, zero join explosion. Caveat (unlike a groupBy, AQE can NOT
+  *    split a window partition): a pathological hot key serializes onto
+  *    one task — [[asofJoinBucketed]] is the skew-safe variant, which
+  *    time-slices each key into (key, bucket) units and stitches bucket
+  *    boundaries with a recursive as-of over the per-bucket seed rows
+  *    (a frame of #keys × #touched-buckets rows, tiny by construction).
   *
   *  - Range (interval) join ([[rangeJoinAgg]]): events against
   *    [start, end) intervals. A raw `ts BETWEEN start AND end` condition
@@ -45,26 +49,102 @@ object TimeJoins {
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       tsCol: String, carry: Seq[String]): DataFrame = {
     val lCols = left.columns
-    val lSel = Seq(col(key), col(tsCol).as("_ts"), lit(1).as("_kind"),
-      struct(lCols.map(col): _*).as("_lrow")) ++
+    backfill(left, right, Seq(key), tsCol, carry)
+      .select(lCols.map(c => col(s"_lrow.$c").as(c)) ++
+        carry.map(c => col(s"_asof.$c").as(s"asof_$c")): _*)
+  }
+
+  /** The union+window core shared by [[asofJoin]] (partitioned by the
+    * key alone) and [[asofJoinBucketed]] (by (key, bucket)): left rows
+    * as `_lrow` structs plus `_asof` = the latest right row's carry
+    * struct within the partition (null when none precedes). `pre`
+    * injects synthetic right rows that sort BEFORE any real row at the
+    * same timestamp (kind −1) — the bucketed variant's carried-in seed
+    * channel.
+    */
+  private def backfill(left: DataFrame, right: DataFrame,
+      parts: Seq[String], tsCol: String, carry: Seq[String],
+      pre: Option[DataFrame] = None): DataFrame = {
+    val lCols = left.columns
+    val lSel = parts.map(col) ++
+      Seq(col(tsCol).as("_ts"), lit(1).as("_kind"),
+        struct(lCols.map(col): _*).as("_lrow")) ++
       carry.map(c => lit(null).cast(right.schema(c).dataType).as(c))
     val l = left.select(lSel: _*)
-    val rSel = Seq(col(key), col(tsCol).as("_ts"), lit(0).as("_kind"),
-      lit(null).cast(l.schema("_lrow").dataType).as("_lrow")) ++
-      carry.map(col)
-    val r = right.select(rSel: _*)
+    // pre rows order by their own `_pre_ts` column — a carry column may
+    // legitimately be NAMED like tsCol (q61 carries the match row's ts),
+    // so the synthetic row's ordering instant needs a separate channel
+    def rightish(df: DataFrame, kind: Int, orderCol: String): DataFrame = {
+      val sel = parts.map(col) ++
+        Seq(col(orderCol).as("_ts"), lit(kind).as("_kind"),
+          lit(null).cast(l.schema("_lrow").dataType).as("_lrow")) ++
+        carry.map(col)
+      df.select(sel: _*)
+    }
+    val unioned = pre.foldLeft(l.unionByName(rightish(right, 0, tsCol))) {
+      (acc, p) => acc.unionByName(rightish(p, -1, "_pre_ts"))
+    }
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(key))
+      .partitionBy(parts.map(col): _*)
       .orderBy(col("_ts"), col("_kind"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     // ONE struct backfill, not one per carry column: a struct of nulls is
     // still a non-null struct, so `last` always lands on the genuinely
     // latest right ROW — per-column backfills would skip a null payload
     // column and stitch together values from different right rows
-    val filled = l.unionByName(r).withColumn("_asof",
-      last(when(col("_kind") === 0, struct(carry.map(col): _*)),
+    unioned.withColumn("_asof",
+      last(when(col("_kind") <= 0, struct(carry.map(col): _*)),
         ignoreNulls = true).over(w))
-    filled.filter(col("_kind") === 1)
+      .filter(col("_kind") === 1)
+      .select(parts.map(col) :+ col("_lrow") :+ col("_asof"): _*)
+  }
+
+  /** Skew-safe as-of join — identical semantics to [[asofJoin]] for any
+    * `bucketWidth`, but the parallel unit is (key, time-bucket) instead
+    * of the key alone, so a hot key splits across ⌈span/width⌉ tasks
+    * instead of serializing onto one (AQE cannot split a window
+    * partition the way it splits a skewed join).
+    *
+    * Three stages: (1) within-bucket backfill — the same union+window
+    * core partitioned by (key, bucket); (2) per-(key, bucket) SEED = the
+    * latest right row of that bucket (`max_by` struct aggregate; #keys ×
+    * #touched-buckets rows, tiny by construction); (3) the carried-in
+    * value for each left bucket is an AS-OF OF THE SEEDS at bucket
+    * granularity — computed by recursing into [[asofJoin]] on the seed
+    * frame with the seed's bucket shifted +1 so a bucket's own seed is
+    * never carried into itself. Final value = coalesce(local, carried).
+    */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, carry: Seq[String], bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0)
+    val lCols = left.columns
+    val lb = left.withColumn("_bucket", expr(s"$tsCol div ${bucketWidth}L"))
+    val rb = right.withColumn("_bucket", expr(s"$tsCol div ${bucketWidth}L"))
+    // seed: latest right row per (key, bucket), as one struct
+    val seeds = rb.groupBy(col(key), col("_bucket"))
+      .agg(max_by(struct(carry.map(col): _*), col(tsCol)).as("_seed"))
+    // carried-in per left bucket: as-of over seeds at bucket granularity;
+    // +1 shift makes the match strict (a bucket's own seed is local)
+    val leftBuckets = lb.select(col(key), col("_bucket")).distinct()
+      .withColumn("_bts", col("_bucket"))
+    val seedRows = seeds.select(col(key), (col("_bucket") + 1).as("_bts"),
+      col("_seed"))
+    val carried = asofJoin(leftBuckets, seedRows, key, "_bts",
+        carry = Seq("_seed"))
+      .filter(col("asof__seed").isNotNull)
+    // the carried-in value re-enters the within-bucket window as a
+    // SYNTHETIC right row at the bucket's opening instant (kind −1, so
+    // a real right row at the same ts overrides it) — the corpus is
+    // never joined; the only extra window input is one row per
+    // populated left bucket (a first cut post-joined `carried` onto the
+    // corpus frame and re-sorted all of it — 38 s vs this shape's 22 s
+    // at the 32M skew point). Domain note: bucket = ts div width
+    // truncates toward zero, so keep timestamps non-negative (epoch μs)
+    val synth = carried.select(
+      Seq(col(key), col("_bucket"),
+        (col("_bucket") * bucketWidth).as("_pre_ts")) ++
+        carry.map(c => col(s"asof__seed.$c").as(c)): _*)
+    backfill(lb, rb, Seq(key, "_bucket"), tsCol, carry, pre = Some(synth))
       .select(lCols.map(c => col(s"_lrow.$c").as(c)) ++
         carry.map(c => col(s"_asof.$c").as(s"asof_$c")): _*)
   }

@@ -83,6 +83,36 @@ class TimeJoinsSpec extends SparkSpec {
     assert(run(1) == run(7))
   }
 
+  // ---- asofJoinBucketed ----
+
+  test("asofJoinBucketed equals asofJoin for any bucket width") {
+    val rnd = new scala.util.Random(65)
+    // skewed: user 0 holds half the stream; payload nulls included
+    val views = (0 until 400).map { i =>
+      val u = if (i % 2 == 0) 0L else rnd.nextInt(8).toLong
+      (u, rnd.nextInt(50000).toLong,
+        if (i % 7 == 0) None: Option[Long] else Some(1000L + i))
+    }.distinctBy(v => (v._1, v._2))
+    val purchases = (0 until 300).map { i =>
+      val u = if (i % 2 == 0) 0L else rnd.nextInt(10).toLong
+      (i.toLong, u, rnd.nextInt(50000).toLong)
+    }
+    val l = purchases.toDF("event_id", "user_id", "ts_us")
+    val r = views.toDF("user_id", "ts_us", "view_event_id")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(x => x.getAs[Long]("event_id") ->
+        ((Option(x.getAs[java.lang.Long]("asof_view_event_id")).map(_.toLong),
+          Option(x.getAs[java.lang.Long]("asof_ts_us")).map(_.toLong))))
+      .toMap
+    val plain = norm(TimeJoins.asofJoin(l, r, "user_id", "ts_us",
+      Seq("view_event_id", "ts_us")))
+    for (width <- Seq(1L, 97L, 5000L, 1000000L)) {
+      val b = norm(TimeJoins.asofJoinBucketed(l, r, "user_id", "ts_us",
+        Seq("view_event_id", "ts_us"), width))
+      assert(b == plain, s"width=$width")
+    }
+  }
+
   // ---- sessionize ----
 
   private def sess(rows: Seq[(Long, Long)], gap: Long) =
