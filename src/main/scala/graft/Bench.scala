@@ -61,7 +61,8 @@ object Bench {
     * witness; steal% + par + spread still cover them.
     */
   val WaitHeavy: Set[String] =
-    Set("q37_stream_windows", "q40_stream_profile", "q44_stream_dedup")
+    Set("q37_stream_windows", "q40_stream_profile", "q44_stream_dedup",
+      "q65_stream_attribution")
   /** two attempts within this ratio agree → machine is stable, stop. */
   val AgreeRatio = 1.15
 

@@ -88,7 +88,9 @@ object SparkEntry {
     "q61_asof_join" -> (TimeJoins.q61AsofJoin(_, _)),
     "q62_range_join" -> (TimeJoins.q62RangeJoin(_, _)),
     "q63_sessionize" -> (TimeJoins.q63Sessionize(_, _)),
-    "q64_approx_quantiles" -> (CurationOps.q64ApproxQuantiles(_, _))
+    "q64_approx_quantiles" -> (CurationOps.q64ApproxQuantiles(_, _)),
+    "q65_stream_attribution" ->
+      (graft.streaming.StreamAttributionJob.q65StreamAttribution(_, _))
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/order keys). */
@@ -1161,6 +1163,18 @@ object SparkEntry {
                 CAST(FLOOR(q.qi * n.n_docs / 4.0) AS BIGINT) AS target_rank,
                 TRUE AS in_envelope
          FROM n, (SELECT unnest(range(1, 4)) AS qi) q
-         ORDER BY n.lang, quantile_idx"""
+         ORDER BY n.lang, quantile_idx""",
+    // q65: the streamed stream-stream interval join must reconstruct
+    // the batch range join exactly (the q44 contract)
+    "q65_stream_attribution" ->
+      """SELECT p.event_id AS purchase_event_id, p.user_id,
+                epoch_us(p.ts) AS purchase_ts_us,
+                v.event_id AS view_event_id,
+                epoch_us(v.ts) AS view_ts_us
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON p.user_id = v.user_id
+          AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+         ORDER BY purchase_event_id, view_event_id"""
   )
 }

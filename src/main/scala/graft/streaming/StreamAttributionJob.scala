@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Stream-stream event-time interval join — the one Structured
+  * Streaming primitive the engine's streaming family (q37 windowed agg,
+  * q40 stateful profile, q44 streaming dedup) did not yet exercise:
+  * purchases attributed to the same user's views within the preceding
+  * hour, both sides watermarked, state for expired views evicted by the
+  * engine.
+  *
+  * Scale shape: stream-stream joins keep BOTH sides' unexpired rows in
+  * the state store; the watermark + time-range condition bound that
+  * state to (events within the interval + delay) per key — without
+  * them, state grows forever. The spec asserts eviction actually
+  * happens (final state rows < total fed rows); the q65 gate proves
+  * the streamed result equals the batch interval join EXACTLY (same
+  * contract as q44: the streaming engine must reconstruct batch
+  * semantics).
+  */
+object StreamAttributionJob {
+
+  /** q65 — streaming purchase→view attribution over `events`, fed
+    * through MemoryStream in two ts-ordered halves (no late data, so
+    * watermarking drops nothing and the complete pair set must equal
+    * the batch range join the oracle runs). Output: one row per
+    * (purchase, view-within-1-hour-before) pair, epoch-μs integers.
+    */
+  def q65StreamAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp").as("ts"), col("event_type"))
+      .as[(Long, Long, java.sql.Timestamp, String)]
+      .collect().sortBy(_._3.getTime)
+    val purchases = ev.filter(_._4 == "purchase").map(e => (e._1, e._2, e._3))
+    val views = ev.filter(_._4 == "view").map(e => (e._1, e._2, e._3))
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ps = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val vs = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val p = ps.toDF().toDF("purchase_event_id", "user_id", "p_ts")
+      .withWatermark("p_ts", "1 hour")
+    val v = vs.toDF().toDF("view_event_id", "v_user_id", "v_ts")
+      .withWatermark("v_ts", "1 hour")
+    val joined = p.join(v, expr(
+      """user_id = v_user_id AND
+         v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"""))
+    try spark.catalog.dropTempView("q65_sink") catch { case _: Exception => }
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val q = joined.writeStream.format("memory").queryName("q65_sink")
+        .outputMode("append").start()
+      try {
+        def half[T](xs: Array[T]): (Array[T], Array[T]) =
+          xs.splitAt(xs.length / 2)
+        val (p1, p2) = half(purchases); val (v1, v2) = half(views)
+        ps.addData(p1.toSeq); vs.addData(v1.toSeq)
+        q.processAllAvailable()
+        ps.addData(p2.toSeq); vs.addData(v2.toSeq)
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.table("q65_sink")
+      .select(col("purchase_event_id"), col("user_id"),
+        unix_micros(col("p_ts")).as("purchase_ts_us"),
+        col("view_event_id"), unix_micros(col("v_ts")).as("view_ts_us"))
+      .orderBy(col("purchase_event_id"), col("view_event_id"))
+  }
+}

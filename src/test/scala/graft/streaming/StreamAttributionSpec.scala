@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Stream-stream interval-join correctness and STATE EVICTION: the
+  * watermark must actually clean expired view state (without it, a
+  * stream-stream join's state grows with the stream — the 100 TB
+  * streaming failure mode), and the streamed pair set must equal the
+  * batch range join.
+  */
+class StreamAttributionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int = 0): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  test("streamed pairs equal the batch interval join; expired state evicted") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // user 1: one view + one purchase per hour over 12 hours, purchase
+    // 30 min after the view → each purchase matches exactly its own
+    // hour's view (the previous hour's view is > 1h older)... except
+    // purchases also see the same hour's view only. Fed in 3 batches of
+    // 4 hours each — by batch 3 the watermark is far past batch 1's
+    // views, so their state MUST have been evicted.
+    val views = (0 until 12).map(h => (100L + h, 1L, ts(h, 0)))
+    val purchases = (0 until 12).map(h => (200L + h, 1L, ts(h, 30)))
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ps = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val vs = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val p = ps.toDF().toDF("p_id", "user_id", "p_ts")
+      .withWatermark("p_ts", "10 minutes")
+    val v = vs.toDF().toDF("v_id", "v_user_id", "v_ts")
+      .withWatermark("v_ts", "10 minutes")
+    val joined = p.join(v, expr(
+      "user_id = v_user_id AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts"))
+    try spark.catalog.dropTempView("attr_spec_sink")
+    catch { case _: Exception => }
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    var stateRows = Seq.empty[Long]
+    try {
+      val q = joined.writeStream.format("memory")
+        .queryName("attr_spec_sink").outputMode("append").start()
+      try {
+        for (b <- 0 until 3) {
+          ps.addData(purchases.slice(b * 4, b * 4 + 4))
+          vs.addData(views.slice(b * 4, b * 4 + 4))
+          q.processAllAvailable()
+          stateRows = stateRows ++
+            Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+              .map(_.numRowsTotal)
+        }
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val got = spark.table("attr_spec_sink")
+      .select(col("p_id"), col("v_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch oracle: every (purchase, view) of the same user within 1h
+    val want = (for {
+      (pid, _, pts) <- purchases
+      (vid, _, vts) <- views
+      if vts.getTime <= pts.getTime &&
+        vts.getTime >= pts.getTime - 3600000L
+    } yield (pid, vid)).toSet
+    assert(got == want, s"got=$got want=$want")
+    assert(want.size == 12, "construction: one match per purchase")
+    // eviction: by the last batch the state must NOT hold all 24 fed
+    // rows — the watermark has passed batches 1-2's event time entirely
+    assert(stateRows.nonEmpty)
+    assert(stateRows.last < 24,
+      s"state never evicted: $stateRows (24 rows fed)")
+  }
+}
