@@ -179,11 +179,14 @@ object ContainerOps {
 
   def containerMinhashPairs(docs: DataFrame, container: String = "source",
       threshold: Double = 0.05, targetMiss: Double = 1e-9,
-      dfCap: Int = ContainerDfCap): DataFrame = {
+      dfCap: Int = ContainerDfCap,
+      broadcastCandidates: Boolean = true): DataFrame = {
     val (r, b) = TrainingOps.minhashBanding(threshold, targetMiss)
     val grams = cappedGrams(docs, container, dfCap)
     val buckets = TrainingOps.bandedBuckets(
       grams.withColumnRenamed("cid", "doc_id"), r, b)
+    // cand/cgrams stay cached across the verify joins; released by the
+    // harness clearCache between queries (the shingle-family contract)
     val cand = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -191,16 +194,24 @@ object ContainerOps {
       .distinct().cache()
     val candIds = cand.select(col("src_a").as("cid"))
       .union(cand.select(col("src_b").as("cid"))).distinct()
-    val cgrams = grams.join(broadcast(candIds), Seq("cid")).cache()
+    // candidates are few by construction (that is the point of banding),
+    // so the semi-filter and sizes joins broadcast by default — but an
+    // explicit hint must not outlive its regime (the r5 size-switch
+    // discipline): on a corpus where banding yields millions of
+    // candidate containers, pass broadcastCandidates = false and these
+    // joins shuffle on the container key instead
+    def maybe(df: DataFrame): DataFrame =
+      if (broadcastCandidates) broadcast(df) else df
+    val cgrams = grams.join(maybe(candIds), Seq("cid")).cache()
     val sizes = cgrams.groupBy(col("cid")).agg(count(lit(1)).as("n"))
     val inter = cgrams.as("a").join(cgrams.as("b"),
         col("a.s") === col("b.s") && col("a.cid") < col("b.cid"))
       .groupBy(col("a.cid").as("src_a"), col("b.cid").as("src_b"))
       .agg(count(lit(1)).as("n_inter"))
     cand.join(inter, Seq("src_a", "src_b")) // candidates sharing ≥1 gram
-      .join(broadcast(sizes.select(col("cid").as("src_a"), col("n").as("na"))),
+      .join(maybe(sizes.select(col("cid").as("src_a"), col("n").as("na"))),
         "src_a")
-      .join(broadcast(sizes.select(col("cid").as("src_b"), col("n").as("nb"))),
+      .join(maybe(sizes.select(col("cid").as("src_b"), col("n").as("nb"))),
         "src_b")
       .withColumn("n_union", col("na") + col("nb") - col("n_inter"))
       .withColumn("jaccard", col("n_inter").cast("double") / col("n_union"))

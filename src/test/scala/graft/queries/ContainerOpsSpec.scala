@@ -144,6 +144,12 @@ class ContainerOpsSpec extends SparkSpec {
         r.getLong(3), r.getDouble(4))).toSet
     assert(mh == exact, s"minhash=$mh exact=$exact")
     assert(exact.size < all.length, "threshold must cut some pairs")
+    // the size-switch shuffle path must be value-identical
+    val mhShuffle = ContainerOps.containerMinhashPairs(d,
+        threshold = threshold, broadcastCandidates = false)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(mhShuffle == exact)
   }
 
   test("containerClusters: keep-the-largest canonical, chains, singletons") {
