@@ -74,8 +74,14 @@ object TimeJoinBench {
       val pairs = purchases.as("p").join(views.as("v"),
         col("p.user_id") === col("v.user_id") &&
           col("v.ts_us") <= col("p.ts_us"))
-      naiveMatched = pairs.groupBy(col("p.event_id"))
+      val best = pairs.groupBy(col("p.event_id").as("pid"),
+          col("p.user_id").as("puid"))
         .agg(max(col("v.ts_us")).as("best"))
+      // join BACK to recover the matched view's payload — without this
+      // the naive side does strictly less work than a real as-of join
+      naiveMatched = best.join(views,
+          best("puid") === views("user_id") &&
+            best("best") === views("ts_us"))
         .count()
     }
     val wNaive = (System.nanoTime() - t1) / 1e9
@@ -98,13 +104,15 @@ object TimeJoinBench {
     */
   def skewPoint(spark: SparkSession, n: Long): String = {
     import spark.implicits._
-    val users = math.max(3L, n / 400) | 1L // odd → coprime with the
-    // kind split, so every cold user gets BOTH views and purchases
-    // hot user 0 holds 19/20 of the stream (ids ≢ 19 mod 20 — covers
-    // even and odd ids, so the hot key gets both kinds)
+    val users = math.max(3L, n / 400)
+    // hot user 0 holds 38/40 = 95% of the stream; cold ids are the
+    // PAIR (40k+38 even = view, 40k+39 odd = purchase), both mapped to
+    // user 1 + (k % users) — so every cold user genuinely receives both
+    // kinds and contributes real match work (an earlier cut selected
+    // only odd cold ids, silently making the cold side matchless)
     val ev = spark.range(n).select(col("id").as("event_id"),
-        when(col("id") % 20 < 19, 0L)
-          .otherwise(lit(1L) + (col("id") % users)).as("user_id"),
+        when(col("id") % 40 < 38, 0L)
+          .otherwise(lit(1L) + ((col("id") / 40) % users)).as("user_id"),
         col("id").as("ts_us"))
       .cache()
     ev.count()

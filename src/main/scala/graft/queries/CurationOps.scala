@@ -452,8 +452,11 @@ object CurationOps {
   def q64ApproxQuantiles(spark: SparkSession, dir: String): DataFrame = {
     val accuracy = 1000
     val toks = split(trim(col("text")), "\\s+")
+    // cached: the tokenization feeds BOTH the sketch aggregate and the
+    // exact-rank pass; released by the harness clearCache (house rule)
     val scored = t(spark, dir, "documents").select(col("lang"),
       (size(array_distinct(toks)).cast("double") / size(toks)).as("score"))
+      .cache()
     val bounds = scored.groupBy(col("lang"))
       .agg(percentile_approx(col("score"),
           array(lit(0.25), lit(0.5), lit(0.75)), lit(accuracy)).as("bs"),
