@@ -196,9 +196,12 @@ class PlanSpec extends SparkSpec {
       s"gram stage must read only (text, source): $scan")
     val p = finalPlan(ContainerOps.q56SourceSimilarity(spark, dir))
     assert(p.contains("InMemoryTableScan"),
-      "the capped gram index must be reused from cache on both join sides")
+      "the capped gram index must be reused from cache")
     assert(p.contains("BroadcastHashJoin"),
       "the per-container sizes joins must broadcast")
+    assert(p.contains("collect_set"),
+      "the pair stage must be group-then-emit (collect_set per gram), " +
+        "not the double-shuffle gram self-join")
   }
 
   test("q61: as-of join plans as union+window — zero join operators") {
