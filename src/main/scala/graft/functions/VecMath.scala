@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Whole-stage-codegen vector arithmetic for the ANN family (guide §4.1:
+  * prefer codegen expressions over interpreted higher-order functions in
+  * the hot path). The previous cosine implementation chained `zip_with` +
+  * `aggregate` — both HigherOrderFunctions that Catalyst evaluates
+  * INTERPRETED, walking an expression tree per element — which made the
+  * exact-verify / re-rank stages of q18/q19/q28/q31/q54/q55 cost tens of
+  * microseconds per pair (q28's 130k-candidate verify alone measured ~3 s
+  * on one task). [[VecMath.dot]] is the same left-fold in the same index
+  * order — `s += a(i)*b(i)` ascending — so every IEEE-754 addition and
+  * multiplication happens in the identical sequence and the result is
+  * BIT-IDENTICAL to the old expression; only the per-element interpreter
+  * dispatch is gone.
+  */
+object VecMath {
+
+  /** Σ a(i)·b(i) over the common prefix, ascending index order (the
+    * exact fold order of aggregate(zip_with(a, b, _*_), 0.0, _+_)).
+    */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  /** Column API: vec_dot(a, b) over two array&lt;double&gt; columns. */
+  def vec_dot(a: Column, b: Column): Column =
+    Bridge.column(VecDotExpr(Bridge.expression(a), Bridge.expression(b)))
+}
+
+/** Catalyst expression wrapping [[VecMath.dot]]; stays inside whole-stage
+  * codegen via a static call (the ScrubPiiExpr pattern).
+  */
+case class VecDotExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecMath.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VecMath.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VecDotExpr =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,121 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.{ContainerOps, TrainingOps}
+
+/** r7 stage probe (dev aid, not a bench): times the container-similarity
+  * pipeline stage by stage with the noop sink (guide §1.4) so the q56/q60
+  * wall can be attributed to tokenize/aggregate/pair-emit before touching
+  * the shape. Usage: runMain graft.jobs.R07Probe [sfDir] [stage...]
+  */
+object R07Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val stages = if (args.length > 1) args.drop(1).toSet else Set.empty[String]
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    def time(name: String)(mk: => DataFrame): Unit =
+      if (stages.isEmpty || stages(name)) {
+        // warm once, then two timed attempts, report min
+        var best = Double.MaxValue
+        var n = 0L
+        (0 until 3).foreach { i =>
+          spark.catalog.clearCache()
+          spark.sparkContext.setJobDescription(s"r07probe:$name#$i")
+          val t0 = System.nanoTime()
+          val df = mk
+          df.write.format("noop").mode("overwrite").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (i > 0) best = math.min(best, sec)
+          if (i == 0) n = -1
+        }
+        println(f"PROBE $name%-28s $best%8.3f s")
+      }
+
+    // stage 1: tokenize + shingle arrays only (map-side)
+    time("shingle-arrays") {
+      graft.profile.Profiler.spread(spark, docs)
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("shingles", expr("array_distinct(transform(sequence(1, size(toks)-2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))"))
+        .select(col("source"), col("shingles"))
+    }
+    // stage 2: + explode + xxhash64 (still map-side)
+    time("gram-rows") {
+      graft.profile.Profiler.spread(spark, docs)
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("shingles", expr("array_distinct(transform(sequence(1, size(toks)-2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))"))
+        .select(col("source").as("cid"), explode(col("shingles")).as("str"))
+        .select(col("cid"), xxhash64(col("str")).as("s"))
+    }
+    // stage 3: the full per-gram set aggregate (the r7 gramSets shape)
+    time("gram-sets-agg") {
+      ContainerOps.gramSets(docs, "source", ContainerOps.ContainerDfCap)
+    }
+    // stage 3b: same aggregate but count-only (no collect_set) — isolates
+    // the object-agg cost from the shuffle cost
+    time("gram-count-agg") {
+      graft.profile.Profiler.spread(spark, docs)
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("shingles", expr("array_distinct(transform(sequence(1, size(toks)-2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))"))
+        .select(col("source").as("cid"), explode(col("shingles")).as("str"))
+        .select(col("cid"), xxhash64(col("str")).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("c"))
+    }
+    // stage 4: pair emission + count from the cached gram sets
+    time("pairs-from-sets") {
+      ContainerOps.containerSimilarity(docs, "source")
+    }
+    // the old distinct-index shape, for comparison
+    time("old-distinct-index") {
+      graft.profile.Profiler.spread(spark, docs)
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("shingles", expr("array_distinct(transform(sequence(1, size(toks)-2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))"))
+        .select(col("source").as("cid"), explode(col("shingles")).as("str"))
+        .select(col("cid"), xxhash64(col("str")).as("s"))
+        .distinct()
+    }
+    // r7 fix check: explode FROM a cached arrays stage
+    time("gram-rows-cached") {
+      val sets = graft.profile.Profiler.spread(spark, docs)
+        .withColumn("toks", split(trim(col("text")), "\\s+"))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("shingles", expr("array_distinct(transform(sequence(1, size(toks)-2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))"))
+        .select(col("source").as("cid"), col("shingles"))
+        .cache()
+      sets.select(col("cid"), explode(col("shingles")).as("str"))
+        .select(col("cid"), xxhash64(col("str")).as("s"))
+    }
+    // relational: q01 as-is vs spread before agg
+    time("q01-asis") { graft.queries.Queries.q01PricingSummary(spark, sfDir) }
+    time("q01-spread") {
+      graft.profile.Profiler.spread(spark,
+          spark.read.parquet(s"$sfDir/lineitem.parquet"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(28,6)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(28,6)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(28,6)")).cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast("decimal(28,6)")).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }
+    time("q02-asis") { graft.queries.Queries.q02RevenueByNation(spark, sfDir) }
+    time("q03-asis") { graft.queries.Queries.q03TopCustomers(spark, sfDir) }
+    time("q57-now") { graft.queries.CurationOps.q57RepeatedSpans(spark, sfDir) }
+    spark.stop()
+  }
+}

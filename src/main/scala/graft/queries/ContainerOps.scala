@@ -62,8 +62,10 @@ object ContainerOps {
     * the container-level DISTINCT collapses cross-doc repeats anyway, and
     * dropping per-doc dedup first would explode strictly more rows.
     *
-    * One shuffle (the distinct, keyed by (cid, s)); the shingle transform
-    * itself is map-side, spread-guarded like every generator consumer.
+    * r7: production paths now ride [[gramSets]] (ONE groupBy(s) instead
+    * of distinct + hot-df pass + anti-join); this frame remains the
+    * UNCACHED plan-pin surface for the gram stage — same scan subtree as
+    * gramSets, inspectable because no InMemoryRelation hides it.
     */
   private[queries] def containerGrams(docs: DataFrame,
       container: String): DataFrame =
@@ -102,17 +104,23 @@ object ContainerOps {
   private[queries] def containerSimilarityUnsorted(docs: DataFrame,
       container: String, dfCap: Int,
       broadcastSizes: Boolean): DataFrame = {
-    val grams = cappedGrams(docs, container, dfCap)
-    val sizes = grams.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+    // ONE corpus-mass shuffle (r7, guide §2.4): gramSets' groupBy(s) +
+    // collect_set subsumes the old three full passes over the gram index
+    // — the (cid, s) distinct, the hot-df aggregate and the pair-stage
+    // collect_set were all keyed by s or (cid, s) and each shuffled the
+    // whole index. Sizes and pairs now derive from the CACHED per-gram
+    // frame (one row per distinct gram), which is strictly smaller.
+    val gs = gramSets(docs, container, dfCap)
+    val sizes = gs.select(explode(col("cs")).as("cid"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
     val hinted = if (broadcastSizes) broadcast(sizes) else sizes
-    // group-then-emit-pairs, NOT a self-join: one groupBy(s) collects
-    // each gram's (DF-cap-bounded, ≤ dfCap) container set, and the pair
-    // explosion happens map-side from the sorted array — the self-join
-    // formulation shuffles the gram index TWICE for the same pair mass
-    // (PairProbe A/B on the fork-bench corpus: 2.41 s vs 1.93 s warm,
-    // ~1.3× — identical 492,509 pair rows both ways)
-    val inter = grams.groupBy(col("s"))
-      .agg(sort_array(collect_set(col("cid"))).as("cs"))
+    // group-then-emit-pairs, NOT a self-join: each gram's (DF-cap-
+    // bounded, ≤ dfCap) container set emits its pairs map-side from the
+    // sorted array — the self-join formulation shuffles the gram index
+    // TWICE for the same pair mass (PairProbe A/B on the fork-bench
+    // corpus: 2.41 s vs 1.93 s warm, ~1.3× — identical 492,509 pair
+    // rows both ways)
+    val inter = gs
       .filter(size(col("cs")) >= 2)
       .select(explode(expr(
         "flatten(transform(sequence(1, size(cs)-1), " +
@@ -149,18 +157,48 @@ object ContainerOps {
     * point of banding), so verify cost is proportional to candidate
     * content, never corpus content.
     */
-  /** The DF-capped gram index — shared by the exact path, the MinHash
-    * path and the bucket diagnostic. CACHED (feeds the hot-set aggregate
-    * and every downstream consumer); released by the harness clearCache
-    * between queries, same contract as the shingle family.
+  /** The DF-capped PER-GRAM container sets — (s, cs) with cs the sorted
+    * distinct containers holding gram s, grams past `dfCap` containers
+    * dropped. ONE aggregation keyed by s computes the distinct, the
+    * df cap (`size(cs)`) and the pair-stage container sets together
+    * (r7; the old pipeline shuffled the full gram index three times:
+    * (cid, s) distinct → hot-df groupBy(s) → anti-join → pair-stage
+    * collect_set). collect_set partial-aggregates map-side, so shuffle
+    * bytes stay at the per-partition-distinct level the old distinct()
+    * paid. CACHED — feeds sizes, pairs and the MinHash path; released
+    * by the harness clearCache between queries (shingle-family
+    * contract).
+    */
+  private[graft] def gramSets(docs: DataFrame, container: String,
+      dfCap: Int): DataFrame = {
+    // cache the shingle-ARRAY stage before the explode (the house
+    // shingle rule, r7 — it was missing at container granularity): an
+    // explode whose child is the uncached interpreted-HOF generator
+    // costs ~15× the array materialization itself (R07Probe at sf0.1:
+    // 7.5 s explode-over-generator vs 0.46 s arrays + cheap explode-
+    // from-cache). Both caches are released by the harness clearCache.
+    val sets = graft.profile.Profiler.spread(docs.sparkSession, docs)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", expr(TrainingOps.ShingleTransformSql))
+      .select(col(container).as("cid"), col("shingles"))
+      .cache()
+    sets.select(col("cid"), explode(col("shingles")).as("str"))
+      .select(col("cid"), xxhash64(col("str")).as("s"))
+      .groupBy(col("s")).agg(sort_array(collect_set(col("cid"))).as("cs"))
+      .filter(size(col("cs")) <= dfCap)
+      .cache()
+  }
+
+  /** The DF-capped gram index as (cid, s) rows — the MinHash path's
+    * input shape, derived from [[gramSets]] (identical rows to the old
+    * distinct + anti-join pipeline; the explode of the cached per-gram
+    * frame replaces two more full shuffles).
     */
   private[graft] def cappedGrams(docs: DataFrame, container: String,
-      dfCap: Int): DataFrame = {
-    val raw = containerGrams(docs, container).cache()
-    val hot = raw.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select(col("s"))
-    raw.join(broadcast(hot), Seq("s"), "left_anti").cache()
-  }
+      dfCap: Int): DataFrame =
+    gramSets(docs, container, dfCap)
+      .select(explode(col("cs")).as("cid"), col("s"))
 
   /** Banded-bucket diagnostic mirroring [[containerMinhashPairs]]'s
     * signature/banding stages EXACTLY (the
@@ -246,12 +284,15 @@ object ContainerOps {
     val full = universe
       .join(cc.withColumnRenamed("doc_id", "cid"), Seq("cid"), "left")
       .withColumn("component", coalesce(col("component"), col("cid")))
-    val sizes = full.groupBy(col("component"))
-      .agg(count(lit(1)).as("cluster_size"))
+    // cluster size and the keep-rank share ONE component exchange as two
+    // windows over the same partitioning, replacing the old groupBy +
+    // join-back pair (r7, guide §2.4); values identical
+    val wSz = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("component"))
       .orderBy(col("n_docs").desc, col("cid").asc)
-    full.join(sizes, "component")
+    full.withColumn("cluster_size", count(lit(1)).over(wSz))
       .withColumn("keep", row_number().over(w) === 1)
       .select(col("cid").as(container), col("component"),
         col("cluster_size"), col("n_docs"), col("keep"))

@@ -185,10 +185,25 @@ object CurationOps {
   def decontaminationReport(docs: DataFrame, isEval: Column,
       minOverlap: Int): DataFrame = {
     val flagged = docs.withColumn("is_eval", isEval)
-    val evalGrams = docGrams(flagged.filter(col("is_eval")))
+    // ONE tokenize+shingle pass over the whole corpus (r7): both splits
+    // read the same cached shingle-array frame and filter on is_eval —
+    // the old shape ran the interpreted gram generator (spread +
+    // transform + cache) separately per split. Values identical: the
+    // per-doc gram sets do not depend on which split holds the doc.
+    val arr = graft.profile.Profiler.spread(docs.sparkSession, flagged)
+      .withColumn("toks", split(trim(col("text")), "\\s+"))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", expr(TrainingOps.ShingleTransformSql))
+      .select(col("doc_id"), col("is_eval"), col("shingles"))
+      .cache()
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), explode(col("shingles")).as("str"))
+        .select(col("doc_id"), xxhash64(col("str")).as("s"))
+    val evalGrams = grams(arr.filter(col("is_eval")))
       .select(col("s")).distinct()
     val train = flagged.filter(!col("is_eval"))
-    val hits = docGrams(train).join(broadcast(evalGrams), Seq("s"))
+    val hits = grams(arr.filter(!col("is_eval")))
+      .join(broadcast(evalGrams), Seq("s"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_overlap")) // per-doc grams are distinct
     train.select(col("doc_id"))
@@ -361,7 +376,12 @@ object CurationOps {
     * downstream aggregation without a re-join.
     */
   def repetitionMetrics(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
-    val withArrays = docs
+    // r7 parallelism guard (the shingleSets spread rule): the per-row
+    // sort + run-count aggregates are interpreted HOFs, and the gate
+    // parquet is ONE row group — unspread, q52's whole pass ran on one
+    // task (bench par ≈ 0.9 at 1.76 s). At real scale the input already
+    // has ≥ cores partitions → no-op.
+    val withArrays = graft.profile.Profiler.spread(docs.sparkSession, docs)
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .withColumn("bgs",
         when(size(col("toks")) >= 2,
@@ -518,7 +538,18 @@ object CurationOps {
   def repeatedSpans(docs: DataFrame, k: Int = SpanK,
       minCount: Int = 2): DataFrame = {
     require(k >= 2 && minCount >= 2)
-    val pos = graft.profile.Profiler.spread(docs.sparkSession, docs)
+    // (r7 notes, both variants tried and kept OUT: (a) a single-pass
+    // groupBy(s).collect_list(struct(doc_id, pos)) frequency stage —
+    // window hashes are ~unique, so per-key object-agg buffers made it
+    // 6× slower; (b) hashing the k tokens as xxhash64(toks[i-1], …,
+    // toks[i+k-2]) instead of slice+concat_ws — 11 interpreted sub-evals
+    // per position vs 3, ~6× slower inside the interpreted lambda.)
+    // cache the window-ARRAY stage before the explode (the house shingle
+    // rule, r7 — it was missing here): an explode whose child is the
+    // uncached interpreted-HOF generator costs ~15× the array
+    // materialization itself (R07Probe; same pathology the shingle
+    // family documents). Both caches released by the harness clearCache.
+    val warr = graft.profile.Profiler.spread(docs.sparkSession, docs)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .filter(size(col("toks")) >= k)
       // sequence/slice are clamped defensively: Catalyst may evaluate the
@@ -529,6 +560,9 @@ object CurationOps {
       .withColumn("w", expr(
         s"transform(sequence(1, greatest(size(toks) - ${k - 1}, 1)), " +
           s"i -> struct(i AS pos, xxhash64(concat_ws(' ', slice(toks, i, $k))) AS s))"))
+      .select(col("doc_id"), col("w"))
+      .cache()
+    val pos = warr
       .select(col("doc_id"), explode(col("w")).as("w"))
       .select(col("doc_id"), col("w.pos"), col("w.s"))
       .cache() // feeds the frequency agg AND the position join

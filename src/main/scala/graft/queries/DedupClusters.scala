@@ -43,29 +43,43 @@ object DedupClusters {
     * Neighborhoods are read off the symmetric view, so each input edge is
     * examined from both endpoints; output edges are canonical by
     * construction (v > u ≥ m).
+    *
+    * r7 shape (guide §2.4 — each round's latency is the scale story at
+    * real pair counts AND the gate wall): the per-u minimum rides a
+    * WINDOW over the same exchange the rows need anyway, replacing the
+    * groupBy + self-join pair (two extra exchanges); the symmetric view
+    * is one map-side explode instead of a 2-scan union; and the output
+    * dedup is left to [[smallStar]]'s terminal distinct — min() is
+    * duplicate-insensitive, so round output is unchanged while a third
+    * full exchange disappears.
     */
   private[queries] def largeStar(edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("u"), col("v"))
-      .union(edges.select(col("v").as("u"), col("u").as("v")))
-    val m = sym.groupBy(col("u"))
-      .agg(least(min(col("v")), col("u")).as("m"))
-    sym.join(m, "u")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    edges.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .withColumn("m", least(min(col("v")).over(w), col("u")))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
   }
 
   /** One small-star round: every node u connects all its SMALLER
     * neighbors (on canonical edges, that is all of Γ(u)) plus itself to
     * m = min(Γ(u)). Output stays canonical: v ≥ m with the v = m row
-    * dropped, and u > m always.
+    * dropped, and u > m always. Same r7 window-over-one-exchange shape
+    * as [[largeStar]]; the two output branches (neighbor→m, u→m) emit
+    * in ONE pass via explode instead of a union that would re-run the
+    * windowed subtree.
     */
   private[queries] def smallStar(edges: DataFrame): DataFrame = {
-    val m = edges.groupBy(col("u")).agg(min(col("v")).as("m"))
-    val withM = edges.join(m, "u")
-    withM.filter(col("v") =!= col("m"))
-      .select(col("v").as("u"), col("m").as("v"))
-      .union(withM.select(col("u"), col("m").as("v")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    edges.withColumn("m", min(col("v")).over(w))
+      .select(explode(when(col("v") =!= col("m"),
+          array(struct(col("v").as("u"), col("m").as("v")),
+            struct(col("u"), col("m").as("v"))))
+        .otherwise(array(struct(col("u"), col("m").as("v"))))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .distinct()
   }
 
@@ -100,18 +114,22 @@ object DedupClusters {
     */
   private[graft] def ccWithRounds(spark: SparkSession,
       pairs: DataFrame): (DataFrame, Int) = {
+    // localCheckpoint(eager = false): the signature aggregate right after
+    // is the round's ONE action — it materializes the checkpoint as a
+    // side effect, so each round runs one Spark job instead of two (r7;
+    // at gate pair counts the loop is job-latency-bound, guide §1.2)
     var edges = pairs
       .select(col(pairs.columns(0)).as("a"), col(pairs.columns(1)).as("b"))
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     var sig = signature(edges)
-    var converged = edges.isEmpty
+    var converged = sig._1 == 0L
     var rounds = 0
     while (!converged && rounds < MaxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig
@@ -143,9 +161,12 @@ object DedupClusters {
     val full = docs.select(col("doc_id"))
       .join(cc, Seq("doc_id"), "left")
       .withColumn("component", coalesce(col("component"), col("doc_id")))
-    val sizes = full.groupBy(col("component"))
-      .agg(count(lit(1)).as("cluster_size"))
-    full.join(sizes, "component")
+    // cluster size as a count-over-window: one exchange on component
+    // instead of groupBy + join-back (two more exchanges of the full
+    // universe) — identical values (r7, guide §2.4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+    full.withColumn("cluster_size", count(lit(1)).over(w))
       .withColumn("keep", col("doc_id") === col("component"))
       .select(col("doc_id"), col("component"), col("cluster_size"),
         col("keep"))

@@ -114,6 +114,8 @@ object Queries {
     * codegen over the scan.
     */
   def q07DocHeuristics(spark: SparkSession, dir: String): DataFrame =
+    // (r7: a spread-repartition was tried here and measured net-slower
+    // at sf0.1 — the regex work is too cheap to amortize the exchange)
     t(spark, dir, "documents")
       .select(
         col("doc_id"),
@@ -162,6 +164,7 @@ object Queries {
     * the same pattern. All in whole-stage codegen over the scan.
     */
   def q32BpeTokens(spark: SparkSession, dir: String): DataFrame =
+    // (r7: spread tried, net-slower at sf0.1 — the q07 call)
     t(spark, dir, "documents")
       .withColumn("aug", concat(col("text"), lit(" it's 2024, v1.5 (beta)!")))
       .select(

@@ -108,6 +108,13 @@ object TrainingOps {
     * band-limit the rest (that is exactly q16's MinHash+LSH); this exact
     * variant is the correctness oracle for it.
     */
+  // r7 measurement note (kept for the record): a q56-style group-then-
+  // emit reshape of THIS pipeline (groupBy(s).collect_set(doc_id) → emit
+  // pairs) was tried and measured 5× SLOWER at sf0.1 (1.7 s → 9.2 s):
+  // doc-level shingles have ~1 doc-set entry per key, so the object-
+  // aggregation buffer per key dominates, unlike the container family
+  // where 20 cids share every gram. The inverted-index self-join below
+  // is the right shape when keys ≈ rows.
   def q15NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sets = shingleSets(t(spark, dir, "documents")).cache()
     // cached: feeds the sizes aggregate and both sides of the self-join
@@ -204,16 +211,32 @@ object TrainingOps {
       targetMiss: Double = 1e-9, dfCap: Int = ShingleDfCap): DataFrame = {
     val (r, b) = minhashBanding(threshold, targetMiss)
     val sets = shingleSets(docs).cache()
-    val tok = shingleTokens(sets, dfCap).cache()
-    val buckets = bandedBuckets(tok, r, b)
+    // r7: ONE groupBy(doc_id) computes the r·b min-signatures AND the
+    // verify sets together — they were two separate full-mass
+    // aggregations over the cached token frame. Values identical: same
+    // tokens, same aggregates.
+    val tok = shingleTokens(sets, dfCap)
+    val sigCols = (0 until r * b).map(i =>
+      min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    val perDoc = tok.groupBy(col("doc_id"))
+      .agg(sigCols.head,
+        (sigCols.tail :+ collect_set(col("s")).as("shingles")): _*)
+      .cache()
+    val bandCols = (0 until b).map { band =>
+      struct(lit(band).as("band"),
+        xxhash64((0 until r).map(row => col(s"h${band * r + row}")): _*)
+          .as("bh"))
+    }
+    val buckets = perDoc
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bh"))
     val candidates = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_i"), col("b.doc_id").as("doc_j"))
       .distinct()
     // exact verify on candidates only, over the same DF-capped sets
-    val fsets = tok.groupBy(col("doc_id"))
-      .agg(collect_set(col("s")).as("shingles"))
+    val fsets = perDoc.select(col("doc_id"), col("shingles"))
     candidates
       .join(fsets.select(col("doc_id").as("doc_i"), col("shingles").as("sa")), "doc_i")
       .join(fsets.select(col("doc_id").as("doc_j"), col("shingles").as("sb")), "doc_j")
@@ -321,6 +344,8 @@ object TrainingOps {
     // unpersisting before materialization would re-run the MD5 simhash
     // map twice. Harness-level spark.catalog.clearCache() between bench
     // attempts releases it.
+    // (r7: spread tried before the map, net-slower at sf0.1 — the MD5
+    // pass is short enough there that the exchange cost dominates)
     val hashed = docs
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .as[(Long, Seq[String])]
@@ -398,11 +423,15 @@ object TrainingOps {
   }
 
   /** Cosine similarity of two double-array columns as a pure Column
-    * expression (stays in whole-stage codegen; no UDF).
+    * expression (stays in whole-stage codegen; no UDF). r7: the dot
+    * products are [[graft.functions.VecMath.vec_dot]] — a codegen static
+    * call replacing the interpreted zip_with+aggregate HOF chain, with
+    * the identical ascending-index fold order so every value is
+    * bit-identical (guide §4.1; q28's candidate verify measured ~20 µs
+    * per pair interpreted vs ~0.1 µs compiled).
     */
   def cosineCol(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    def dot(x: Column, y: Column) = graft.functions.VecMath.vec_dot(x, y)
     def norm(x: Column) = sqrt(dot(x, x))
     dot(a, b) / (norm(a) * norm(b))
   }
@@ -664,7 +693,9 @@ object TrainingOps {
     * the DuckDB oracle. All in whole-stage codegen over the scan.
     */
   def q20DocQuality(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    // spread (r7): array_distinct + filter HOFs per row, one row group —
+    // the repetitionMetrics parallelism rule
+    graft.profile.Profiler.spread(spark, t(spark, dir, "documents"))
       .withColumn("toks", split(trim(col("text")), "\\s+"))
       .select(
         col("doc_id"),
@@ -1119,18 +1150,24 @@ object TrainingOps {
     */
   def pqTrain(spark: SparkSession, uniIn: DataFrame, m: Int, k: Int,
       iters: Int = PqIters): Array[Array[Array[Double]]] = {
-    val sample = uniIn.select(col("vec_id"), col("v"))
-      .sort(col("vec_id")).limit(16 * k).cache()
-    val dim = sample.select(size(col("v"))).head().getInt(0)
+    import spark.implicits._
+    // ONE collect of the vec_id-ordered sample, sliced per subspace on
+    // the driver (r7): the sample is ≤ 16·k ≤ 4096 rows by construction
+    // (pqParams caps k at 256), far under KmeansDriverSampleCap, so the
+    // old per-subspace kmeansTrainAuto round-trips (m × cache+count+
+    // collect = 24 driver jobs at m=8) collapsed to one job. Same rows,
+    // same order, same slices → kmeansTrain output is bit-identical.
+    val rows = uniIn.select(col("vec_id"), col("v"))
+      .sort(col("vec_id")).limit(16 * k)
+      .as[(Long, Seq[Double])].collect().map(_._2.toArray)
+    val dim = rows.head.length
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
     val sub = dim / m
-    val cbs = (0 until m).map { j =>
-      kmeansTrainAuto(spark,
-        sample.select(col("vec_id"), slice(col("v"), j * sub + 1, sub).as("v")),
+    (0 until m).map { j =>
+      kmeansTrain(
+        rows.map(v => java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)),
         k, iters)
     }.toArray
-    sample.unpersist()
-    cbs
   }
 
   /** Encode every vector as m sub-codes (argmin L2 per subspace, strict

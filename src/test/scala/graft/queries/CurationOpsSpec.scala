@@ -79,13 +79,17 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
-  test("repetitionMetrics: plan has zero shuffles") {
+  test("repetitionMetrics: no keyed shuffle (the explode+groupBy anti-shape)") {
+    // r7: the parallelism spread adds ONE round-robin exchange of the
+    // input (a no-op at real scale where the scan already splits); the
+    // pin's point is unchanged — the metrics must never shuffle per-gram
+    // mass into keyed aggregations, so no hashpartitioning may appear
     val d = docs((1L, "a a b", "en"), (2L, "c d", "fr"))
     val m = CurationOps.repetitionMetrics(d)
     m.collect()
     val plan = m.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"),
-      s"per-doc metrics must not shuffle:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"per-doc metrics must not shuffle per-gram mass:\n$plan")
   }
 
   test("sourceQualityProfile: aggregates replay the per-doc metrics") {
