@@ -116,6 +116,39 @@ object R07Probe {
     time("q02-asis") { graft.queries.Queries.q02RevenueByNation(spark, sfDir) }
     time("q03-asis") { graft.queries.Queries.q03TopCustomers(spark, sfDir) }
     time("q57-now") { graft.queries.CurationOps.q57RepeatedSpans(spark, sfDir) }
+    time("li-scan-all") { spark.read.parquet(s"$sfDir/lineitem.parquet") }
+    time("li-scan-5col") { spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount")) }
+    time("q01-dblsum") {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("a"), sum(col("l_extendedprice")).as("b"),
+          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("c"),
+          count(lit(1)).as("n"))
+    }
+    time("q01-dec18") {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }
+    if (stages.isEmpty || stages("q01-equal")) {
+      val a = graft.queries.Queries.q01PricingSummary(spark, sfDir).collect()
+      val b = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
+          (sum(col("l_quantity").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")).collect()
+      println("EQUAL18 " + (a.toSeq == b.toSeq))
+    }
     spark.stop()
   }
 }

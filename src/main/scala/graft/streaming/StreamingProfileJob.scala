@@ -105,8 +105,16 @@ object StreamingProfileJob {
             catch { case _: Exception => spark.emptyDataset[FieldProfile] }
           prev.unionByName(rows)
             .write.mode(SaveMode.Overwrite).parquet(s"$outDir/next")
-          spark.read.parquet(s"$outDir/next")
-            .write.mode(SaveMode.Overwrite).parquet(currentDir)
+          // swap next → current with filesystem ops instead of a second
+          // full read+write job (r7): identical contents, one metadata
+          // rename per batch instead of re-serializing the snapshot. The
+          // read side never sees a half state: this runs on the driver
+          // between batches, same single-writer guarantee as before.
+          val fs = new org.apache.hadoop.fs.Path(currentDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(currentDir), true)
+          fs.rename(new org.apache.hadoop.fs.Path(s"$outDir/next"),
+            new org.apache.hadoop.fs.Path(currentDir))
           rows.withColumn("batch_id", lit(batchId))
             .write.mode(SaveMode.Append).parquet(s"$outDir/history")
         }
