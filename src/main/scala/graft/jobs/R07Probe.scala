@@ -149,6 +149,69 @@ object R07Probe {
         .orderBy(col("l_returnflag"), col("l_linestatus")).collect()
       println("EQUAL18 " + (a.toSeq == b.toSeq))
     }
+    if (stages.isEmpty || stages("q44-split")) {
+      spark.catalog.clearCache()
+      val root = java.nio.file.Files.createTempDirectory("graft_probe_q44").toString
+      val (in, cat, out, ckpt) = (s"$root/in", s"$root/cat", s"$root/out", s"$root/ckpt")
+      val d = docs.select(col("doc_id"), col("text"))
+      var t0 = System.nanoTime()
+      d.filter(col("doc_id") % 10 =!= 0).write.mode("append").parquet(in)
+      println(f"PROBE q44-drop1-write ${(System.nanoTime()-t0)/1e9}%8.3f s")
+      t0 = System.nanoTime()
+      graft.streaming.StreamingDedupJob.runOnce(spark, in, cat, out, ckpt, 0.9)
+      println(f"PROBE q44-lifecycle1 ${(System.nanoTime()-t0)/1e9}%8.3f s")
+      t0 = System.nanoTime()
+      d.filter(col("doc_id") % 10 === 0).write.mode("append").parquet(in)
+      graft.streaming.StreamingDedupJob.runOnce(spark, in, cat, out, ckpt, 0.9)
+      println(f"PROBE q44-lifecycle2 ${(System.nanoTime()-t0)/1e9}%8.3f s")
+      t0 = System.nanoTime()
+      val pr = graft.streaming.StreamingDedupJob.allPairs(spark, out)
+        .orderBy(col("doc_i"), col("doc_j"))
+      pr.collect()
+      println(f"PROBE q44-read-collect ${(System.nanoTime()-t0)/1e9}%8.3f s")
+      // and the inner deltaStep alone, batch-style (q43's shape)
+      spark.catalog.clearCache()
+      t0 = System.nanoTime()
+      graft.queries.IncrementalDedup.commitBatch(d.filter(col("doc_id") % 10 =!= 0), 0L, s"$root/cat2", 0.9)
+      println(f"PROBE q43-commitBatch ${(System.nanoTime()-t0)/1e9}%8.3f s")
+      t0 = System.nanoTime()
+      val dp = graft.queries.IncrementalDedup.deltaStep(spark, d.filter(col("doc_id") % 10 === 0), 1L, s"$root/cat2", 0.9)
+      dp.collect()
+      println(f"PROBE q43-deltaStep ${(System.nanoTime()-t0)/1e9}%8.3f s")
+      val fs2 = new java.io.File(root)
+      def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete; () }
+      rm(fs2)
+    }
+    if (stages.isEmpty || stages("q43-warm")) {
+      val d = docs.select(col("doc_id"), col("text"))
+      var bestC = Double.MaxValue; var bestD = Double.MaxValue
+      var bestSign = Double.MaxValue
+      (0 until 3).foreach { i =>
+        spark.catalog.clearCache()
+        val root = java.nio.file.Files.createTempDirectory(s"graft_probe_q43_$i").toString
+        var t0 = System.nanoTime()
+        graft.queries.IncrementalDedup.commitBatch(d.filter(col("doc_id") % 10 =!= 0), 0L, s"$root/cat", 0.9)
+        val tc = (System.nanoTime()-t0)/1e9
+        t0 = System.nanoTime()
+        val dp = graft.queries.IncrementalDedup.deltaStep(spark, d.filter(col("doc_id") % 10 === 0), 1L, s"$root/cat", 0.9)
+        dp.collect()
+        val td = (System.nanoTime()-t0)/1e9
+        // signing alone (seed shape, no writes)
+        spark.catalog.clearCache()
+        t0 = System.nanoTime()
+        val (b2, s2) = graft.queries.IncrementalDedup.signatures(d.filter(col("doc_id") % 10 =!= 0), 0.9)
+        b2.write.format("noop").mode("overwrite").save()
+        s2.write.format("noop").mode("overwrite").save()
+        val ts = (System.nanoTime()-t0)/1e9
+        if (i > 0) { bestC = math.min(bestC, tc); bestD = math.min(bestD, td); bestSign = math.min(bestSign, ts) }
+        val fs2 = new java.io.File(root)
+        def rm(f: java.io.File): Unit = { if (f.isDirectory) f.listFiles.foreach(rm); f.delete; () }
+        rm(fs2)
+      }
+      println(f"PROBE q43-commitBatch-warm $bestC%8.3f s")
+      println(f"PROBE q43-deltaStep-warm  $bestD%8.3f s")
+      println(f"PROBE q43-signing-noop    $bestSign%8.3f s")
+    }
     spark.stop()
   }
 }
